@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table registry for the graft engine.
+  *
+  * The engine targets a large multi-executor cluster; locally we run
+  * `local[N]`. All scale-sensitive knobs (AQE, skew-join splitting,
+  * shuffle partitions) are set here so every entry point — Verify,
+  * Bench, tests — plans identically.
+  *
+  * Skew handling mirrors the reference's Reshape control loop
+  * (reference: flink-runtime/src/main/scala/org/apache/flink/runtime/
+  * reshape/ControllerSimulator.scala:17-189) re-expressed as Spark AQE
+  * skew-join splitting plus salted two-stage aggregation (see
+  * graft.skew).
+  */
+object Engine {
+
+  /** Build a session tuned for this engine. On a real cluster the
+    * master/memory come from spark-submit; these configs still apply.
+    */
+  def session(
+      appName: String = "graft",
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"
+  ): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    configure(b).getOrCreate()
+  }
+
+  /** Apply engine configs to any builder (used by Verify/Bench too). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    // Adaptive execution: runtime re-planning is our analog of the
+    // reference's runtime skew mitigation loop.
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Local runs: 32 threads, so 200 default shuffle partitions would
+    // just add scheduling overhead. AQE coalesces further as needed.
+    .config(
+      "spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    )
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
+    // natively; read the raw int64 nanos and convert in Tables.events.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Lazy handles to the driver-generated test tables in `dir`.
+    * Each is a plain parquet scan — Catalyst pushes filters/projections
+    * into it, so callers should NOT cache or materialize here.
+    */
+  final case class Tables(spark: SparkSession, dir: String) {
+    private def t(name: String): DataFrame =
+      spark.read.parquet(s"$dir/$name.parquet")
+    def region: DataFrame = t("region")
+    def nation: DataFrame = t("nation")
+    def customer: DataFrame = t("customer")
+    def supplier: DataFrame = t("supplier")
+    def part: DataFrame = t("part")
+    def orders: DataFrame = t("orders")
+    def lineitem: DataFrame = t("lineitem")
+
+    /** events.ts arrives as int64 nanos (see nanosAsLong config);
+      * expose it as a microsecond TimestampType column. Floor division
+      * keeps truncation identical to what an ns-native engine gets
+      * after any ≥1µs date_trunc/epoch bucketing (all ts are positive).
+      */
+    def events: DataFrame = {
+      import org.apache.spark.sql.functions._
+      t("events").withColumn(
+        "ts",
+        timestamp_micros((col("ts") / lit(1000L)).cast("long"))
+      )
+    }
+    def documents: DataFrame = t("documents")
+    def embeddings: DataFrame = t("embeddings")
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator query: the Spark-side builder plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL
+  * over the same tables. Queries without an oracle get a weaker
+  * rows-only check from the driver and a dedicated ScalaTest spec here.
+  *
+  * Determinism contract (so the driver's sorted-hash compare passes):
+  *  - every computed column is aliased identically on both sides;
+  *  - aggregate doubles are `round(x, 4)` (fp summation order differs
+  *    between engines); pure per-row arithmetic is left exact (IEEE ops
+  *    in the same order are bit-identical);
+  *  - timestamps are never returned raw — always epoch seconds
+  *    (BIGINT) or DATE (events.ts is ns in parquet, µs in Spark);
+  *  - rankings order by a unique composite key, never a bare double.
+  */
+final case class QueryDef(
+    name: String,
+    builder: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+trait QueryModule {
+  def defs: Seq[QueryDef]
+  protected def tables(spark: SparkSession, dir: String): Engine.Tables =
+    Engine.Tables(spark, dir)
+}

@@ -1,0 +1,303 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** §2.4 aggregations: hash agg, distinct agg, stats, grouping sets /
+  * rollup / cube, collect, min_by/max_by, and the time-window family
+  * (tumble / hop / session — reference Flink operators
+  * StreamExecGroupWindowAggregate / StreamExecWindowAggregate,
+  * flink-table-planner-blink .../exec/stream/StreamExecWindowAggregate.java:74
+  * and .../window/slicing/SliceAssigners.java).
+  *
+  * All aggregation here is declarative groupBy/agg so Catalyst plans
+  * partial (map-side) + final HashAggregate pairs — the local/global
+  * two-phase agg of the reference (StreamExecLocalGroupAggregate /
+  * StreamExecGlobalGroupAggregate) is native in Spark.
+  */
+object AggregateQueries extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+    // TPC-H Q1 flavor: the canonical wide hash aggregate.
+    QueryDef(
+      "q_agg_pricing_summary",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .filter(col("l_quantity") < 50)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 4).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+              .as("sum_disc_price"),
+            round(
+              sum(
+                col("l_extendedprice") * (lit(1) - col("l_discount")) *
+                  (lit(1) + col("l_tax"))
+              ),
+              4
+            ).as("sum_charge"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order")
+          )
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_quantity < 50
+        GROUP BY l_returnflag, l_linestatus
+      """)
+    ),
+    // COUNT/SUM DISTINCT — Catalyst RewriteDistinctAggregates (Expand).
+    QueryDef(
+      "q_agg_distinct",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.orders
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            countDistinct(col("o_custkey")).as("uniq_cust"),
+            countDistinct(col("o_orderpriority")).as("uniq_prio"),
+            round(sum_distinct(col("o_totalprice")), 4).as("sum_dist_price"),
+            count(lit(1)).as("n")
+          )
+      },
+      Some("""
+        SELECT o_orderstatus,
+               count(DISTINCT o_custkey) AS uniq_cust,
+               count(DISTINCT o_orderpriority) AS uniq_prio,
+               round(sum(DISTINCT o_totalprice), 4) AS sum_dist_price,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+      """)
+    ),
+    // Statistical aggregates.
+    QueryDef(
+      "q_agg_stats",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.events
+          .groupBy(col("event_type"))
+          .agg(
+            round(avg(col("value")), 4).as("avg_v"),
+            round(stddev_samp(col("value")), 4).as("sd_samp"),
+            round(stddev_pop(col("value")), 4).as("sd_pop"),
+            round(var_samp(col("value")), 4).as("var_s"),
+            round(var_pop(col("value")), 4).as("var_p"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"),
+            count(lit(1)).as("n")
+          )
+      },
+      Some("""
+        SELECT event_type,
+               round(avg(value), 4) AS avg_v,
+               round(stddev_samp(value), 4) AS sd_samp,
+               round(stddev_pop(value), 4) AS sd_pop,
+               round(var_samp(value), 4) AS var_s,
+               round(var_pop(value), 4) AS var_p,
+               min(value) AS min_v,
+               max(value) AS max_v,
+               count(*) AS n
+        FROM events GROUP BY event_type
+      """)
+    ),
+    // COLLECT (multiset agg) — order-normalized to a sorted string.
+    QueryDef(
+      "q_agg_collect",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.documents
+          .groupBy(col("lang"))
+          .agg(
+            array_join(sort_array(collect_set(col("source"))), ",")
+              .as("sources"),
+            count(lit(1)).as("n_docs")
+          )
+      },
+      Some("""
+        SELECT lang,
+               array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
+      """)
+    ),
+    // min_by / max_by with a unique BIGINT ordering key (value has
+    // 2-decimal ties; round(value*100)*1e6+event_id is collision-free).
+    QueryDef(
+      "q_agg_minmax_by",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val ord = (round(col("value") * 100, 0).cast("long") * 1000000L +
+          col("event_id")).as("ord")
+        t.events
+          .select(col("user_id"), col("event_id"), ord)
+          .groupBy(col("user_id"))
+          .agg(
+            max_by(col("event_id"), col("ord")).as("top_event"),
+            min_by(col("event_id"), col("ord")).as("bottom_event")
+          )
+      },
+      Some("""
+        SELECT user_id,
+               max_by(event_id, CAST(round(value * 100, 0) AS BIGINT) * 1000000 + event_id) AS top_event,
+               min_by(event_id, CAST(round(value * 100, 0) AS BIGINT) * 1000000 + event_id) AS bottom_event
+        FROM events GROUP BY user_id
+      """)
+    ),
+    // GROUPING SETS via the SQL surface (Catalyst Expand node —
+    // reference StreamExecExpand.java:38).
+    QueryDef(
+      "q_agg_grouping_sets",
+      (s, dir) => {
+        tables(s, dir).orders.createOrReplaceTempView("orders_gs")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS prio,
+                 count(*) AS n, round(sum(o_totalprice), 4) AS total
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """)
+      },
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS n, round(sum(o_totalprice), 4) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      """)
+    ),
+    QueryDef(
+      "q_agg_rollup",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.orders
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("n"),
+            col("total")
+          )
+      },
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS n, round(sum(o_totalprice), 4) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      """)
+    ),
+    QueryDef(
+      "q_agg_cube",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.orders
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+            col("n")
+          )
+      },
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      """)
+    ),
+    // Tumbling event-time window (1h) — reference group window agg.
+    QueryDef(
+      "q_agg_window_tumble",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.events
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+          .select(
+            unix_timestamp(col("window.start")).as("wstart"),
+            col("event_type"),
+            col("n"),
+            col("sv")
+          )
+      },
+      Some("""
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS wstart,
+               event_type, count(*) AS n, round(sum(value), 4) AS sv
+        FROM events GROUP BY 1, 2
+      """)
+    ),
+    // Hopping window (1h size / 30m slide): each event lands in 2
+    // windows; oracle expands via a 2-row offsets table.
+    QueryDef(
+      "q_agg_window_hop",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.events
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+          .select(
+            unix_timestamp(col("window.start")).as("wstart"),
+            col("n"),
+            col("sv")
+          )
+      },
+      Some("""
+        SELECT CAST(floor(epoch(time_bucket(INTERVAL 30 MINUTE, ts))) AS BIGINT)
+                 - 1800 * k AS wstart,
+               count(*) AS n, round(sum(value), 4) AS sv
+        FROM events CROSS JOIN (VALUES (0), (1)) offs(k)
+        GROUP BY 1
+      """)
+    ),
+    // Session window (30m gap) per user — reference session window
+    // assigner (EventTimeSessionWindows.java); oracle is the classic
+    // gaps-and-islands rewrite. New session starts when the gap to the
+    // previous event is >= 30m (Spark merges only while ts < prev+gap).
+    QueryDef(
+      "q_agg_window_session",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.events
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+          .select(
+            unix_timestamp(col("session_window.start")).as("sess_start"),
+            col("user_id"),
+            col("n"),
+            col("sv")
+          )
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+               user_id, count(*) AS n, round(sum(value), 4) AS sv
+        FROM sess GROUP BY user_id, sid
+      """)
+    )
+  )
+}

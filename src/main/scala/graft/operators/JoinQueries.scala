@@ -1,0 +1,289 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** §2.3 joins: inner/outer/semi/anti/cross, multiway, broadcast dim,
+  * interval (time-range) join, as-of (temporal) join, and the
+  * join-with-static contains-predicate workload that is the reference
+  * fork's demo job (reference: flink-end-to-end-tests/.../streaming/
+  * tests/JoinWithStaticExample.java:78-191).
+  *
+  * Physical strategy notes (verified via .explain):
+  *  - dim joins (customer/nation/region/part/supplier) broadcast —
+  *    these tables stay small at any SF (part is 0.2% of lineitem);
+  *  - fact-fact joins shuffle on the join key and AQE handles skew
+  *    (spark.sql.adaptive.skewJoin, our Reshape analog for batch);
+  *  - the contains-join is a broadcast nested-loop by construction,
+  *    mirroring the reference's replicated static slang table.
+  */
+object JoinQueries extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_join_inner",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.orders
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 4).as("revenue")
+          )
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+      """)
+    ),
+    QueryDef(
+      "q_join_left_outer",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.customer
+          .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(
+            count(col("o_orderkey")).as("n_orders"),
+            round(sum(col("o_totalprice")), 4).as("spend")
+          )
+      },
+      Some("""
+        SELECT c_custkey, count(o_orderkey) AS n_orders,
+               round(sum(o_totalprice), 4) AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+      """)
+    ),
+    // Full outer: nations seen from the customer side vs supplier side
+    // (only 10 suppliers → many nation keys exist on one side only).
+    QueryDef(
+      "q_join_full_outer",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val cn = t.customer
+          .groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sn = t.supplier
+          .groupBy(col("s_nationkey").as("nk2"))
+          .agg(count(lit(1)).as("n_supp"))
+        cn.join(sn, col("nk") === col("nk2"), "full")
+          .select(
+            coalesce(col("nk"), col("nk2")).as("nationkey"),
+            col("n_cust"),
+            col("n_supp")
+          )
+      },
+      Some("""
+        SELECT coalesce(cn.nk, sn.nk2) AS nationkey, n_cust, n_supp
+        FROM (SELECT c_nationkey AS nk, count(*) AS n_cust
+              FROM customer GROUP BY 1) cn
+        FULL JOIN (SELECT s_nationkey AS nk2, count(*) AS n_supp
+                   FROM supplier GROUP BY 1) sn ON cn.nk = sn.nk2
+      """)
+    ),
+    // LEFT SEMI (EXISTS) — reference StreamingSemiAntiJoinOperator.
+    QueryDef(
+      "q_join_semi",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.customer
+          .join(
+            t.orders.filter(col("o_totalprice") > 400000),
+            col("c_custkey") === col("o_custkey"),
+            "left_semi"
+          )
+          .select(col("c_custkey"), col("c_name"))
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      """)
+    ),
+    // LEFT ANTI (NOT EXISTS).
+    QueryDef(
+      "q_join_anti",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.customer
+          .join(
+            t.orders.filter(
+              col("o_orderstatus") === "F" && col("o_totalprice") > 400000
+            ),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti"
+          )
+          .select(col("c_custkey"), col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderstatus = 'F' AND o_totalprice > 400000)
+      """)
+    ),
+    // Cartesian product (small × small).
+    QueryDef(
+      "q_join_cross",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.region.crossJoin(t.nation).select(col("r_name"), col("n_name"))
+      },
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")
+    ),
+    // Flagship multiway star join: lineitem→orders→customer→nation→
+    // region, revenue per region/nation. Dims broadcast; the
+    // lineitem⇄orders join shuffles on orderkey.
+    QueryDef(
+      "q_join_multiway",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_items")
+          )
+      },
+      Some("""
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+      """)
+    ),
+    // Explicit broadcast-hash dim join.
+    QueryDef(
+      "q_join_broadcast_dim",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 4).as("price_sum")
+          )
+      },
+      Some("""
+        SELECT p_brand, count(*) AS n,
+               round(sum(l_extendedprice), 4) AS price_sum
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+      """)
+    ),
+    // Join-with-static contains-predicate — the Reshape demo workload
+    // (JoinWithStaticExample.java:128-151: tweet stream keyed join vs a
+    // replicated slang list with substring matching). Spark-first this
+    // is a broadcast nested-loop join against an inline VALUES table.
+    QueryDef(
+      "q_join_static_contains",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val slang = s
+          .createDataFrame(
+            Seq(("join", 1), ("merge", 2), ("stream", 3), ("shuffle", 4))
+          )
+          .toDF("word", "word_id")
+        t.documents
+          .join(broadcast(slang), col("text").contains(col("word")))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""
+        SELECT word, count(*) AS n_docs
+        FROM documents
+        JOIN (VALUES ('join', 1), ('merge', 2), ('stream', 3), ('shuffle', 4))
+             slang(word, word_id)
+          ON contains(text, word)
+        GROUP BY word
+      """)
+    ),
+    // Interval join (KeyedStream.intervalJoin / StreamExecIntervalJoin:
+    // purchases within 30min after a signup of the same user).
+    QueryDef(
+      "q_join_interval",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val sig = t.events
+          .filter(col("event_type") === "signup")
+          .select(
+            col("user_id").as("s_user"),
+            col("ts").as("s_ts"),
+            col("event_id").as("s_id")
+          )
+        val pur = t.events
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("user_id").as("p_user"),
+            col("ts").as("p_ts"),
+            col("value").as("p_value")
+          )
+        sig
+          .join(
+            pur,
+            col("s_user") === col("p_user") &&
+              col("p_ts") >= col("s_ts") &&
+              col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES")
+          )
+          .groupBy(col("s_user"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(sum(col("p_value")), 4).as("v_sum")
+          )
+      },
+      Some("""
+        SELECT s.user_id AS s_user, count(*) AS n_pairs,
+               round(sum(p.value), 4) AS v_sum
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        GROUP BY s.user_id
+      """)
+    ),
+    // As-of (temporal) join — reference StreamExecTemporalJoin /
+    // TemporalRowTimeJoinOperator. Spark lacks this operator; see
+    // graft.plans.AsOfJoin for the single-shuffle union+window design.
+    QueryDef(
+      "q_join_asof",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val purchases = t.events
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val signups = t.events
+          .filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("value").as("signup_value"))
+        AsOfJoin
+          .join(purchases, signups, "user_id", "ts", Seq("signup_value"))
+          .select(
+            col("event_id"),
+            col("value").as("p_value"),
+            col("signup_value")
+          )
+      },
+      Some("""
+        SELECT p.event_id AS event_id, p.value AS p_value,
+               s.value AS signup_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+      """)
+    )
+  )
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate (dev tool only).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
+matching oracle SQL from oracle_sql.json in DuckDB over <sfDir>'s
+tables, and compares: columns sorted by name, rows sorted by all
+columns, exact value equality (what a hash compare would see).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # canonicalize dtypes: ints → int64 (nullable), floats → float64
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    results = {}
+    for name in sorted(os.listdir(outdir)):
+        path = os.path.join(outdir, name)
+        if not os.path.isdir(path):
+            continue
+        got = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
+        if name not in oracles:
+            results[name] = f"ROWS_ONLY rows={len(got)}"
+            continue
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR {type(e).__name__}: {e}"
+            continue
+        g, e = normalize(got), normalize(exp)
+        if list(g.columns) != list(e.columns):
+            results[name] = f"SCHEMA_MISMATCH spark={list(g.columns)} oracle={list(e.columns)}"
+            continue
+        if len(g) != len(e):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(g)} oracle={len(e)}"
+            continue
+        neq = []
+        for c in g.columns:
+            a, b = g[c], e[c]
+            if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
+                same = (a.isna() & b.isna()) | (a == b)
+            else:
+                same = (a.isna() & b.isna()) | (a.astype(object) == b.astype(object))
+            if not bool(same.all()):
+                bad = (~same).to_numpy().nonzero()[0][:3]
+                neq.append((c, [(int(i), a.iloc[i], b.iloc[i]) for i in bad]))
+        if neq:
+            results[name] = f"VALUE_MISMATCH {neq}"
+        else:
+            results[name] = f"OK rows={len(g)}"
+    npass = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in results.items():
+        flag = "PASS" if v.startswith("OK") else ("INFO" if v.startswith("ROWS_ONLY") else "FAIL")
+        print(f"[{flag}] {k}: {v[:400]}")
+    print(f"== {npass}/{len([v for v in results.values() if not v.startswith('ROWS_ONLY')])} oracle-checked queries pass")
+
+if __name__ == "__main__":
+    main()
