@@ -10,7 +10,10 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     operators.AggregateQueries,
-    operators.JoinQueries
+    operators.JoinQueries,
+    operators.WindowQueries,
+    operators.SetOpQueries,
+    operators.ScalarFunctionQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

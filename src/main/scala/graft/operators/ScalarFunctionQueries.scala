@@ -1,0 +1,353 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** §2.8 scalar function catalog (reference
+  * BuiltInFunctionDefinitions.java:83-1497 / FlinkSqlOperatorTable
+  * .java:112-1183): string, math, temporal, conditional, collection,
+  * JSON — exercised per-row over full tables so both engines evaluate
+  * the same expression tree on every row. Per-row arithmetic is kept
+  * exact (no rounding) — IEEE ops in identical order are bit-equal;
+  * only transcendentals (libm differs between JVM and C) are rounded.
+  * Also §2.2 Correlate/UNNEST (explode) and §2.1 Values.
+  */
+object ScalarFunctionQueries extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_fn_string",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.part.select(
+          col("p_partkey"),
+          length(col("p_name")).as("name_len"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_type"), 1, 5).as("sub5"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("joined"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "#").as("rp"),
+          trim(lit("  pad  ")).as("trimmed"),
+          regexp_replace(col("p_type"), " ", "_").as("no_space"),
+          reverse(col("p_brand")).as("rev"),
+          col("p_name").substr(lit(1), lit(3)).as("l3"),
+          instr(col("p_name"), "a").as("pos_a"),
+          repeat(col("p_brand"), 2).as("rep2"),
+          ascii(col("p_brand")).as("first_ascii"),
+          split_part(col("p_type"), lit(" "), lit(1)).as("first_word"),
+          md5(col("p_name")).as("name_md5"),
+          sha2(col("p_name"), 256).as("name_sha"),
+          translate(col("p_brand"), "Bd#", "bD_").as("trans"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_alpha"),
+          col("p_name").like("%a%").as("has_a"),
+          col("p_name").rlike("^[a-z]").as("starts_alpha")
+        )
+      },
+      Some("""
+        SELECT p_partkey,
+               length(p_name) AS name_len,
+               upper(p_name) AS up,
+               lower(p_brand) AS lo,
+               substring(p_type, 1, 5) AS sub5,
+               concat_ws('-', p_brand, p_type) AS joined,
+               lpad(p_brand, 12, '*') AS lp,
+               rpad(p_brand, 12, '#') AS rp,
+               trim('  pad  ') AS trimmed,
+               regexp_replace(p_type, ' ', '_', 'g') AS no_space,
+               reverse(p_brand) AS rev,
+               substring(p_name, 1, 3) AS l3,
+               instr(p_name, 'a') AS pos_a,
+               repeat(p_brand, 2) AS rep2,
+               ascii(p_brand) AS first_ascii,
+               split_part(p_type, ' ', 1) AS first_word,
+               md5(p_name) AS name_md5,
+               sha256(p_name) AS name_sha,
+               translate(p_brand, 'Bd#', 'bD_') AS trans,
+               regexp_extract(p_name, '([a-z]+)', 1) AS first_alpha,
+               p_name LIKE '%a%' AS has_a,
+               regexp_matches(p_name, '^[a-z]') AS starts_alpha
+        FROM part
+      """)
+    ),
+    QueryDef(
+      "q_fn_math",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem.select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          abs(col("l_quantity") - 25).as("abs_dev"),
+          ceil(col("l_extendedprice")).as("ceil_p"),
+          floor(col("l_extendedprice")).as("floor_p"),
+          round(col("l_discount") * 100, 0).as("disc_pct"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_q"),
+          round(exp(col("l_discount")), 6).as("exp_d"),
+          round(log(col("l_quantity") + 1), 6).as("ln_q"),
+          round(log(10.0, col("l_extendedprice")), 6).as("log10_p"),
+          round(pow(col("l_quantity"), 2), 4).as("q_sq"),
+          pmod(col("l_orderkey"), lit(7)).as("mod7"),
+          signum(col("l_quantity") - 25).as("sgn"),
+          round(sin(col("l_discount")), 6).as("sin_d"),
+          round(atan2(col("l_quantity"), col("l_tax") + 1), 6).as("at2"),
+          round(degrees(col("l_discount")), 6).as("deg"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("gr"),
+          least(col("l_quantity"), col("l_discount") * 100).as("le")
+        )
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_quantity - 25) AS abs_dev,
+               ceil(l_extendedprice) AS ceil_p,
+               floor(l_extendedprice) AS floor_p,
+               round(l_discount * 100, 0) AS disc_pct,
+               round(sqrt(l_quantity), 6) AS sqrt_q,
+               round(exp(l_discount), 6) AS exp_d,
+               round(ln(l_quantity + 1), 6) AS ln_q,
+               round(log10(l_extendedprice), 6) AS log10_p,
+               round(power(l_quantity, 2), 4) AS q_sq,
+               l_orderkey % 7 AS mod7,
+               CAST(sign(l_quantity - 25) AS DOUBLE) AS sgn,
+               round(sin(l_discount), 6) AS sin_d,
+               round(atan2(l_quantity, l_tax + 1), 6) AS at2,
+               round(degrees(l_discount), 6) AS deg,
+               greatest(l_quantity, l_discount * 100) AS gr,
+               least(l_quantity, l_discount * 100) AS le
+        FROM lineitem
+      """)
+    ),
+    QueryDef(
+      "q_fn_datetime",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.orders.select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofyear(col("o_orderdate")).as("doy"),
+          (dayofweek(col("o_orderdate")) - 1).as("dow"),
+          weekofyear(col("o_orderdate")).as("woy"),
+          hour(col("o_orderdate")).as("h"),
+          minute(col("o_orderdate")).as("mi"),
+          second(col("o_orderdate")).as("sec"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("fmt"),
+          col("o_orderdate").cast("date").as("d"),
+          last_day(col("o_orderdate")).as("eom"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("date").as("plus30"),
+          datediff(
+            col("o_orderdate").cast("date"),
+            lit("2024-01-01").cast("date")
+          ).as("days_since")
+        )
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS y,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(month(o_orderdate) AS INT) AS m,
+               CAST(day(o_orderdate) AS INT) AS dom,
+               CAST(dayofyear(o_orderdate) AS INT) AS doy,
+               CAST(dayofweek(o_orderdate) AS INT) AS dow,
+               CAST(weekofyear(o_orderdate) AS INT) AS woy,
+               CAST(hour(o_orderdate) AS INT) AS h,
+               CAST(minute(o_orderdate) AS INT) AS mi,
+               CAST(second(o_orderdate) AS INT) AS sec,
+               strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+               CAST(o_orderdate AS DATE) AS d,
+               last_day(CAST(o_orderdate AS DATE)) AS eom,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+               CAST(datediff('day', DATE '2024-01-01',
+                             CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        FROM orders
+      """)
+    ),
+    QueryDef(
+      "q_fn_conditional",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.events.select(
+          col("event_id"),
+          when(col("value") > 150, "high")
+            .when(col("value") > 50, "mid")
+            .otherwise("low")
+            .as("bucket"),
+          coalesce(
+            when(col("event_type") === "error", col("value")),
+            lit(0.0)
+          ).as("err_value"),
+          nullif(col("event_type"), lit("click")).as("non_click"),
+          (col("value").isNotNull && col("user_id") > 100).as("flag"),
+          col("event_type").isin("purchase", "signup").as("is_conv")
+        )
+      },
+      Some("""
+        SELECT event_id,
+               CASE WHEN value > 150 THEN 'high'
+                    WHEN value > 50 THEN 'mid'
+                    ELSE 'low' END AS bucket,
+               coalesce(CASE WHEN event_type = 'error' THEN value END, 0.0)
+                 AS err_value,
+               nullif(event_type, 'click') AS non_click,
+               (value IS NOT NULL AND user_id > 100) AS flag,
+               event_type IN ('purchase', 'signup') AS is_conv
+        FROM events
+      """)
+    ),
+    // Collection functions over the tokenized documents.
+    QueryDef(
+      "q_fn_array",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = split(col("text"), " ")
+        t.documents.select(
+          col("doc_id"),
+          size(words).as("n_words"),
+          size(array_distinct(words)).as("n_uniq"),
+          array_contains(words, "join").as("has_join"),
+          element_at(words, 1).as("first_word"),
+          element_at(words, -1).as("last_word"),
+          array_join(slice(words, 1, 3), "_").as("first3"),
+          array_join(sort_array(array_distinct(words)), ",").as("sorted_uniq"),
+          array_position(words, "data").cast("int").as("data_pos"),
+          size(array_intersect(words, array(lit("join"), lit("merge"), lit("hash"))))
+            .as("n_marker"),
+          size(array_union(array_distinct(words), array(lit("zzz"))))
+            .as("n_union"),
+          size(array_remove(words, "the")).as("n_nothe")
+        )
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+               list_contains(string_split(text, ' '), 'join') AS has_join,
+               string_split(text, ' ')[1] AS first_word,
+               string_split(text, ' ')[-1] AS last_word,
+               array_to_string(list_slice(string_split(text, ' '), 1, 3), '_') AS first3,
+               array_to_string(list_sort(list_distinct(string_split(text, ' '))), ',') AS sorted_uniq,
+               CAST(coalesce(list_position(string_split(text, ' '), 'data'), 0) AS INT) AS data_pos,
+               CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                       ['join','merge','hash'])) AS INT) AS n_marker,
+               CAST(len(list_distinct(list_concat(string_split(text, ' '), ['zzz']))) AS INT) AS n_union,
+               CAST(len(list_filter(string_split(text, ' '), w -> w != 'the')) AS INT) AS n_nothe
+        FROM documents
+      """)
+    ),
+    // Higher-order functions: transform / filter / aggregate (fold) /
+    // zip_with — the lambda surface Flink exposes via UDFs.
+    QueryDef(
+      "q_fn_higher_order",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = split(col("text"), " ")
+        t.documents.select(
+          col("doc_id"),
+          aggregate(
+            transform(words, w => length(w).cast("long")),
+            lit(0L),
+            (acc, x) => acc + x
+          ).as("total_chars"),
+          size(filter(words, w => length(w) > 4)).as("n_long"),
+          aggregate(
+            filter(words, w => w === "the"),
+            lit(0L),
+            (acc, _) => acc + 1
+          ).as("n_the")
+        )
+      },
+      Some("""
+        SELECT doc_id,
+               list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+                            w -> CAST(length(w) AS BIGINT))), (a, x) -> a + x) AS total_chars,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> length(w) > 4)) AS INT) AS n_long,
+               list_reduce(list_prepend(0, list_transform(
+                     list_filter(string_split(text, ' '), w -> w = 'the'),
+                     w -> CAST(1 AS BIGINT))), (a, x) -> a + x) AS n_the
+        FROM documents
+      """)
+    ),
+    QueryDef(
+      "q_fn_json",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.events.select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
+          get_json_object(col("props"), "$.missing").as("prop_missing")
+        )
+      },
+      Some("""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+               json_extract_string(props, '$.missing') AS prop_missing
+        FROM events
+      """)
+    ),
+    // Correlate / UNNEST (reference StreamExecCorrelate.java:45,
+    // LogicalUnnestRule): explode tokens → global word histogram.
+    QueryDef(
+      "q_explode_unnest",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.documents
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+      """)
+    ),
+    // posexplode — UNNEST WITH ORDINALITY.
+    QueryDef(
+      "q_explode_with_position",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.documents
+          .filter(col("doc_id") < 100)
+          .select(
+            col("doc_id"),
+            posexplode(split(col("text"), " "))
+          )
+          .select(
+            col("doc_id"),
+            (col("pos") + 1).cast("int").as("pos1"),
+            col("col").as("word")
+          )
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+                   FROM documents WHERE doc_id < 100),
+             p AS (SELECT doc_id, words,
+                          unnest(generate_series(1, len(words))) AS pos
+                   FROM w)
+        SELECT doc_id, CAST(pos AS INT) AS pos1, words[pos] AS word FROM p
+      """)
+    ),
+    // Inline VALUES table (reference StreamExecValues.java:31).
+    QueryDef(
+      "q_values_inline",
+      (s, dir) => {
+        val codes = s
+          .createDataFrame(
+            Seq(("A", 1, 1.5), ("B", 2, 2.5), ("C", 3, 3.5), ("D", 4, 4.5))
+          )
+          .toDF("code", "rank_no", "weight")
+        codes.filter(col("rank_no") > 1)
+      },
+      Some("""
+        SELECT code, CAST(rank_no AS INT) AS rank_no, weight
+        FROM (VALUES ('A', 1, 1.5), ('B', 2, 2.5), ('C', 3, 3.5), ('D', 4, 4.5))
+             v(code, rank_no, weight)
+        WHERE rank_no > 1
+      """)
+    )
+  )
+}
