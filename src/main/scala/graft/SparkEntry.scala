@@ -13,7 +13,10 @@ object SparkEntry {
     operators.JoinQueries,
     operators.WindowQueries,
     operators.SetOpQueries,
-    operators.ScalarFunctionQueries
+    operators.ScalarFunctionQueries,
+    operators.DedupQueries,
+    operators.SimilarityQueries,
+    operators.TextQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

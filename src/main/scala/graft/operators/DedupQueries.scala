@@ -1,0 +1,367 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design: every variant is expressed as joins/aggregations on
+  * distributed columns — no driver-side state.
+  *  - exact: one hash-groupBy (map-side partial agg).
+  *  - jaccard: shingle-inverted-index self-join. This is the *exact*
+  *    baseline; its candidate set grows quadratically with document
+  *    count for high-df shingles, which is why the scale path is LSH.
+  *  - minhash_lsh: per-doc signature computed in a single projection
+  *    (fold over the shingle array — no explode, no shuffle), then a
+  *    band-bucket join that only pairs documents agreeing on ≥1 band;
+  *    candidates are verified with exact Jaccard. Rows-only check
+  *    (recall of banding is probabilistic); MinHashSpec asserts
+  *    recall/precision against the exact result.
+  *  - simhash: 64-bit signed-projection signature, band-blocked
+  *    Hamming candidates. Rows-only + spec.
+  *  - embedding near-dup: label-blocked exact cosine (oracle-checked);
+  *    the unblocked scale path is SimilarityQueries' LSH.
+  */
+object DedupQueries extends QueryModule {
+
+  /** Distinct 3-word shingles of the document text, as one column.
+    * Docs under 3 words yield an empty array (sequence() would run
+    * backwards for a negative stop, so guard explicitly).
+    */
+  private def shingleCol: Column = {
+    val words = split(col("text"), " ")
+    when(size(words) < 3, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(
+          sequence(lit(0), size(words) - 3),
+          i =>
+            concat_ws(
+              " ",
+              element_at(words, i + 1),
+              element_at(words, i + 2),
+              element_at(words, i + 3)
+            )
+        )
+      )
+    )
+  }
+
+  /** doc_id + shingles (docs shorter than 3 words are dropped,
+    * matching the oracle's range() emptiness).
+    */
+  private def shingled(t: graft.Engine.Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), shingleCol.as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Exact Jaccard similarity on distinct-shingle sets for all pairs
+    * sharing at least one shingle. Threshold on the rounded value so
+    * both engines make the identical keep/drop decision.
+    */
+  def jaccardPairs(t: graft.Engine.Tables, threshold: Double): DataFrame = {
+    val sh = shingled(t)
+    val ex = sh.select(
+      col("doc_id"),
+      explode(col("shingles")).as("sh"),
+      size(col("shingles")).as("sz")
+    )
+    val a = ex.select(
+      col("doc_id").as("d1"),
+      col("sh"),
+      col("sz").as("s1")
+    )
+    val b = ex.select(
+      col("doc_id").as("d2"),
+      col("sh"),
+      col("sz").as("s2")
+    )
+    a.join(b, Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(
+        count(lit(1)).as("inter"),
+        first(col("s1")).as("sz1"),
+        first(col("s2")).as("sz2")
+      )
+      .withColumn(
+        "jaccard",
+        round(
+          col("inter") / (col("sz1") + col("sz2") - col("inter")),
+          6
+        )
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  private val jaccardOracle = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+2], ' ')
+                            for i in range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS sh, len(shingles) AS sz
+           FROM sh WHERE len(shingles) > 0),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter,
+             any_value(a.sz) AS sz1, any_value(b.sz) AS sz2
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(inter * 1.0 / (sz1 + sz2 - inter), 6) AS jaccard
+    FROM cand
+    WHERE round(inter * 1.0 / (sz1 + sz2 - inter), 6) >= 0.8
+  """
+
+  def defs: Seq[QueryDef] = Seq(
+    // Exact dedup: hash-groupBy on content digest, keep min doc_id.
+    QueryDef(
+      "q_dedup_exact",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.documents
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(
+            min(col("doc_id")).as("keeper"),
+            count(lit(1)).as("n_copies")
+          )
+      },
+      Some("""
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keeper, count(*) AS n_copies
+        FROM documents GROUP BY 1
+      """)
+    ),
+    // Exact n-gram Jaccard near-dup pairs (the planted duplicates sit
+    // at J >= 0.9; threshold 0.8 keeps the check non-trivial).
+    QueryDef(
+      "q_dedup_jaccard",
+      (s, dir) => jaccardPairs(tables(s, dir), 0.8),
+      Some(jaccardOracle)
+    ),
+    // MinHash + banded LSH with exact-Jaccard verification of the
+    // banding candidates. Probabilistic recall → rows-only check here;
+    // MinHashSpec asserts agreement with the exact pairs.
+    QueryDef(
+      "q_dedup_minhash_lsh",
+      (s, dir) => MinHashLsh.nearDuplicates(shingled(tables(s, dir)), 0.8),
+      None
+    ),
+    // SimHash candidates at Hamming distance <= 3. Rows-only + spec.
+    QueryDef(
+      "q_dedup_simhash",
+      (s, dir) => SimHash.candidates(tables(s, dir).documents, 3),
+      None
+    ),
+    // Embedding-cosine near-dup, label-blocked (exact within block).
+    QueryDef(
+      "q_dedup_embedding",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val e = t.embeddings.select(
+          col("vec_id"),
+          col("label"),
+          col("embedding").cast("array<double>").as("v")
+        )
+        val withNorm = e.withColumn(
+          "dot_self",
+          aggregate(
+            zip_with(col("v"), col("v"), (x, y) => x * y),
+            lit(0.0),
+            (acc, x) => acc + x
+          )
+        )
+        val a = withNorm.select(
+          col("label"),
+          col("vec_id").as("v1"),
+          col("v").as("va"),
+          col("dot_self").as("na")
+        )
+        val b = withNorm.select(
+          col("label"),
+          col("vec_id").as("v2"),
+          col("v").as("vb"),
+          col("dot_self").as("nb")
+        )
+        a.join(b, Seq("label"))
+          .filter(col("v1") < col("v2"))
+          .withColumn(
+            "cos",
+            round(
+              aggregate(
+                zip_with(col("va"), col("vb"), (x, y) => x * y),
+                lit(0.0),
+                (acc, x) => acc + x
+              ) / sqrt(col("na") * col("nb")),
+              6
+            )
+          )
+          .filter(col("cos") >= 0.35)
+          .select(col("label"), col("v1"), col("v2"), col("cos"))
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings)
+        SELECT a.label AS label, a.vec_id AS v1, b.vec_id AS v2,
+               round(list_inner_product(a.v, b.v) /
+                     sqrt(list_inner_product(a.v, a.v) *
+                          list_inner_product(b.v, b.v)), 6) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.v, b.v) /
+                    sqrt(list_inner_product(a.v, a.v) *
+                         list_inner_product(b.v, b.v)), 6) >= 0.35
+      """)
+    )
+  )
+}
+
+/** MinHash signatures + banded LSH, all as Catalyst expressions.
+  * 64 hash functions h_i(x) = (a_i * x + b_i) mod p over the 32-bit
+  * murmur3 of each shingle; 16 bands × 4 rows.
+  */
+object MinHashLsh {
+  private val P = 2147483647L // 2^31 - 1
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = NumHashes / Bands
+
+  /** Deterministic coefficient tables (fixed LCG, not Random — results
+    * must be stable across JVMs and rounds).
+    */
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue)
+  private val As: Seq[Long] = lcg(42L).map(x => (x % (P - 1)) + 1).take(NumHashes).toSeq
+  private val Bs: Seq[Long] = lcg(7L).map(_ % P).take(NumHashes).toSeq
+
+  /** Signature column: fold over the shingle array, maintaining the
+    * element-wise minimum of the 64 hash values. One projection, no
+    * shuffle, no explode.
+    */
+  def signature(shingles: Column): Column = {
+    val aLit = array(As.map(lit): _*)
+    val bLit = array(Bs.map(lit): _*)
+    val init = array_repeat(lit(Long.MaxValue), NumHashes)
+    aggregate(
+      shingles,
+      init,
+      (acc, sh) => {
+        val h = pmod(hash(sh).cast("long"), lit(P))
+        zip_with(
+          acc,
+          sequence(lit(0), lit(NumHashes - 1)),
+          (m, i) =>
+            least(m, pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1), lit(P)))
+        )
+      }
+    )
+  }
+
+  /** Candidate pairs from band buckets, verified with exact Jaccard on
+    * the original shingle sets.
+    *
+    * @param shingled (doc_id, shingles) with non-empty distinct shingles
+    */
+  def nearDuplicates(shingled: DataFrame, threshold: Double): DataFrame = {
+    val sig = shingled.select(
+      col("doc_id"),
+      col("shingles"),
+      signature(col("shingles")).as("sig")
+    )
+    // band key: (band index, hash of the 4 signature slots); bands are
+    // a Scala-level loop so the slice offsets are static literals.
+    val bandHashes = (0 until Bands).map(b =>
+      hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))
+    )
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket"))
+    )
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("d2"))
+    val cand = l
+      .join(r, Seq("band", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    // verify candidates with exact Jaccard
+    val sets = shingled.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("shingles", "sh1"), "d1")
+      .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("shingles", "sh2"), "d2")
+      .withColumn(
+        "jaccard",
+        round(
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))),
+          6
+        )
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+}
+
+/** 64-bit SimHash with band-blocked Hamming candidate generation. */
+object SimHash {
+  private val Bits = 64
+  private val HamBands = 4 // 4 × 16-bit bands: catches all pairs with dist <= 3
+
+  /** Bit masks 1L << i as literals (column-level shifts only accept
+    * static amounts).
+    */
+  private val Masks: Column =
+    array((0 until Bits).map(i => lit(1L << i)): _*)
+
+  /** Per-document 64-bit simhash of its token multiset: sum ±1 per bit
+    * weighted by token occurrences, take the sign bit. Expressed as a
+    * fold over tokens — single projection.
+    */
+  def signature(text: Column): Column = {
+    val words = split(text, " ")
+    val counts = aggregate(
+      words,
+      array_repeat(lit(0L), Bits),
+      (acc, w) => {
+        val h = xxhash64(w)
+        zip_with(
+          acc,
+          Masks,
+          (c, m) => c + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(-1L)
+        )
+      }
+    )
+    aggregate(
+      zip_with(counts, Masks, (c, m) => when(c > 0, m).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x)
+    )
+  }
+
+  /** Pairs agreeing on at least one 16-bit band, kept when the full
+    * 64-bit Hamming distance is <= maxDist.
+    */
+  def candidates(documents: DataFrame, maxDist: Int): DataFrame = {
+    val sig = documents.select(col("doc_id"), signature(col("text")).as("sig"))
+    val bandCols = (0 until HamBands).map(b =>
+      shiftright(col("sig"), b * (Bits / HamBands)).bitwiseAND(lit(0xffffL))
+    )
+    val banded = sig.select(
+      col("doc_id"),
+      col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))
+    )
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"), col("sig").as("sig1"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("d2"), col("sig").as("sig2"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("sig1"), col("sig2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig1").bitwiseXOR(col("sig2"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+}

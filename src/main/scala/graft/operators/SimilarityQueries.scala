@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  *  - Brute-force cosine top-k (oracle-checked): the exact baseline.
+  *    A small query set crossed with all candidates — the join is a
+  *    broadcast of the query side, so the candidate scan stays fully
+  *    parallel and nothing funnels through the driver; cost is
+  *    O(|Q|·N·d) spread across executors.
+  *  - LSH-bucketed variant (rows-only + SimilaritySpec recall check):
+  *    the scale path. Random-hyperplane signatures put near vectors in
+  *    the same bucket; the search join is then bucket-equi rather than
+  *    cross. At 100 TB this is the difference between a shuffled
+  *    cartesian and a hash join on a short key.
+  *
+  * Ranking determinism: rank on (round(cos, 6) DESC, vec_id) so both
+  * engines order identically even when cosines differ in the last ulp.
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** Sequential-fold dot product — same evaluation order as DuckDB's
+    * list_inner_product, so doubles match bit-for-bit.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / sqrt(normA * normB)
+
+  /** Exact top-k neighbors for each query vector (vec_id < nQueries). */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("v")
+    )
+    val withNorm = e.withColumn("n2", dot(col("v"), col("v")))
+    val q = withNorm
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+    val c = withNorm.select(
+      col("vec_id").as("cand_id"),
+      col("v").as("cv"),
+      col("n2").as("cn")
+    )
+    val scored = c
+      .join(broadcast(q), col("q_id") =!= col("cand_id"))
+      .withColumn(
+        "cos",
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+      )
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .select(col("q_id"), col("cand_id"), col("cos"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Multi-table random-hyperplane LSH: `tables` independent hash
+    * tables of `planes` deterministic ±1 hyperplanes each. A vector
+    * lands in one bucket per table; the search join is bucket-equi on
+    * (table, bucket) and candidates are deduped before exact rescoring
+    * — the classic recall fix that keeps the join selective at scale.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      nQueries: Int,
+      k: Int,
+      planes: Int,
+      dim: Int,
+      numTables: Int = 8
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("v")
+    )
+    // table t, hyperplane p, dim d coefficient: ±1 by a fixed hash
+    def planeCoeffs(t: Int): Seq[Column] = (0 until planes).map { p =>
+      array((0 until dim).map { d =>
+        val bit = ((t * 40503L + p) * 1315423911L + d * 2654435761L) >>> 7 & 1L
+        lit(if (bit == 1L) 1.0 else -1.0)
+      }: _*)
+    }
+    def bucket(t: Int): Column = concat(
+      planeCoeffs(t).map(pc => when(dot(col("v"), pc) >= 0, "1").otherwise("0")): _*
+    )
+    val withBuckets = e
+      .withColumn("n2", dot(col("v"), col("v")))
+      .select(
+        col("vec_id"),
+        col("v"),
+        col("n2"),
+        posexplode(array((0 until numTables).map(bucket): _*))
+          .as(Seq("tbl", "bucket"))
+      )
+    val q = withBuckets
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("q_id"),
+        col("v").as("qv"),
+        col("n2").as("qn"),
+        col("tbl"),
+        col("bucket")
+      )
+    val c = withBuckets.select(
+      col("vec_id").as("cand_id"),
+      col("v").as("cv"),
+      col("n2").as("cn"),
+      col("tbl"),
+      col("bucket")
+    )
+    val scored = c
+      .join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("qv"), col("qn"), col("cand_id"), col("cv"), col("cn"))
+      .dropDuplicates(Seq("q_id", "cand_id")) // pairs can collide in several tables
+      .withColumn(
+        "cos",
+        round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 6)
+      )
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .select(col("q_id"), col("cand_id"), col("cos"), row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_ann_brute_force",
+      (s, dir) => bruteForceTopK(tables(s, dir).embeddings, 10, 5),
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          list_inner_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[]) AS n2
+                   FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                 round(list_inner_product(q.v, c.v) / sqrt(q.n2 * c.n2), 6) AS cos
+          FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+        )
+        SELECT q_id, cand_id, cos, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, cand_id) AS INT) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+      """)
+    ),
+    QueryDef(
+      "q_ann_lsh",
+      (s, dir) => lshTopK(tables(s, dir).embeddings, 10, 5, 4, 64),
+      None
+    )
+  )
+}

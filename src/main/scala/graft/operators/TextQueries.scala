@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token statistics,
+  * quality scoring, marker-based language scoring, and document
+  * fingerprinting (rolling hash). All pure per-row expression trees —
+  * they run inside whole-stage codegen with no shuffle at all, which
+  * is exactly what a 100 TB filter pass needs (read → score → write,
+  * one stage).
+  */
+object TextQueries extends QueryModule {
+
+  private val Mod = 1000000007L
+
+  def defs: Seq[QueryDef] = Seq(
+    // Token counting: whitespace tokens + a regex token pass (the
+    // BPE-ish [a-z]+|[0-9]+ split) + distinct counts.
+    QueryDef(
+      "q_text_tokens",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = split(col("text"), " ")
+        t.documents.select(
+          col("doc_id"),
+          size(words).as("n_ws_tokens"),
+          size(array_distinct(words)).as("n_uniq_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+")).as("n_re_tokens"),
+          length(col("text")).as("n_chars_actual"),
+          (col("n_chars") === length(col("text"))).as("len_matches_meta")
+        )
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_re_tokens,
+               length(text) AS n_chars_actual,
+               n_chars = length(text) AS len_matches_meta
+        FROM documents
+      """)
+    ),
+    // Quality scoring: length/diversity/stopword features folded into
+    // one deterministic score, plus a keep/drop verdict.
+    QueryDef(
+      "q_text_quality",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = split(col("text"), " ")
+        val nWords = size(words).cast("double")
+        val nUniq = size(array_distinct(words)).cast("double")
+        val nStop = size(
+          filter(words, w => w.isin("the", "a", "of", "and"))
+        ).cast("double")
+        val lenScore = least(nWords / lit(50.0), lit(1.0))
+        val diversity = nUniq / nWords
+        val stopRatio = nStop / nWords
+        val score =
+          round(lit(0.4) * lenScore + lit(0.4) * diversity + lit(0.2) * stopRatio, 6)
+        t.documents.select(
+          col("doc_id"),
+          col("lang"),
+          round(diversity, 6).as("diversity"),
+          round(stopRatio, 6).as("stop_ratio"),
+          score.as("quality"),
+          (score >= 0.35).as("keep")
+        )
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nu,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and')) AS DOUBLE) AS ns
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               round(nu / nw, 6) AS diversity,
+               round(ns / nw, 6) AS stop_ratio,
+               round(0.4 * least(nw / 50.0, 1.0) + 0.4 * (nu / nw)
+                     + 0.2 * (ns / nw), 6) AS quality,
+               round(0.4 * least(nw / 50.0, 1.0) + 0.4 * (nu / nw)
+                     + 0.2 * (ns / nw), 6) >= 0.35 AS keep
+        FROM f
+      """)
+    ),
+    // Marker-word language scoring with a deterministic argmax. (The
+    // synthetic corpus has one shared vocabulary, so this validates
+    // the classifier plumbing, not linguistics.)
+    QueryDef(
+      "q_text_langid",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = split(col("text"), " ")
+        val n1 = size(filter(words, w => w.isin("join", "merge", "hash")))
+        val n2 = size(filter(words, w => w.isin("stream", "batch", "window")))
+        val n3 = size(filter(words, w => w.isin("sort", "filter", "scan")))
+        t.documents.select(
+          col("doc_id"),
+          n1.as("score_rel"),
+          n2.as("score_str"),
+          n3.as("score_phy"),
+          when(n1 >= n2 && n1 >= n3, "relational")
+            .when(n2 >= n3, "streaming")
+            .otherwise("physical")
+            .as("lang_pred")
+        )
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      w -> w = 'join' OR w = 'merge' OR w = 'hash')) AS INT) AS n1,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      w -> w = 'stream' OR w = 'batch' OR w = 'window')) AS INT) AS n2,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      w -> w = 'sort' OR w = 'filter' OR w = 'scan')) AS INT) AS n3
+          FROM documents
+        )
+        SELECT doc_id, n1 AS score_rel, n2 AS score_str, n3 AS score_phy,
+               CASE WHEN n1 >= n2 AND n1 >= n3 THEN 'relational'
+                    WHEN n2 >= n3 THEN 'streaming'
+                    ELSE 'physical' END AS lang_pred
+        FROM f
+      """)
+    ),
+    // Document fingerprint: order-sensitive polynomial rolling hash —
+    // word value = fold over chars (h*31 + codepoint) % M, doc value =
+    // fold over word values (h*131 + wv) % M. Pure BIGINT arithmetic,
+    // so the oracle matches exactly.
+    QueryDef(
+      "q_text_fingerprint",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = split(col("text"), " ")
+        val wordVals = transform(
+          words,
+          w =>
+            aggregate(
+              split(w, ""),
+              lit(7L),
+              (h, c) => pmod(h * 31 + ascii(c), lit(Mod))
+            )
+        )
+        t.documents.select(
+          col("doc_id"),
+          aggregate(
+            wordVals,
+            lit(0L),
+            (h, wv) => pmod(h * 131 + wv, lit(Mod))
+          ).as("fingerprint")
+        )
+      },
+      Some("""
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0, list_transform(string_split(text, ' '),
+                   w -> list_reduce(
+                          list_prepend(CAST(7 AS BIGINT),
+                            list_transform(string_split(w, ''),
+                                           c -> CAST(unicode(c) AS BIGINT))),
+                          (h, c) -> (h * 31 + c) % 1000000007))),
+                 (h, wv) -> (h * 131 + wv) % 1000000007) AS fingerprint
+        FROM documents
+      """)
+    ),
+    // Multimodal plumbing: opaque binary payload + typed metadata.
+    // The "decode" is a deterministic fake (see MediaPipeline for the
+    // real stub behind mapPartitions); the Spark-side schema, batch
+    // shape and feature extraction are real.
+    QueryDef(
+      "q_media_features",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val payload = col("text").cast("binary")
+        t.documents.select(
+          col("doc_id"),
+          octet_length(payload).as("n_bytes"),
+          md5(payload).as("digest"),
+          (ascii(substring(col("text"), 1, 1)) * 7 % 640).as("fake_width"),
+          (col("n_chars") * 13 % 480).as("fake_height")
+        )
+      },
+      Some("""
+        SELECT doc_id,
+               octet_length(text::BLOB) AS n_bytes,
+               md5(text) AS digest,
+               CAST(unicode(substring(text, 1, 1)) * 7 % 640 AS INT) AS fake_width,
+               n_chars * 13 % 480 AS fake_height
+        FROM documents
+      """)
+    )
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{DedupQueries, SimilarityQueries}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the probabilistic (rows-only) dedup/similarity operators:
+  * they must agree with their exact counterparts on the test corpus.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkTestSession.get
+
+  test("minhash LSH finds the same near-dup pairs as exact jaccard") {
+    val exact = SparkEntry
+      .queries("q_dedup_jaccard")(spark, dir)
+      .select("d1", "d2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = SparkEntry
+      .queries("q_dedup_minhash_lsh")(spark, dir)
+      .select("d1", "d2")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // LSH verifies candidates with exact jaccard → no false positives.
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // 16 bands × 4 rows at J>=0.8 → recall ≈ 99.9%; demand all pairs
+    // on this corpus (planted dups are J>=0.9 where recall ≈ 1-1e-6).
+    assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("simhash candidates are symmetric-free, low-hamming pairs") {
+    val rows = SparkEntry
+      .queries("q_dedup_simhash")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty, "expected some simhash near-dup candidates")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered d1 < d2")
+      assert(r.getInt(2) <= 3, "hamming distance must respect the cutoff")
+    }
+  }
+
+  test("LSH ANN results are a subset of brute-force with sane recall") {
+    val brute = SparkEntry
+      .queries("q_ann_brute_force")(spark, dir)
+      .select("q_id", "cand_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = SparkEntry
+      .queries("q_ann_lsh")(spark, dir)
+      .select("q_id", "cand_id", "rnk")
+      .collect()
+    assert(lsh.nonEmpty, "LSH should return neighbors for some queries")
+    // Bucketing restricts candidates: every returned neighbor must be
+    // ranked within its bucket, and overall recall vs brute force
+    // should be non-degenerate on random embeddings with 4 planes.
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (lshPairs & brute).size.toDouble / brute.size
+    assert(recall > 0.2, s"LSH recall degenerate: $recall")
+  }
+
+  test("exact dedup groups every document") {
+    val t = Engine.Tables(spark, dir)
+    val total = t.documents.count()
+    val grouped = SparkEntry.queries("q_dedup_exact")(spark, dir)
+    val sumCopies = grouped
+      .agg(org.apache.spark.sql.functions.sum("n_copies"))
+      .collect()(0)
+      .getLong(0)
+    assert(sumCopies == total)
+  }
+}
+
+/** One shared local session for all suites (ScalaTest runs suites in
+  * the same JVM; getOrCreate dedupes).
+  */
+object SparkTestSession {
+  lazy val get: SparkSession = {
+    val s = Engine.session("graft-test", "local[4]")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

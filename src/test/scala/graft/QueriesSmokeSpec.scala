@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must run and return a sane schema at
+  * sf0.001, and every oracle key must reference a registered query.
+  * (Value-level correctness is the driver's DuckDB gate + tools/
+  * check.py; this spec catches regressions cheaply in sbt test.)
+  */
+class QueriesSmokeSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.get
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are all registered queries") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracles without queries: $unknown")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      // count() exercises the full plan; most queries must be non-empty
+      val n = df.count()
+      assert(n >= 0)
+    }
+  }
+}
