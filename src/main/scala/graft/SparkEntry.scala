@@ -16,7 +16,8 @@ object SparkEntry {
     operators.ScalarFunctionQueries,
     operators.DedupQueries,
     operators.SimilarityQueries,
-    operators.TextQueries
+    operators.TextQueries,
+    operators.SkewQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

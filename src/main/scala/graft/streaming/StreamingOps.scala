@@ -1,0 +1,168 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** §2.9 streaming operators on Structured Streaming.
+  *
+  * Reference surface → Spark mapping (SURVEY.md §2.9):
+  *  - WatermarkStrategy.bounded-out-of-orderness → withWatermark
+  *  - tumble/hop/session window aggs (StreamExecWindowAggregate,
+  *    SliceAssigners) → window()/session_window() group-bys
+  *  - StreamExecDeduplicate keep-first → dropDuplicates within
+  *    watermark
+  *  - StreamExecIntervalJoin → stream-stream join with a watermarked
+  *    time-range condition
+  *  - StreamExecRank / AppendOnlyTopNFunction (streaming Top-N) and
+  *    KeyedProcessFunction + timers → flatMapGroupsWithState
+  *
+  * These combinators take unbounded Datasets (from readStream) and
+  * return transformed streaming Datasets; callers attach sinks. All
+  * state is keyed state in the state store — nothing driver-side — so
+  * a 1000-executor cluster partitions it by key exactly like any
+  * shuffle.
+  */
+object StreamingOps {
+
+  final case class Event(
+      event_id: Long,
+      ts: Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double
+  )
+
+  /** Tumbling-window counts with bounded-out-of-orderness watermark. */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      window_ : String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .select(
+        col("window.start").as("wstart"),
+        col("event_type"),
+        col("n"),
+        col("sv")
+      )
+
+  /** Session windows (30m gap) per user. */
+  def sessionized(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"),
+        col("n")
+      )
+
+  /** Keep-first deduplication by (user_id, event_type) with watermark-
+    * bounded state (reference StreamExecDeduplicate keep-first).
+    */
+  def dedupeKeepFirst(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Stream-stream interval join: purchases within `windowSpec` after a
+    * signup of the same user (reference TimeIntervalJoin semantics).
+    * Both sides watermarked so join state is evicted.
+    */
+  def intervalJoin(
+      signups: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val s = signups
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id").as("s_user"),
+        col("ts").as("s_ts"),
+        col("event_id").as("s_id")
+      )
+    val p = purchases
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        col("event_id").as("p_id"),
+        col("value").as("p_value")
+      )
+    s.join(
+      p,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES")
+    )
+  }
+
+  final case class TopNState(top: Seq[(Double, Long)])
+  final case class TopNOut(user_id: Long, rank: Int, event_id: Long, value: Double)
+
+  /** Streaming per-key Top-N with bounded keyed state — the
+    * AppendOnlyTopNFunction analog: each key keeps only its current
+    * top-N (value, event_id) pairs and emits the refreshed ranking
+    * when it changes.
+    */
+  def streamingTopN(
+      events: Dataset[Event],
+      n: Int
+  ): Dataset[TopNOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (user: Long, rows: Iterator[Event], state: GroupState[TopNState]) =>
+        val prev = state.getOption.map(_.top).getOrElse(Seq.empty)
+        val merged = (prev ++ rows.map(e => (e.value, e.event_id)))
+          .sortBy { case (v, id) => (-v, id) }
+          .take(n)
+        if (merged != prev) {
+          state.update(TopNState(merged))
+          merged.zipWithIndex.iterator.map { case ((v, id), i) =>
+            TopNOut(user, i + 1, id, v)
+          }
+        } else Iterator.empty
+      }
+  }
+
+  final case class IdleState(lastSeen: Long, count: Long)
+  final case class IdleAlert(user_id: Long, events_seen: Long)
+
+  /** Keyed process function with processing-time timer (reference
+    * KeyedProcessFunction + timers): emit an alert when a user goes
+    * idle for `idleMs`.
+    */
+  def idleAlerts(events: Dataset[Event], idleMs: Long): Dataset[IdleAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout
+      ) { (user: Long, rows: Iterator[Event], state: GroupState[IdleState]) =>
+        if (state.hasTimedOut) {
+          val st = state.get
+          state.remove()
+          Iterator.single(IdleAlert(user, st.count))
+        } else {
+          val prev = state.getOption.map(_.count).getOrElse(0L)
+          val n = prev + rows.size
+          state.update(IdleState(System.currentTimeMillis(), n))
+          state.setTimeoutDuration(idleMs)
+          Iterator.empty
+        }
+      }
+  }
+}

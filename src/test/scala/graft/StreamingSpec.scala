@@ -1,0 +1,122 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Harness tests for the streaming operators (the reference's operator
+  * harness layer — AbstractStreamOperatorTestHarness driving elements
+  * + watermarks): MemoryStream in, memory sink out, processAllAvailable
+  * for deterministic synchronous execution.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def ts(minutes: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minutes / 60}%02d:${minutes % 60}%02d:00")
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  test("streaming tumbling window aggregation") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0),
+      Event(4, ts(70), 2, "click", 4.0)
+    )
+    runToMemory(StreamingOps.windowedCounts(in.toDF(), "5 minutes", "1 hour"),
+      "win_out", "update")
+    val rows = spark.sql("SELECT event_type, n, sv FROM win_out ORDER BY wstart, event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("click", 2L, 3.0), ("click", 1L, 4.0), ("view", 1L, 3.0)))
+  }
+
+  test("streaming session windows close on gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 1: events at 0,10 (one session), then 60 (new session);
+    // append mode emits a session once the watermark passes its close,
+    // so a far-future sentinel event advances the watermark.
+    in.addData(
+      Event(1, ts(0), 1, "a", 0), Event(2, ts(10), 1, "a", 0),
+      Event(3, ts(60), 1, "a", 0)
+    )
+    val q = StreamingOps.sessionized(in.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      in.addData(Event(99, ts(600), 9, "a", 0)) // watermark → 590min
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT user_id, n FROM sess_out WHERE user_id = 1 ORDER BY sess_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 2L), (1L, 1L)))
+  }
+
+  test("streaming dedup keeps first per key") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 1, "click", 2.0), // dup key (1, click)
+      Event(3, ts(3), 2, "click", 3.0)
+    )
+    runToMemory(StreamingOps.dedupeKeepFirst(in.toDF()), "dedup_out")
+    val ids = spark.sql("SELECT event_id FROM dedup_out").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L))
+  }
+
+  test("stream-stream interval join pairs purchases after signups") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sig = MemoryStream[Event]
+    val pur = MemoryStream[Event]
+    sig.addData(Event(1, ts(0), 1, "signup", 0), Event(2, ts(0), 2, "signup", 0))
+    pur.addData(
+      Event(10, ts(10), 1, "purchase", 9.99), // within 30m → joins
+      Event(11, ts(50), 1, "purchase", 5.0),  // too late → no join
+      Event(12, ts(20), 3, "purchase", 1.0)   // no signup → no join
+    )
+    runToMemory(
+      StreamingOps.intervalJoin(sig.toDF(), pur.toDF()), "ij_out")
+    val rows = spark.sql("SELECT s_user, p_id, p_value FROM ij_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 10L, 9.99)))
+  }
+
+  test("streaming top-n keeps bounded per-key state and re-emits on change") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(Event(1, ts(1), 1, "a", 10.0), Event(2, ts(2), 1, "a", 30.0))
+    val out = StreamingOps.streamingTopN(in.toDS(), n = 2)
+    val q = out.writeStream.format("memory").queryName("topn_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.sql("SELECT rank, event_id FROM topn_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(first == Set((1, 2L), (2, 1L)))
+      in.addData(Event(3, ts(3), 1, "a", 20.0)) // displaces event 1 from rank 2
+      q.processAllAvailable()
+      val all = spark.sql("SELECT rank, event_id FROM topn_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      assert(all.count(_ == (2, 3L)) == 1, s"expected re-emit with event 3 at rank 2: ${all.toSeq}")
+    } finally q.stop()
+  }
+}
