@@ -1,6 +1,40 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline query set on SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line. Materialization is a noop-format write so
+  * the full plan executes (count() lets Spark prune columns and skip
+  * work; noop forces every operator and row).
+  */
 object Bench {
+
+  /** Representative heavy queries across operator families. The
+    * exact-quadratic baselines (q_dedup_jaccard, q_dedup_embedding,
+    * q_ann_brute_force's full cross) are correctness baselines, not
+    * scale paths, and stay out of the headline set — their LSH
+    * counterparts are in.
+    */
+  val headline: Seq[String] = Seq(
+    "q_agg_pricing_summary",
+    "q_agg_distinct",
+    "q_agg_window_tumble",
+    "q_agg_window_session",
+    "q_join_multiway",
+    "q_join_broadcast_dim",
+    "q_join_asof",
+    "q_join_interval",
+    "q_over_running_sum",
+    "q_topn_per_group",
+    "q_explode_unnest",
+    "q_text_fingerprint",
+    "q_text_quality",
+    "q_dedup_minhash_lsh",
+    "q_ann_lsh",
+    "q_skew_salted_agg",
+    "q_skew_join"
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,15 +45,28 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // untimed warmup: JIT + codegen + parquet footer caches
+    try SparkEntry
+      .queries("q_agg_pricing_summary")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

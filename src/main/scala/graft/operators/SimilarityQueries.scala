@@ -22,17 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries extends QueryModule {
 
-  /** Sequential-fold dot product — same evaluation order as DuckDB's
-    * list_inner_product, so doubles match bit-for-bit.
+  /** Sequential-order dot product — the native DotProduct expression
+    * (whole-stage codegen loop). Same left-to-right accumulation as
+    * DuckDB's list_inner_product, so doubles match bit-for-bit.
+    * Callers must have run SketchExpressions.register on the session.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.SketchExpressions.dot_product(a, b)
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / sqrt(normA * normB)
 
   /** Exact top-k neighbors for each query vector (vec_id < nQueries). */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    graft.functions.SketchExpressions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(
       col("vec_id"),
@@ -73,6 +76,7 @@ object SimilarityQueries extends QueryModule {
       dim: Int,
       numTables: Int = 8
   ): DataFrame = {
+    graft.functions.SketchExpressions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val e = emb.select(
       col("vec_id"),
