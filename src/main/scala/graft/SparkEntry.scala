@@ -17,7 +17,9 @@ object SparkEntry {
     operators.DedupQueries,
     operators.SimilarityQueries,
     operators.TextQueries,
-    operators.SkewQueries
+    operators.SkewQueries,
+    operators.MiscQueries,
+    operators.FormatQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

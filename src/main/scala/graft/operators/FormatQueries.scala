@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1 source/sink formats beyond parquet: CSV, JSON, ORC (reference
+  * flink-formats/{flink-csv,flink-json,flink-orc}). Each query writes
+  * a projection of a parquet table to the format under a scratch dir,
+  * reads it back with a declared schema (schemas are declared, not
+  * inferred — the reference's DDL model), and aggregates. The oracle
+  * aggregates the original table: the check passes iff the round-trip
+  * is lossless.
+  */
+object FormatQueries extends QueryModule {
+
+  private def scratch(fmt: String): String =
+    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_fmt/$fmt"
+
+  private val schema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)
+  ))
+
+  private def roundTrip(s: SparkSession, dir: String, fmt: String) = {
+    val src = tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val path = scratch(fmt)
+    src.write.mode("overwrite").format(fmt).save(path)
+    val back = fmt match {
+      case "csv" => s.read.schema(schema).option("header", "false").csv(path)
+      case "json" => s.read.schema(schema).json(path)
+      case other => s.read.format(other).load(path)
+    }
+    back
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key")
+      )
+  }
+
+  private val oracle = """
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 4) AS total,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+  """
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_source_csv_roundtrip", (s, dir) => roundTrip(s, dir, "csv"), Some(oracle)),
+    QueryDef("q_source_json_roundtrip", (s, dir) => roundTrip(s, dir, "json"), Some(oracle)),
+    QueryDef("q_source_orc_roundtrip", (s, dir) => roundTrip(s, dir, "orc"), Some(oracle))
+  )
+}
