@@ -19,7 +19,8 @@ object SparkEntry {
     operators.TextQueries,
     operators.SkewQueries,
     operators.MiscQueries,
-    operators.FormatQueries
+    operators.FormatQueries,
+    operators.CepQueries
   )
 
   private lazy val all: Seq[QueryDef] = {
