@@ -20,7 +20,8 @@ object SparkEntry {
     operators.SkewQueries,
     operators.MiscQueries,
     operators.FormatQueries,
-    operators.CepQueries
+    operators.CepQueries,
+    operators.ChangelogQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog (CDC) semantics — the reference models every stream as a
+  * changelog with row kinds +I/-U/+U/-D (reference flink-core/.../
+  * types/RowKind.java:25-55) and normalizes/upserts it downstream
+  * (StreamExecChangelogNormalize.java:61, StreamExecDropUpdateBefore,
+  * upsert sinks). Spark has no public row-kind, so the engine adopts
+  * an explicit `_change` column convention with the same four codes.
+  */
+object ChangelogOps {
+
+  val ChangeCol = "_change"
+  val Insert = "+I"
+  val UpdateBefore = "-U"
+  val UpdateAfter = "+U"
+  val Delete = "-D"
+
+  /** ChangelogNormalize: collapse a keyed changelog to current state —
+    * the latest (+I/+U) row per key wins; keys whose latest change is
+    * a delete disappear. `ordering` must be a unique per-key sequence
+    * (version, event time + id, ...).
+    */
+  def normalize(changelog: DataFrame, pk: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val w = Window
+      .partitionBy(pk.map(col): _*)
+      .orderBy(ordering.map(_.desc): _*)
+    changelog
+      .filter(col(ChangeCol) =!= UpdateBefore) // -U carries no new state
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(ChangeCol) =!= Delete)
+      .drop("__rn", ChangeCol)
+  }
+
+  /** DropUpdateBefore: sinks that key by pk don't need -U rows. */
+  def dropUpdateBefore(changelog: DataFrame): DataFrame =
+    changelog.filter(col(ChangeCol) =!= UpdateBefore)
+
+  /** Upsert sink for a streaming changelog: per micro-batch, merge the
+    * batch into the keyed parquet target (read current → union batch →
+    * normalize → rewrite). foreachBatch is the documented Spark
+    * pattern for MERGE-style sinks; on a lakehouse target the body
+    * becomes a real MERGE INTO.
+    */
+  def upsertSink(
+      changelog: DataFrame,
+      path: String,
+      pk: Seq[String],
+      ordering: Seq[String]
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changelog.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val existing =
+        try {
+          val cur = spark.read.parquet(path)
+          // re-tag current state as inserts older than any batch row
+          cur.withColumn(ChangeCol, lit(Insert))
+        } catch { case _: Throwable => null }
+      val all =
+        if (existing == null) batch
+        else existing.unionByName(batch, allowMissingColumns = true)
+      val merged = normalize(all, pk, ordering.map(col))
+      merged.write.mode("overwrite").parquet(s"$path.tmp")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration
+      )
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path.tmp"), new org.apache.hadoop.fs.Path(path))
+      ()
+    }
+}
