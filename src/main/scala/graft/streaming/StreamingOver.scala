@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming OVER aggregates and the remaining §2.9 stream utilities.
+  *
+  * Spark has no streaming WindowExec (reference
+  * StreamExecOverAggregate.java:82, ProcTimeUnboundedPrecedingFunction
+  * / RowTimeRowsBoundedPrecedingFunction), so per-key ordered
+  * aggregation state lives in flatMapGroupsWithState:
+  *  - [[runningAggregate]]: UNBOUNDED PRECEDING sum/count per key —
+  *    state is O(1) per key (sum, count).
+  *  - [[boundedPrecedingAggregate]]: ROWS BETWEEN n-1 PRECEDING AND
+  *    CURRENT ROW — state is the last n values per key (bounded ring).
+  * Events are processed in event-time order within each batch;
+  * cross-batch order is arrival order (watermark-sort upstream for
+  * strict event-time).
+  */
+object StreamingOver {
+
+  final case class RunState(sum: Double, n: Long)
+  final case class RunOut(user_id: Long, event_id: Long, run_sum: Double, run_n: Long)
+
+  def runningAggregate(events: Dataset[Event]): Dataset[RunOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Event], state: GroupState[RunState]) =>
+          var st = state.getOption.getOrElse(RunState(0.0, 0L))
+          val out = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .map { e =>
+              st = RunState(st.sum + e.value, st.n + 1)
+              RunOut(key, e.event_id, st.sum, st.n)
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  final case class RingState(values: Seq[Double])
+  final case class BoundedOut(user_id: Long, event_id: Long, win_sum: Double, win_n: Int)
+
+  def boundedPrecedingAggregate(events: Dataset[Event], n: Int): Dataset[BoundedOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Event], state: GroupState[RingState]) =>
+          var ring = state.getOption.map(_.values).getOrElse(Seq.empty)
+          val out = rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .map { e =>
+              ring = (ring :+ e.value).takeRight(n)
+              BoundedOut(key, e.event_id, ring.sum, ring.size)
+            }
+          state.update(RingState(ring))
+          out.iterator
+      }
+  }
+
+  /** Late-data side output (reference WindowedStream.sideOutputLateData
+    * — Structured Streaming silently drops late rows, so the capture
+    * is an explicit split): rows older than the high-watermark minus
+    * the delay go to the late channel, the rest to the main channel.
+    * Batch-computable per micro-batch inside foreachBatch.
+    */
+  def splitLate(df: DataFrame, tsCol: String, delay: String): (DataFrame, DataFrame) = {
+    val cutoff = max(col(tsCol)).over() - expr(s"INTERVAL $delay")
+    val tagged = df.withColumn("__late", col(tsCol) < cutoff)
+    (tagged.filter(!col("__late")).drop("__late"),
+      tagged.filter(col("__late")).drop("__late"))
+  }
+
+  /** Async I/O analog (reference AsyncDataStream): per-partition
+    * concurrent lookups with bounded in-flight futures; results keep
+    * partition order. The `lookup` callback runs on the executor.
+    */
+  def asyncMapPartitions[T, U](
+      ds: Dataset[T],
+      parallelism: Int
+  )(lookup: T => U)(implicit enc: org.apache.spark.sql.Encoder[U]): Dataset[U] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    ds.mapPartitions { rows =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val out = rows
+        .grouped(parallelism * 4)
+        .flatMap { batch =>
+          val futs = batch.map(t => Future(lookup(t)))
+          futs.map(f => Await.result(f, Duration.Inf))
+        }
+      new Iterator[U] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) pool.shutdown()
+          h
+        }
+        def next(): U = out.next()
+      }
+    }
+  }
+}

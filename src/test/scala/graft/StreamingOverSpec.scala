@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.{StreamingOps, StreamingOver}
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamingOverSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:${m}%02d:00")
+
+  test("streaming running OVER aggregate carries state across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOver.runningAggregate(in.toDS())
+      .writeStream.format("memory").queryName("run_out").outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 1, "a", 10.0), Event(2, ts(1), 1, "a", 5.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(2), 1, "a", 1.0)) // continues from sum=15
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, run_sum, run_n FROM run_out ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((1L, 10.0, 1L), (2L, 15.0, 2L), (3L, 16.0, 3L)))
+    } finally q.stop()
+  }
+
+  test("bounded ROWS-preceding OVER keeps only n values of state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOver.boundedPrecedingAggregate(in.toDS(), n = 2)
+      .writeStream.format("memory").queryName("ring_out").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "a", 10.0),
+        Event(2, ts(1), 1, "a", 5.0),
+        Event(3, ts(2), 1, "a", 1.0)
+      )
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, win_sum, win_n FROM ring_out ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      // window of 2: [10], [10,5], [5,1]
+      assert(rows.toSeq == Seq((1L, 10.0, 1), (2L, 15.0, 2), (3L, 6.0, 2)))
+    } finally q.stop()
+  }
+
+  test("late-data split separates rows behind the watermark delay") {
+    val t = Engine.Tables(spark, "/root/testdata/sf0.001")
+    val (onTime, late) = StreamingOver.splitLate(t.events, "ts", "1 DAY")
+    val total = t.events.count()
+    assert(onTime.count() + late.count() == total)
+    assert(late.count() > 0 && onTime.count() > 0)
+    // every late row is older than max(ts) - 1d; on-time rows are not
+    val maxTs = t.events.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val dayMs = 24L * 3600 * 1000
+    val lateMax = late.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val onTimeMin = onTime.agg(min(col("ts"))).collect()(0).getTimestamp(0).getTime
+    assert(lateMax < maxTs - dayMs && onTimeMin >= maxTs - dayMs)
+  }
+
+  test("async mapPartitions preserves order and completes all lookups") {
+    import spark.implicits._
+    val ds = spark.range(100).as[Long]
+    val out = StreamingOver
+      .asyncMapPartitions(ds, parallelism = 4)(x => x * 2)
+      .collect()
+    assert(out.sorted.toSeq == (0L until 100L).map(_ * 2))
+  }
+}
