@@ -21,7 +21,8 @@ object SparkEntry {
     operators.MiscQueries,
     operators.FormatQueries,
     operators.CepQueries,
-    operators.ChangelogQueries
+    operators.ChangelogQueries,
+    operators.FlagshipQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

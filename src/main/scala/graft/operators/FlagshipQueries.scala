@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.functions.GapFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped flagship queries (the reference validates against the
+  * TPC-H/TPC-DS harnesses — flink-end-to-end-tests/flink-tpch-test,
+  * TpcdsTestProgram.java) plus the gap scalar functions and grouping
+  * metadata functions.
+  */
+object FlagshipQueries extends QueryModule {
+
+  def defs: Seq[QueryDef] = Seq(
+    // Q3 analog — shipping priority: join, filtered agg, top-10 by
+    // revenue.
+    QueryDef(
+      "q_flagship_shipping_priority",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment") === "BUILDING")
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+              .as("revenue")
+          )
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """)
+    ),
+    // Q10 analog — returned-item losses per customer, top 20.
+    QueryDef(
+      "q_flagship_returned_items",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .filter(col("l_returnflag") === "R")
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+              .as("lost_revenue"),
+            count(lit(1)).as("n_items")
+          )
+          .orderBy(col("lost_revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+      """)
+    ),
+    // Q18 analog — large-volume orders: agg subquery in a semi-join.
+    QueryDef(
+      "q_flagship_big_orders",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val big = t.lineitem
+          .groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_quantity")), 4).as("total_qty"))
+          .filter(col("total_qty") > 100)
+        t.orders
+          .join(big, col("o_orderkey") === big("l_orderkey"))
+          .select(
+            col("o_orderkey"),
+            col("o_totalprice"),
+            col("total_qty")
+          )
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice, total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 4) > 100) big
+          ON o_orderkey = big.l_orderkey
+      """)
+    ),
+    // Gap scalar functions (the reference-only scalars, SURVEY §7.1):
+    // IS_DECIMAL / IS_DIGIT / IS_ALPHA / SPLIT_INDEX /
+    // TEMPORAL_OVERLAPS.
+    QueryDef(
+      "q_fn_gap_functions",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val k = get_json_object(col("props"), "$.k")
+        t.events.select(
+          col("event_id"),
+          GapFunctions.is_decimal(k).as("k_is_decimal"),
+          GapFunctions.is_digit(k).as("k_is_digit"),
+          GapFunctions.is_alpha(col("event_type")).as("type_is_alpha"),
+          GapFunctions.split_index(col("event_type"), "i", 0).as("before_i"),
+          GapFunctions
+            .temporal_overlaps(
+              col("ts"),
+              col("ts") + expr("INTERVAL 1 HOUR"),
+              lit("2024-02-01 00:00:00").cast("timestamp"),
+              lit("2024-02-02 00:00:00").cast("timestamp")
+            )
+            .as("in_feb1")
+        )
+      },
+      Some("""
+        SELECT event_id,
+               regexp_matches(json_extract_string(props, '$.k'),
+                 '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$') AS k_is_decimal,
+               regexp_matches(json_extract_string(props, '$.k'), '^[0-9]+$') AS k_is_digit,
+               regexp_matches(event_type, '^[A-Za-z]+$') AS type_is_alpha,
+               CASE WHEN len(string_split(event_type, 'i')) > 0
+                    THEN string_split(event_type, 'i')[1] END AS before_i,
+               (ts < TIMESTAMP '2024-02-02 00:00:00'
+                AND TIMESTAMP '2024-02-01 00:00:00' < ts + INTERVAL 1 HOUR) AS in_feb1
+        FROM events
+      """)
+    ),
+    // GROUPING / GROUPING_ID metadata over rollup (reference
+    // FlinkSqlOperatorTable GROUP_ID/GROUPING/GROUPING_ID).
+    QueryDef(
+      "q_agg_grouping_id",
+      (s, dir) => {
+        tables(s, dir).orders.createOrReplaceTempView("orders_gid")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS prio,
+                 CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                 CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+                 count(*) AS n
+          FROM orders_gid
+          GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """)
+      },
+      Some("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS prio,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               count(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      """)
+    ),
+    // hex/bin/format encodings.
+    QueryDef(
+      "q_fn_encodings",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.part.select(
+          col("p_partkey"),
+          hex(col("p_partkey")).as("key_hex"),
+          bin(col("p_partkey")).as("key_bin"),
+          format_string("part-%05d", col("p_partkey")).as("padded"),
+          base64(col("p_brand").cast("binary")).as("brand_b64")
+        )
+      },
+      Some("""
+        SELECT p_partkey,
+               hex(p_partkey) AS key_hex,
+               bin(p_partkey) AS key_bin,
+               format('part-{:05d}', p_partkey) AS padded,
+               to_base64(p_brand::BLOB) AS brand_b64
+        FROM part
+      """)
+    )
+  )
+}
