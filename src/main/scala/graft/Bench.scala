@@ -32,7 +32,14 @@ object Bench {
     "q_dedup_minhash_lsh",
     "q_ann_lsh",
     "q_skew_salted_agg",
-    "q_skew_join"
+    "q_skew_join",
+    "q_flagship_shipping_priority",
+    "q_flagship_returned_items",
+    "q_flagship_big_orders",
+    "q_agg_window_session_dynamic",
+    "q_cep_double_error",
+    "q_changelog_normalize",
+    "q_lookup_join"
   )
 
   def main(args: Array[String]): Unit = {

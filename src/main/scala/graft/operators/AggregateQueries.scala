@@ -262,6 +262,51 @@ object AggregateQueries extends QueryModule {
         GROUP BY 1
       """)
     ),
+    // Dynamic session gap (reference DynamicEventTimeSessionWindows):
+    // error events extend the session only 10 minutes, others 30.
+    // Spark merges overlapping [ts, ts+gap(event)) intervals per key;
+    // the oracle is gaps-and-islands on the running max of interval
+    // ends.
+    QueryDef(
+      "q_agg_window_session_dynamic",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val gap = when(col("event_type") === "error", "10 minutes")
+          .otherwise("30 minutes")
+        t.events
+          .groupBy(session_window(col("ts"), gap), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            unix_timestamp(col("session_window.start")).as("sess_start"),
+            col("user_id"),
+            col("n")
+          )
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 ts + CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+                           ELSE INTERVAL 30 MINUTE END AS iend
+          FROM events
+        ), marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN max(iend) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                        OR ts >= max(iend) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS brk
+          FROM g
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+               user_id, count(*) AS n
+        FROM sess GROUP BY user_id, sid
+      """)
+    ),
     // Session window (30m gap) per user — reference session window
     // assigner (EventTimeSessionWindows.java); oracle is the classic
     // gaps-and-islands rewrite. New session starts when the gap to the

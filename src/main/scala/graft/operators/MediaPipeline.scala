@@ -75,4 +75,48 @@ object MediaPipeline {
       }
     }
   }
+
+  /** Resized media (STUB: a real impl re-encodes the payload; the fake
+    * clamps the stub dimensions and keeps the payload opaque). The
+    * Spark-side shape — per-partition transform preserving the binary
+    * column — is the real thing.
+    */
+  final case class ResizedMedia(
+      media_id: Long,
+      payload: Array[Byte],
+      width: Int,
+      height: Int
+  )
+
+  def resize(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _, _) = StubDecoder.decode(r.payload)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        ResizedMedia(
+          r.media_id,
+          r.payload, // STUB: a real resize would re-encode
+          math.max(1, (w * scale).toInt),
+          math.max(1, (h * scale).toInt)
+        )
+      }
+    }
+  }
+
+  /** Frame sampling for video-like payloads (STUB decode): emit every
+    * k-th fixed-size chunk of the payload as a "frame" row — one input
+    * row fans out to many, the shape a video pipeline needs.
+    */
+  final case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
+
+  def sampleFrames(media: Dataset[MediaRecord], chunkSize: Int, everyK: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload
+        .grouped(chunkSize)
+        .zipWithIndex
+        .collect { case (chunk, i) if i % everyK == 0 => Frame(r.media_id, i, chunk) }
+    }
+  }
 }
