@@ -33,8 +33,14 @@ object Engine {
     configure(b).getOrCreate()
   }
 
+  /** Catalyst extensions: the native as-of join rule + strategy. */
+  def extensions: SparkSession.Builder => SparkSession.Builder =
+    _.withExtensions(new graft.plans.AsOfJoinNative.GraftExtensions)
+
   /** Apply engine configs to any builder (used by Verify/Bench too). */
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+  def configure(b0: SparkSession.Builder): SparkSession.Builder = {
+    val b = extensions(b0)
+    b
     // Adaptive execution: runtime re-planning is our analog of the
     // reference's runtime skew mitigation loop.
     .config("spark.sql.adaptive.enabled", "true")
@@ -49,6 +55,7 @@ object Engine {
     // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
     // natively; read the raw int64 nanos and convert in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
 
   /** Lazy handles to the driver-generated test tables in `dir`.
     * Each is a plain parquet scan — Catalyst pushes filters/projections

@@ -284,6 +284,46 @@ object JoinQueries extends QueryModule {
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
           ON p.user_id = s.user_id AND p.ts >= s.ts
       """)
+    ),
+    // Same as-of semantics through the NATIVE custom operator
+    // (LogicalPlan + Rule + Strategy + sort-merge SparkPlan injected
+    // via SparkSessionExtensions — graft.plans.AsOfJoinNative).
+    QueryDef(
+      "q_join_asof_native",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val purchases = t.events
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val signups = t.events
+          .filter(col("event_type") === "signup")
+          .select(
+            col("user_id").as("s_user"),
+            col("ts").as("s_ts"),
+            col("value").as("signup_value")
+          )
+        graft.plans.AsOfJoinNative
+          .asof(
+            purchases,
+            signups,
+            col("user_id"),
+            col("s_user"),
+            col("ts"),
+            col("s_ts")
+          )
+          .select(
+            col("event_id"),
+            col("value").as("p_value"),
+            col("signup_value")
+          )
+      },
+      Some("""
+        SELECT p.event_id AS event_id, p.value AS p_value,
+               s.value AS signup_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+      """)
     )
   )
 }
