@@ -22,7 +22,8 @@ object SparkEntry {
     operators.FormatQueries,
     operators.CepQueries,
     operators.ChangelogQueries,
-    operators.FlagshipQueries
+    operators.FlagshipQueries,
+    operators.CollectionQueries
   )
 
   private lazy val all: Seq[QueryDef] = {
