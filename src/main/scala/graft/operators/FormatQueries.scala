@@ -51,9 +51,32 @@ object FormatQueries extends QueryModule {
     FROM orders GROUP BY o_orderstatus
   """
 
+  /** JDBC source/sink (reference flink-connector-jdbc) against the
+    * embedded Derby that ships with Spark: write over JDBC, read back
+    * over JDBC, aggregate.
+    */
+  private def jdbcRoundTrip(s: SparkSession, dir: String) = {
+    val url = s"jdbc:derby:${scratch("derby")};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").jdbc(url, "orders_jdbc", props)
+    s.read
+      .jdbc(url, "orders_jdbc", props)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key")
+      )
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_source_csv_roundtrip", (s, dir) => roundTrip(s, dir, "csv"), Some(oracle)),
     QueryDef("q_source_json_roundtrip", (s, dir) => roundTrip(s, dir, "json"), Some(oracle)),
-    QueryDef("q_source_orc_roundtrip", (s, dir) => roundTrip(s, dir, "orc"), Some(oracle))
+    QueryDef("q_source_orc_roundtrip", (s, dir) => roundTrip(s, dir, "orc"), Some(oracle)),
+    QueryDef("q_source_jdbc_roundtrip", (s, dir) => jdbcRoundTrip(s, dir), Some(oracle))
   )
 }

@@ -166,6 +166,56 @@ object TextQueries extends QueryModule {
         FROM documents
       """)
     ),
+    // TF-IDF: term frequency × inverse document frequency, top term
+    // per document — the classic relevance-scoring pass (explode →
+    // two aggregations → broadcast-joined idf → ranked).
+    QueryDef(
+      "q_text_tfidf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = tables(s, dir)
+        val docs = t.documents
+        val words = docs.select(
+          col("doc_id"),
+          explode(split(col("text"), " ")).as("word")
+        )
+        val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        val nDocs = docs.count() // scalar; tiny driver-side count
+        val df_ = words
+          .select(col("doc_id"), col("word"))
+          .distinct()
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("df"))
+          .withColumn("idf", log(lit(nDocs.toDouble) / col("df")))
+        val scored = tf
+          .join(broadcast(df_), "word")
+          .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+        val w = Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("word"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("word").as("top_term"), col("tfidf"))
+      },
+      Some("""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ), tf AS (
+          SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2
+        ), idf AS (
+          SELECT word, ln((SELECT count(*) FROM documents) * 1.0 / count(*)) AS idf
+          FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word
+        ), scored AS (
+          SELECT tf.doc_id, tf.word, round(tf.tf * idf.idf, 6) AS tfidf
+          FROM tf JOIN idf USING (word)
+        )
+        SELECT doc_id, word AS top_term, tfidf
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, word) AS rn FROM scored)
+        WHERE rn = 1
+      """)
+    ),
     // Multimodal plumbing: opaque binary payload + typed metadata.
     // The "decode" is a deterministic fake (see MediaPipeline for the
     // real stub behind mapPartitions); the Spark-side schema, batch

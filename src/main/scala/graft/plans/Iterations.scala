@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch iteration (reference DataStream.iterate / IterativeStream —
+  * SURVEY.md scopes streaming iterations out and maps batch iteration
+  * to a driver loop). The loop body is fully distributed; the driver
+  * only checks convergence counts. localCheckpoint every iteration
+  * truncates lineage so plans don't grow exponentially — the standard
+  * Spark iterative-algorithm pattern.
+  */
+object Iterations {
+
+  /** Connected components by min-label propagation over an undirected
+    * edge list (`src`, `dst` columns). Returns (vertex, component)
+    * where component = the minimum vertex id reachable.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bidir = edges
+      .select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    val vertices = bidir.select(col("src").as("vertex")).distinct()
+    var labels = vertices
+      .withColumn("component", col("vertex"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each vertex adopts min(own component, neighbors' components)
+      val fromNeighbors = bidir
+        .join(labels, bidir("dst") === labels("vertex"))
+        .select(bidir("src").as("vertex"), col("component"))
+      val next = labels
+        .select(col("vertex"), col("component"))
+        .union(fromNeighbors)
+        .groupBy(col("vertex"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint() // truncate lineage every iteration
+      val changed = next
+        .join(
+          labels.withColumnRenamed("component", "prev"),
+          "vertex"
+        )
+        .filter(col("component") =!= col("prev"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    bidir.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.plans.Iterations
+import org.scalatest.funsuite.AnyFunSuite
+
+class IterationsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  test("connected components converge to min labels") {
+    import spark.implicits._
+    // two chains and one isolated pair:
+    //   1-2-3-4 (component 1), 10-11 (component 10), 20-21-22 (component 20)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (21L, 20L), (21L, 22L)
+    ).toDF("src", "dst")
+    val comps = Iterations
+      .connectedComponents(edges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(comps == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L
+    ))
+  }
+
+  test("long chain needs several iterations and still converges") {
+    import spark.implicits._
+    val n = 30
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val comps = Iterations.connectedComponents(edges, maxIter = 50).collect()
+    assert(comps.forall(_.getLong(1) == 1L))
+    assert(comps.length == n)
+  }
+}
