@@ -155,6 +155,51 @@ object AggregateQueries extends QueryModule {
         FROM events GROUP BY user_id
       """)
     ),
+    // Exact percentiles (linear interpolation — Spark percentile() and
+    // DuckDB quantile_cont share the definition) + median.
+    QueryDef(
+      "q_agg_percentiles",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.events
+          .groupBy(col("event_type"))
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.95)"), 4).as("p95"),
+            round(expr("percentile(value, array(0.25, 0.75))[0]"), 4).as("p25"),
+            round(median(col("value")), 4).as("med")
+          )
+      },
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95,
+               round(quantile_cont(value, 0.25), 4) AS p25,
+               round(median(value), 4) AS med
+        FROM events GROUP BY event_type
+      """)
+    ),
+    // Boolean aggregates.
+    QueryDef(
+      "q_agg_boolean",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.events
+          .groupBy(col("user_id"))
+          .agg(
+            bool_and(col("value") > 0).as("all_positive"),
+            bool_or(col("event_type") === "error").as("any_error"),
+            count_if(col("value") > 150).as("n_big")
+          )
+      },
+      Some("""
+        SELECT user_id,
+               bool_and(value > 0) AS all_positive,
+               bool_or(event_type = 'error') AS any_error,
+               count_if(value > 150) AS n_big
+        FROM events GROUP BY user_id
+      """)
+    ),
     // GROUPING SETS via the SQL surface (Catalyst Expand node —
     // reference StreamExecExpand.java:38).
     QueryDef(

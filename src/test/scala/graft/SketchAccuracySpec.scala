@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximate aggregates (HLL count-distinct, approximate quantiles)
+  * have no exact oracle by construction — these specs bound their
+  * error against the exact answers instead.
+  */
+class SketchAccuracySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  test("approx_count_distinct within 5% of exact") {
+    val t = Engine.Tables(spark, "/root/testdata/sf0.01")
+    val row = t.lineitem
+      .agg(
+        countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx")
+      )
+      .collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("approx_percentile within 2% of exact percentile") {
+    val t = Engine.Tables(spark, "/root/testdata/sf0.01")
+    val row = t.events
+      .agg(
+        expr("percentile(value, 0.9)").as("exact"),
+        percentile_approx(col("value"), lit(0.9), lit(5000)).as("approx")
+      )
+      .collect()(0)
+    val exact = row.getDouble(0)
+    val approx = row.getDouble(1)
+    assert(math.abs(approx - exact) / math.max(1.0, exact) < 0.02,
+      s"approx=$approx exact=$exact")
+  }
+}
