@@ -271,6 +271,67 @@ object ScalarFunctionQueries extends QueryModule {
         FROM documents
       """)
     ),
+    // Null semantics: null-safe equality (<=> / IS NOT DISTINCT FROM),
+    // null propagation through comparisons, nvl2-style branching.
+    QueryDef(
+      "q_fn_null_semantics",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val maybeNull = nullif(col("event_type"), lit("click"))
+        t.events.select(
+          col("event_id"),
+          maybeNull.eqNullSafe(lit("view")).as("nullsafe_eq_view"),
+          maybeNull.eqNullSafe(nullif(lit("x"), lit("x"))).as("nullsafe_eq_null"),
+          (maybeNull === "view").isNull.as("plain_eq_is_null"),
+          coalesce(maybeNull, lit("was_click")).as("filled"),
+          when(maybeNull.isNull, "nullcase").otherwise(maybeNull).as("branched")
+        )
+      },
+      Some("""
+        SELECT event_id,
+               nullif(event_type, 'click') IS NOT DISTINCT FROM 'view' AS nullsafe_eq_view,
+               nullif(event_type, 'click') IS NOT DISTINCT FROM NULL AS nullsafe_eq_null,
+               (nullif(event_type, 'click') = 'view') IS NULL AS plain_eq_is_null,
+               coalesce(nullif(event_type, 'click'), 'was_click') AS filled,
+               CASE WHEN nullif(event_type, 'click') IS NULL THEN 'nullcase'
+                    ELSE nullif(event_type, 'click') END AS branched
+        FROM events
+      """)
+    ),
+    // Array construction helpers: sequence, array_repeat, flatten,
+    // arrays_zip round-tripped to scalars.
+    QueryDef(
+      "q_fn_array_construct",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.part.select(
+          col("p_partkey"),
+          size(sequence(lit(1), col("p_size"))).as("seq_len"),
+          element_at(sequence(lit(0), col("p_size"), lit(2)), -1).as("last_even"),
+          size(array_repeat(col("p_brand"), 3)).as("rep_len"),
+          size(flatten(array(split(col("p_type"), " "), array(col("p_brand")))))
+            .as("flat_len"),
+          aggregate(
+            zip_with(
+              sequence(lit(1), lit(4)),
+              sequence(lit(10), lit(40), lit(10)),
+              (a, b) => a * b
+            ),
+            lit(0L),
+            (acc, x) => acc + x
+          ).as("zip_dot")
+        )
+      },
+      Some("""
+        SELECT p_partkey,
+               CAST(p_size AS INT) AS seq_len,
+               CAST((p_size // 2) * 2 AS BIGINT) AS last_even,
+               3 AS rep_len,
+               CAST(len(string_split(p_type, ' ')) + 1 AS INT) AS flat_len,
+               CAST(1*10 + 2*20 + 3*30 + 4*40 AS BIGINT) AS zip_dot
+        FROM part
+      """)
+    ),
     QueryDef(
       "q_fn_json",
       (s, dir) => {

@@ -8,8 +8,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (reference: flink-libraries/flink-cep/.../pattern/Pattern.java:
   * 128-477 NFA engine, SQL node StreamExecMatch.java:90). Scope per
   * SURVEY.md §2.9: sequence patterns over a keyed stream with strict
-  * (`next`) or relaxed (`followedBy`) contiguity and a `within`
-  * time bound. No quantifier loops/greedy modes yet.
+  * (`next`) or relaxed (`followedBy`) contiguity, a `within` time
+  * bound, and fixed `times(n)` quantifiers. No optional/greedy
+  * looping modes yet.
   *
   * The NFA is a pure function over a key's time-ordered events, so one
   * implementation serves both modes:
@@ -22,11 +23,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Cep {
 
-  final case class Step(name: String, predicate: Event => Boolean)
+  /** One pattern step; `times` (Flink Pattern.times quantifier) asks
+    * for that many consecutive occurrences of the predicate.
+    */
+  final case class Step(name: String, predicate: Event => Boolean, times: Int = 1) {
+    require(times >= 1)
+  }
 
   /** A sequence pattern: steps matched in order; `strict` demands the
     * very next event match the next step (Flink `next`), otherwise
     * non-matching events in between are skipped (`followedBy`).
+    * Quantified steps are expanded to `times` consecutive copies.
     */
   final case class SequencePattern(
       steps: Seq[Step],
@@ -34,6 +41,9 @@ object Cep {
       strict: Boolean
   ) {
     require(steps.nonEmpty)
+    /** steps with quantifiers unrolled — what the NFA actually runs */
+    val expanded: Seq[Step] =
+      steps.flatMap(s => Seq.fill(s.times)(s.copy(times = 1)))
   }
 
   final case class PartialMatch(stepIdx: Int, startTs: Long, eventIds: Seq[Long])
@@ -57,9 +67,9 @@ object Cep {
       val alive = partials.filter(p => ts - p.startTs <= pattern.withinMs)
       val extended = Seq.newBuilder[PartialMatch]
       alive.foreach { p =>
-        if (pattern.steps(p.stepIdx).predicate(e)) {
+        if (pattern.expanded(p.stepIdx).predicate(e)) {
           val np = PartialMatch(p.stepIdx + 1, p.startTs, p.eventIds :+ e.event_id)
-          if (np.stepIdx == pattern.steps.size)
+          if (np.stepIdx == pattern.expanded.size)
             out += Match(key, np.startTs, ts, np.eventIds)
           else extended += np
         } else if (!pattern.strict) {
@@ -67,8 +77,8 @@ object Cep {
         } // strict: partial dies on a non-matching event
       }
       // can this event start a new partial?
-      if (pattern.steps.head.predicate(e)) {
-        if (pattern.steps.size == 1)
+      if (pattern.expanded.head.predicate(e)) {
+        if (pattern.expanded.size == 1)
           out += Match(key, ts, ts, Seq(e.event_id))
         else extended += PartialMatch(1, ts, Seq(e.event_id))
       }

@@ -36,6 +36,23 @@ class CepMediaSpec extends AnyFunSuite {
     assert(partials.nonEmpty) // e6 starts a fresh partial
   }
 
+  test("NFA times(n) quantifier expands to consecutive occurrences") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    val p = Cep.SequencePattern(
+      Seq(Cep.Step("e", _.event_type == "error", times = 3)),
+      withinMs = 60L * 60 * 1000,
+      strict = true
+    )
+    // 4 consecutive errors → overlapping triples (1,2,3) and (2,3,4);
+    // the click then kills all partials
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 1, "error"), ev(3, 2, "error"),
+      ev(4, 3, "error"), ev(5, 4, "click"), ev(6, 5, "error")
+    )
+    val (matches, _) = Cep.advance(p, 1L, events, Seq.empty)
+    assert(matches.map(_.event_ids) == Seq(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)))
+  }
+
   test("NFA relaxed pattern skips non-matching events") {
     def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
     val p = Cep.SequencePattern(
