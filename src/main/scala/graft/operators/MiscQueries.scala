@@ -141,6 +141,37 @@ object MiscQueries extends QueryModule {
         GROUP BY user_id, batch_id
       """)
     ),
+    // Table aggregate / UDTAF (reference TableAggregateFunction.java:
+    // 156 — one group in, many rows out): per-user top-2 values
+    // emitted from a typed flatMapGroups.
+    QueryDef(
+      "q_table_aggregate",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        t.events
+          .select(col("user_id"), col("event_id"), col("value"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapGroups { (user: Long, rows: Iterator[(Long, Long, Double)]) =>
+            rows.toSeq
+              .sortBy { case (_, id, v) => (-v, id) }
+              .take(2)
+              .zipWithIndex
+              .map { case ((_, id, v), i) => (user, i + 1, id, v) }
+              .iterator
+          }
+          .toDF("user_id", "rnk", "event_id", "value")
+      },
+      Some("""
+        SELECT user_id, CAST(rnk AS INT) AS rnk, event_id, value
+        FROM (SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rnk
+              FROM events)
+        WHERE rnk <= 2
+      """)
+    ),
     // Scalar UDF (reference ScalarFunction.java:92): registered and
     // invoked through the SQL surface.
     QueryDef(

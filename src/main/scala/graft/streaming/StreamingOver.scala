@@ -76,6 +76,38 @@ object StreamingOver {
       tagged.filter(col("__late")).drop("__late"))
   }
 
+  final case class SortBuffer(events: Seq[Event])
+
+  /** Keyed event-time sorted emit (reference StreamExecTemporalSort /
+    * RowTimeSortOperator): buffer events in keyed state and release
+    * them in timestamp order once the watermark passes them — late
+    * reordering is corrected up to the watermark delay. Emitted rows
+    * are in event-time order per key across micro-batches.
+    */
+  def temporalSort(events: Dataset[Event], watermarkDelay: String): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      // EventTimeTimeout: a key with no new data must still be revisited
+      // when the watermark passes its buffered events (NoTimeout would
+      // only fire on new input for the key and strand the buffer)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[Event], state: GroupState[SortBuffer]) =>
+          val buffered = state.getOption.map(_.events).getOrElse(Seq.empty) ++ rows
+          val sorted = buffered.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, young) = sorted.partition(_.ts.getTime <= wm)
+          if (young.isEmpty) state.remove()
+          else {
+            state.update(SortBuffer(young))
+            // wake when the watermark reaches the earliest buffered event
+            state.setTimeoutTimestamp(math.max(young.head.ts.getTime, wm + 1))
+          }
+          ripe.iterator
+      }
+  }
+
   /** Async I/O analog (reference AsyncDataStream): per-partition
     * concurrent lookups with bounded in-flight futures; results keep
     * partition order. The `lookup` callback runs on the executor.
