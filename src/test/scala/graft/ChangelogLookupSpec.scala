@@ -51,6 +51,16 @@ class ChangelogLookupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dropUpdateBefore removes only -U rows") {
+    import spark.implicits._
+    val changelog = Seq(
+      (1L, "+I"), (1L, "-U"), (1L, "+U"), (2L, "-D")
+    ).toDF("k", ChangelogOps.ChangeCol)
+    val kept = ChangelogOps.dropUpdateBefore(changelog)
+      .select(ChangelogOps.ChangeCol).collect().map(_.getString(0)).toSeq.sorted
+    assert(kept == Seq("+I", "+U", "-D"))
+  }
+
   test("partitioned lookup join matches broadcast lookup") {
     val t = Engine.Tables(spark, "/root/testdata/sf0.001")
     val input = t.events.select(col("event_id"), col("user_id"), col("value"))
