@@ -55,6 +55,9 @@ object Engine {
     // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
     // natively; read the raw int64 nanos and convert in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Scan split sizing: 128MB splits keep one task's working set well
+    // inside executor memory at any SF; AQE re-coalesces small ones.
+    .config("spark.sql.files.maxPartitionBytes", "134217728")
   }
 
   /** Lazy handles to the driver-generated test tables in `dir`.

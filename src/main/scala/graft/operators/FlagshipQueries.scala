@@ -102,6 +102,68 @@ object FlagshipQueries extends QueryModule {
           ON o_orderkey = big.l_orderkey
       """)
     ),
+    // Q12 analog — shipmode line counts by priority class.
+    QueryDef(
+      "q_flagship_priority_class",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(
+              when(
+                col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                1L
+              ).otherwise(0L)
+            ).as("high_line_count"),
+            sum(
+              when(
+                !col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+                1L
+              ).otherwise(0L)
+            ).as("low_line_count")
+          )
+      },
+      Some("""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_linestatus
+      """)
+    ),
+    // Q14 analog — promo revenue share: conditional agg ratio.
+    QueryDef(
+      "q_flagship_promo_share",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            round(
+              sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0.0)) * 100.0 /
+                sum(rev),
+              4
+            ).as("promo_share_pct"),
+            count(lit(1)).as("n")
+          )
+      },
+      Some("""
+        SELECT p_brand,
+               round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END) * 100.0 /
+                     sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+      """)
+    ),
     // Gap scalar functions (the reference-only scalars, SURVEY §7.1):
     // IS_DECIMAL / IS_DIGIT / IS_ALPHA / SPLIT_INDEX /
     // TEMPORAL_OVERLAPS.

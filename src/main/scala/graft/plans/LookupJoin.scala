@@ -21,6 +21,37 @@ object LookupJoin {
   def broadcastLookup(input: DataFrame, dim: DataFrame, key: String): DataFrame =
     input.join(broadcast(dim), Seq(key), "left")
 
+  /** Per-partition cached lookup against an external point-lookup
+    * function (the reference's sync LookupJoinRunner + LRU cache):
+    * each partition keeps an LRU of `cacheSize` keys so repeated keys
+    * hit the cache instead of the external system. `fetch` runs on
+    * executors — it must construct its own connection (per partition).
+    */
+  def cachedLookup[T, K, V, U](
+      ds: org.apache.spark.sql.Dataset[T],
+      keyFn: T => K,
+      fetch: K => V,
+      cacheSize: Int
+  )(combine: (T, V) => U)(implicit enc: org.apache.spark.sql.Encoder[U]): org.apache.spark.sql.Dataset[U] =
+    ds.mapPartitions { rows =>
+      // per-partition connection/cache init happens here
+      val lru = new java.util.LinkedHashMap[K, V](cacheSize, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size() > cacheSize
+      }
+      rows.map { t =>
+        val k = keyFn(t)
+        val v = lru.get(k) match {
+          case null =>
+            val fetched = fetch(k)
+            lru.put(k, fetched)
+            fetched
+          case hit => hit
+        }
+        combine(t, v)
+      }
+    }
+
   def partitionedLookup(
       input: DataFrame,
       dim: DataFrame,

@@ -76,6 +76,21 @@ class ChangelogLookupSpec extends AnyFunSuite {
     assert(viaPartitioned.nonEmpty)
   }
 
+  test("cached lookup caches repeated keys per partition") {
+    import spark.implicits._
+    val fetches = spark.sparkContext.longAccumulator("fetches")
+    val ds = spark.range(1000).map(i => i % 10) // 10 distinct keys
+    val out = LookupJoin
+      .cachedLookup(ds, (k: Long) => k, (k: Long) => { fetches.add(1); k * 100 }, 64)(
+        (k, v) => (k, v)
+      )
+      .collect()
+    assert(out.forall { case (k, v) => v == k * 100 })
+    // ≤ distinct-keys × partitions fetches, far below the 1000 rows
+    assert(fetches.value <= 10L * ds.rdd.getNumPartitions,
+      s"fetched ${fetches.value} times")
+  }
+
   test("partitioning primitives: repartition/coalesce/rebalance shapes") {
     val t = Engine.Tables(spark, "/root/testdata/sf0.001")
     val df = t.lineitem
