@@ -339,14 +339,43 @@ object ScalarFunctionQueries extends QueryModule {
         t.events.select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("prop_k"),
-          get_json_object(col("props"), "$.missing").as("prop_missing")
+          get_json_object(col("props"), "$.missing").as("prop_missing"),
+          // schema-declared structured parse (from_json), not just
+          // path extraction
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k").as("parsed_k"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).isNotNull.as("parse_ok")
         )
       },
       Some("""
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
-               json_extract_string(props, '$.missing') AS prop_missing
+               json_extract_string(props, '$.missing') AS prop_missing,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS parsed_k,
+               props IS NOT NULL AS parse_ok
         FROM events
+      """)
+    ),
+    // Trim variants with explicit trim characters.
+    QueryDef(
+      "q_fn_trim_variants",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val padded = concat(lit("xx"), col("p_brand"), lit("yy"))
+        t.part.select(
+          col("p_partkey"),
+          ltrim(padded, "x").as("left_trimmed"),
+          rtrim(padded, "y").as("right_trimmed"),
+          btrim(padded, lit("xy")).as("both_trimmed"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("ws_trimmed")
+        )
+      },
+      Some("""
+        SELECT p_partkey,
+               ltrim('xx' || p_brand || 'yy', 'x') AS left_trimmed,
+               rtrim('xx' || p_brand || 'yy', 'y') AS right_trimmed,
+               trim('xx' || p_brand || 'yy', 'xy') AS both_trimmed,
+               trim('  ' || p_brand || '  ') AS ws_trimmed
+        FROM part
       """)
     ),
     // Correlate / UNNEST (reference StreamExecCorrelate.java:45,
