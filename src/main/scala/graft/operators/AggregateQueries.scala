@@ -196,7 +196,7 @@ object AggregateQueries extends QueryModule {
         SELECT user_id,
                bool_and(value > 0) AS all_positive,
                bool_or(event_type = 'error') AS any_error,
-               count_if(value > 150) AS n_big
+               CAST(count_if(value > 150) AS BIGINT) AS n_big
         FROM events GROUP BY user_id
       """)
     ),

@@ -98,8 +98,8 @@ object ScalarFunctionQueries extends QueryModule {
       Some("""
         SELECT l_orderkey, l_linenumber,
                abs(l_quantity - 25) AS abs_dev,
-               ceil(l_extendedprice) AS ceil_p,
-               floor(l_extendedprice) AS floor_p,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+               CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
                round(l_discount * 100, 0) AS disc_pct,
                round(sqrt(l_quantity), 6) AS sqrt_q,
                round(exp(l_discount), 6) AS exp_d,

@@ -49,6 +49,23 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE_ERROR {type(e).__name__}: {e}"
             continue
+        # Raw-type gate first: the driver hashes *raw* values, so a DuckDB
+        # HUGEINT (count_if) or DOUBLE (ceil/floor) vs a Spark BIGINT fails
+        # there even when the normalized values match. Compare pre-normalized
+        # dtype families (int/float/other), ignoring width and datetime unit.
+        def fam(dt):
+            if pd.api.types.is_integer_dtype(dt): return "int"
+            if pd.api.types.is_float_dtype(dt): return "float"
+            if pd.api.types.is_datetime64_any_dtype(dt): return "datetime"
+            return str(dt)
+        gsorted = got.reindex(sorted(got.columns), axis=1)
+        esorted = exp.reindex(sorted(exp.columns), axis=1)
+        tdiff = [(c, str(gsorted[c].dtype), str(esorted[c].dtype))
+                 for c in gsorted.columns if c in esorted.columns
+                 and fam(gsorted[c].dtype) != fam(esorted[c].dtype)]
+        if tdiff:
+            results[name] = f"TYPE_MISMATCH {tdiff}"
+            continue
         g, e = normalize(got), normalize(exp)
         if list(g.columns) != list(e.columns):
             results[name] = f"SCHEMA_MISMATCH spark={list(g.columns)} oracle={list(e.columns)}"
