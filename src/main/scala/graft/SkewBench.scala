@@ -1,6 +1,6 @@
 package graft
 
-import graft.skew.SaltedAggregation
+import graft.skew.{AdaptiveReshape, AdaptiveSalter, ReshapeConfig, SaltedAggregation, SkewMonitor}
 import org.apache.spark.sql.functions._
 
 /** Skew micro-benchmark mirroring the reference's experiment (zipf-
@@ -60,12 +60,43 @@ object SkewBench {
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     val identical = plainRes.sameElements(saltedRes)
 
+    // ---- drifting-skew phase: the closed control loop across batches.
+    // Batch 0 is uniform (controller must hold salt=1), batches 1+ are
+    // hot-keyed; the salter reads the previous batch's task metrics and
+    // re-salts — the micro-batch analog of the reference controller's
+    // timer ticks re-reading busy ratios (ControllerSimulator.scala:52-87).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val settings = ReshapeConfig.from(spark)
+    val monitor = new SkewMonitor(settings)
+    spark.sparkContext.addSparkListener(monitor)
+    val salter = new AdaptiveSalter(monitor, settings)
+    var driftIdentical = true
+    val body = AdaptiveReshape.foreachBatchBody(
+      Seq("k"),
+      SaltedAggregation.Spec(sums = Seq("value"), counts = true, collects = Seq("event_id")),
+      salter,
+      awaitEvidenceMs = 5000L
+    ) { (agg, _, _) =>
+      val merged = agg
+        .agg(round(sum(col("sum_value")), 4), sum(col("cnt")), sum(size(col("collect_event_id"))))
+        .collect()(0)
+      driftIdentical &&= merged.getLong(1) == merged.getLong(2) // every record collected once
+    }
+    val uniformBatch = t.events
+      .select(col("event_id").as("k"), col("event_id"), col("value"))
+    val driftBatches = Seq(uniformBatch, keyed, keyed.limit(20000))
+    driftBatches.zipWithIndex.foreach { case (b, i) => body(b, i.toLong) }
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.sparkContext.removeSparkListener(monitor)
+    val saltHistory = salter.saltHistory
+    val adapted = saltHistory.head == 1 && saltHistory.last > 1
+
     val skewPlain = maxPlain / meanPlain
     val skewSalted = maxSalted / meanSalted
     println(
-      f"""{"metric":"skew_mitigation","resultsIdentical":$identical,"maxOverMeanPlain":$skewPlain%.2f,"maxOverMeanSalted":$skewSalted%.2f,"improvement":${skewPlain / skewSalted}%.2f,"sf":"$sfDir"}"""
+      f"""{"metric":"skew_mitigation","resultsIdentical":$identical,"maxOverMeanPlain":$skewPlain%.2f,"maxOverMeanSalted":$skewSalted%.2f,"improvement":${skewPlain / skewSalted}%.2f,"saltHistory":${saltHistory.mkString("[", ",", "]")},"saltAdapted":$adapted,"driftResultsOk":$driftIdentical,"sf":"$sfDir"}"""
     )
     spark.stop()
-    if (!identical || skewSalted * 2 > skewPlain) sys.exit(1)
+    if (!identical || skewSalted * 2 > skewPlain || !adapted || !driftIdentical) sys.exit(1)
   }
 }

@@ -75,7 +75,7 @@ object ReshapeConfig {
   */
 final class SkewMonitor(settings: ReshapeConfig.Settings) extends SparkListener {
 
-  final case class TaskStat(durationMs: Long, records: Long)
+  final case class TaskStat(durationMs: Long, records: Long, bytes: Long)
   final case class SkewReport(
       stageId: Int,
       numTasks: Int,
@@ -91,13 +91,14 @@ final class SkewMonitor(settings: ReshapeConfig.Settings) extends SparkListener 
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
     if (t.taskMetrics != null) {
-      val recs =
+      val (recs, bytes) =
         if (t.taskMetrics.shuffleReadMetrics != null)
-          t.taskMetrics.shuffleReadMetrics.recordsRead
-        else 0L
+          (t.taskMetrics.shuffleReadMetrics.recordsRead,
+            t.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        else (0L, 0L)
       perStage
         .getOrElseUpdate(t.stageId, TrieMap.empty)
-        .put(t.taskInfo.taskId, TaskStat(t.taskInfo.duration, recs))
+        .put(t.taskInfo.taskId, TaskStat(t.taskInfo.duration, recs, bytes))
     }
   }
 
@@ -107,15 +108,36 @@ final class SkewMonitor(settings: ReshapeConfig.Settings) extends SparkListener 
       val durations = stats.values.map(_.durationMs).toSeq.sorted
       if (durations.size >= 2 && durations.last > 0) {
         val median = durations(durations.size / 2)
-        val mx = durations.last.toDouble
-        // busy ratio analog: task duration relative to the stage max
-        val ratios = stats.toSeq.map { case (tid, st) =>
-          (tid, st.durationMs.toDouble / mx)
-        }
-        val skewed = ratios.filter(_._2 > settings.hiThreshold).map(_._1.toInt)
-        val free = ratios.filter(_._2 < settings.loThreshold).map(_._1.toInt)
-        val mean = durations.sum.toDouble / durations.size
-        val salt = math.min(32, math.max(1, math.ceil(mx / math.max(1.0, mean)).toInt))
+        // Load signal, in preference order: shuffle-read BYTES — the
+        // per-channel input volume the reference's controller reads
+        // (ControllerSimulator.scala:95-155), and the only signal that
+        // survives map-side partial aggregation (partials for a hot key
+        // collapse to one record per map task, but a wide partial like
+        // a collect buffer keeps its size) — then records, then task
+        // durations for map stages. Counts/bytes are deterministic
+        // where millisecond durations are noise at micro-batch scale.
+        val byteTotal = stats.values.map(_.bytes).sum
+        val recTotal = stats.values.map(_.records).sum
+        val loads: Seq[(Long, Double)] =
+          if (byteTotal > 0) stats.toSeq.map { case (tid, st) => (tid, st.bytes.toDouble) }
+          else if (recTotal > 0) stats.toSeq.map { case (tid, st) => (tid, st.records.toDouble) }
+          else stats.toSeq.map { case (tid, st) => (tid, st.durationMs.toDouble) }
+        val mx = math.max(1.0, loads.map(_._2).max)
+        // Duration is the least reliable signal: sub-500ms tasks are
+        // scheduler noise, not load (the reference's busy ratios are
+        // averaged over a 10 s window — ControllerSimulator timer).
+        // Record such stages but never flag them skewed.
+        val reliable = byteTotal > 0 || recTotal > 0 || durations.last >= 500
+        val ratios = loads.map { case (tid, l) => (tid, l / mx) }
+        val skewed =
+          if (reliable) ratios.filter(_._2 > settings.hiThreshold).map(_._1.toInt) else Nil
+        val free =
+          if (reliable) ratios.filter(_._2 < settings.loThreshold).map(_._1.toInt) else Nil
+        val mean = loads.map(_._2).sum / loads.size
+        val salt =
+          if (reliable)
+            math.min(32, math.max(1, math.ceil(mx / math.max(1.0, mean)).toInt))
+          else 1
         reports.put(
           stageId,
           SkewReport(stageId, stats.size, durations.last, median, skewed, free, salt)
@@ -138,6 +160,96 @@ final class SkewMonitor(settings: ReshapeConfig.Settings) extends SparkListener 
     else stageReports.values.map(_.recommendedSalt).max
 }
 
+/** Per-tick salt controller — the timer loop of the reference's
+  * controller (reference: ControllerSimulator.scala:52-87), re-expressed
+  * for micro-batches: one `nextSalt()` call per batch plays the role of
+  * one timer tick.
+  *
+  * Policy, mirroring the reference:
+  *  - a tick acts only on *fresh* evidence (stages completed since the
+  *    last tick), like the controller re-reading current metrics;
+  *  - evidence is actionable only when a busy task coexists with a free
+  *    one (busy > hiThreshold while another < loThreshold) — the
+  *    reference pairs skewed-with-helper, never acts on uniform load;
+  *  - the first `firstPhaseNum` skew-positive ticks use the aggressive
+  *    salt (the 90/100 phase-1 reroute ratio analog), later ticks use
+  *    the proportional recommendation (phase 2's
+  *    `(in(skew)-in(helper))*100/in(skew)`);
+  *  - the salt is sticky: once raised it stays for the loop's lifetime,
+  *    because a balanced post-mitigation stage means the salting is
+  *    working, not that the underlying key skew vanished — the analog
+  *    of the reference's routing tables persisting in the workers
+  *    (WorkerSimulator.assignRouting).
+  */
+final class AdaptiveSalter(
+    monitor: SkewMonitor,
+    settings: ReshapeConfig.Settings,
+    aggressiveSalt: Int = 32
+) {
+  @volatile private var lastStageSeen: Int = -1
+  @volatile private var salt: Int = 1
+  private var skewTicks: Int = 0
+  private val history = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+  def currentSalt: Int = salt
+
+  /** Salt decisions made so far, one per `nextSalt()` call. */
+  def saltHistory: Seq[Int] = synchronized(history.toSeq)
+
+  /** Decide the salt for the next batch. `awaitEvidenceMs > 0` polls
+    * briefly for listener events from the previous batch to land
+    * (SparkListener delivery is async); leave 0 when an extra decision
+    * latency of one batch is acceptable.
+    */
+  def nextSalt(awaitEvidenceMs: Long = 0L): Int = synchronized {
+    val deadline = System.currentTimeMillis() + awaitEvidenceMs
+    var fresh = monitor.stageReports.filter(_._1 > lastStageSeen)
+    while (fresh.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(25)
+      fresh = monitor.stageReports.filter(_._1 > lastStageSeen)
+    }
+    if (fresh.nonEmpty) {
+      lastStageSeen = fresh.keys.max
+      val actionable = fresh.values.filter(r =>
+        r.skewedTasks.nonEmpty && r.freeTasks.nonEmpty && r.recommendedSalt > 1)
+      if (actionable.nonEmpty) {
+        skewTicks += 1
+        val proportional = actionable.map(_.recommendedSalt).max
+        val next =
+          if (skewTicks <= settings.firstPhaseNum) math.max(proportional, aggressiveSalt)
+          else proportional
+        salt = math.max(salt, next)
+      }
+    }
+    history += salt
+    salt
+  }
+}
+
+/** The closed loop: a Structured Streaming aggregation whose salt
+  * factor is re-read from the monitor every micro-batch — observe
+  * (SkewMonitor) → decide (AdaptiveSalter) → act (SaltedAggregation),
+  * the full Reshape control cycle across batches.
+  */
+object AdaptiveReshape {
+
+  /** A foreachBatch body that re-salts each micro-batch with the
+    * controller's current decision. `onResult` receives the *merged*
+    * (post-second-stage) aggregate for the batch plus the salt used,
+    * and owns delivery (upsert sink, memory table, …).
+    */
+  def foreachBatchBody(
+      key: Seq[String],
+      spec: SaltedAggregation.Spec,
+      salter: AdaptiveSalter,
+      awaitEvidenceMs: Long = 0L
+  )(onResult: (DataFrame, Long, Int) => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val salt = salter.nextSalt(awaitEvidenceMs)
+      onResult(SaltedAggregation.aggregate(batch, key, spec, salt), batchId, salt)
+  }
+}
+
 /** Salted two-stage aggregation — the result-aware reroute analog.
   *
   * Stage 1 groups by (key, salt) so a hot key's records spread over
@@ -157,7 +269,15 @@ object SaltedAggregation {
       sums: Seq[String] = Nil,
       counts: Boolean = true,
       mins: Seq[String] = Nil,
-      maxs: Seq[String] = Nil
+      maxs: Seq[String] = Nil,
+      /** collect_list columns, merged by flattening in stage 2 (order
+        * is partition-dependent, like any collect_list; sort downstream
+        * if determinism is needed). These are the aggregates where
+        * salting genuinely pays: algebraic partials (sum/count/min/max)
+        * collapse a hot key on the map side, but a collect buffer keeps
+        * its full size through the shuffle.
+        */
+      collects: Seq[String] = Nil
   )
 
   def aggregate(
@@ -173,7 +293,8 @@ object SaltedAggregation {
       spec.sums.map(c => sum(col(c)).as(s"__sum_$c")) ++
         (if (spec.counts) Seq(count(lit(1)).as("__cnt")) else Nil) ++
         spec.mins.map(c => min(col(c)).as(s"__min_$c")) ++
-        spec.maxs.map(c => max(col(c)).as(s"__max_$c"))
+        spec.maxs.map(c => max(col(c)).as(s"__max_$c")) ++
+        spec.collects.map(c => collect_list(col(c)).as(s"__col_$c"))
     val partial = df
       .withColumn("__salt", saltExpr)
       .groupBy((key.map(col) :+ col("__salt")): _*)
@@ -182,7 +303,8 @@ object SaltedAggregation {
       spec.sums.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")) ++
         (if (spec.counts) Seq(sum(col("__cnt")).as("cnt")) else Nil) ++
         spec.mins.map(c => min(col(s"__min_$c")).as(s"min_$c")) ++
-        spec.maxs.map(c => max(col(s"__max_$c")).as(s"max_$c"))
+        spec.maxs.map(c => max(col(s"__max_$c")).as(s"max_$c")) ++
+        spec.collects.map(c => flatten(collect_list(col(s"__col_$c"))).as(s"collect_$c"))
     partial
       .groupBy(key.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
