@@ -99,6 +99,159 @@ object CepQueries extends QueryModule {
         )
         SELECT user_id, signup_id, purchase_id FROM cand WHERE rn = 1
       """)
+    ),
+    // Greedy oneOrMore + SKIP_PAST_LAST_EVENT: a maximal run of
+    // consecutive errors (error+ greedy) closed by the next non-error
+    // event. The skip strategy suppresses the suffix matches the
+    // overlapping partials would otherwise emit, so the result is
+    // exactly one match per error island that has a successor event —
+    // the gaps-and-islands SQL below.
+    QueryDef(
+      "q_cep_error_burst",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        val pattern = Cep.SequencePattern(
+          steps = Seq(
+            Cep.Step("errs", _.event_type == "error", oneOrMore = true, greedy = true),
+            Cep.Step("recovery", _.event_type != "error")
+          ),
+          withinMs = 365L * 24 * 3600 * 1000,
+          strict = true,
+          skip = Cep.SkipPastLastEvent
+        )
+        Cep
+          .detectBatch(events, pattern)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("first_err"),
+            (size(col("event_ids")) - 1).cast("long").as("n_errors"),
+            element_at(col("event_ids"), -1).as("recovery_id")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        err AS (
+          SELECT user_id, event_id, rn,
+                 rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM o WHERE event_type = 'error'
+        ),
+        runs AS (
+          SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern,
+                 CAST(count(*) AS BIGINT) AS n_errors
+          FROM err GROUP BY user_id, grp
+        )
+        SELECT r.user_id, f.event_id AS first_err, r.n_errors,
+               nx.event_id AS recovery_id
+        FROM runs r
+        JOIN o f  ON f.user_id = r.user_id AND f.rn = r.srn
+        JOIN o nx ON nx.user_id = r.user_id AND nx.rn = r.ern + 1
+      """)
+    ),
+    // AFTER MATCH SKIP PAST LAST EVENT on a strict double-error: a run
+    // of L consecutive errors yields the floor(L/2) non-overlapping
+    // pairs (1,2)(3,4)…, not the L-1 overlapping ones NO_SKIP emits
+    // (q_cep_double_error covers that mode).
+    QueryDef(
+      "q_cep_skip_past_last",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        val pattern = Cep.SequencePattern(
+          steps = Seq(
+            Cep.Step("e1", _.event_type == "error"),
+            Cep.Step("e2", _.event_type == "error")
+          ),
+          withinMs = 365L * 24 * 3600 * 1000,
+          strict = true,
+          skip = Cep.SkipPastLastEvent
+        )
+        Cep
+          .detectBatch(events, pattern)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("m1"),
+            element_at(col("event_ids"), 2).as("m2")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        err AS (
+          SELECT user_id, event_id, rn,
+                 rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM o WHERE event_type = 'error'
+        ),
+        pos AS (
+          SELECT user_id, grp, event_id,
+                 row_number() OVER (PARTITION BY user_id, grp ORDER BY rn) AS p
+          FROM err
+        )
+        SELECT a.user_id, a.event_id AS m1, b.event_id AS m2
+        FROM pos a
+        JOIN pos b ON b.user_id = a.user_id AND b.grp = a.grp AND b.p = a.p + 1
+        WHERE a.p % 2 = 1
+      """)
+    ),
+    // Optional quantifier under strict contiguity: signup (error?)
+    // purchase — a purchase immediately after the signup, or with
+    // exactly one error in between (the epsilon edge past the optional
+    // step). Oracle: two mutually-exclusive lead() branches.
+    QueryDef(
+      "q_cep_optional_strict",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        val pattern = Cep.SequencePattern(
+          steps = Seq(
+            Cep.Step("signup", _.event_type == "signup"),
+            Cep.Step("maybe_err", _.event_type == "error", optional = true),
+            Cep.Step("purchase", _.event_type == "purchase")
+          ),
+          withinMs = 365L * 24 * 3600 * 1000,
+          strict = true
+        )
+        Cep
+          .detectBatch(events, pattern)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("signup_id"),
+            element_at(col("event_ids"), -1).as("purchase_id")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 lead(event_type) OVER w AS t1, lead(event_id) OVER w AS id1,
+                 lead(event_type, 2) OVER w AS t2, lead(event_id, 2) OVER w AS id2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id AS signup_id, id1 AS purchase_id
+        FROM o WHERE event_type = 'signup' AND t1 = 'purchase'
+        UNION ALL
+        SELECT user_id, event_id, id2
+        FROM o WHERE event_type = 'signup' AND t1 = 'error' AND t2 = 'purchase'
+      """)
     )
   )
 }

@@ -4,109 +4,307 @@ import graft.streaming.StreamingOps.Event
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** CEP subset — the reference's MATCH_RECOGNIZE / Pattern API core
+/** CEP — the reference's MATCH_RECOGNIZE / Pattern API core
   * (reference: flink-libraries/flink-cep/.../pattern/Pattern.java:
-  * 128-477 NFA engine, SQL node StreamExecMatch.java:90). Scope per
-  * SURVEY.md §2.9: sequence patterns over a keyed stream with strict
-  * (`next`) or relaxed (`followedBy`) contiguity, a `within` time
-  * bound, and fixed `times(n)` quantifiers. No optional/greedy
-  * looping modes yet.
+  * 128-477, SQL node StreamExecMatch.java:90, after-match skip
+  * strategies under flink-cep/.../nfa/aftermatch/). Scope: sequence
+  * patterns over a keyed stream with strict (`next`) or relaxed
+  * (`followedBy`) contiguity, a `within` time bound, `times(n)`,
+  * `optional`, `oneOrMore` (reluctant or `greedy`) quantifiers, and
+  * NO_SKIP / SKIP_TO_NEXT / SKIP_PAST_LAST_EVENT strategies.
   *
   * The NFA is a pure function over a key's time-ordered events, so one
   * implementation serves both modes:
-  *  - batch: flatMapGroups, each key's full history in one pass;
+  *  - batch: flatMapGroups, each key's full history in one pass plus an
+  *    end-of-input flush for pending greedy loops;
   *  - streaming: flatMapGroupsWithState keeping the set of partial
   *    matches per key as state; each micro-batch advances them.
+  *    Pending greedy loops emit when the loop breaks or `within`
+  *    expires (an unbounded stream has no end-of-input).
   * Partial-match state is bounded by `within` (expired partials are
-  * pruned on every event), so state can't grow unboundedly on a hot
+  * retired on every event), so state can't grow unboundedly on a hot
   * key.
+  *
+  * Quantifier semantics follow the reference NFA:
+  *  - reluctant `oneOrMore` emits a match at every loop length (the
+  *    NFA branches on each loop event: stay-in-loop vs exit);
+  *  - `greedy` consumes every event the loop predicate accepts (the
+  *    loop branch wins over the exit branch) and emits only the
+  *    maximal match, when the loop resolves;
+  *  - `optional` is an epsilon edge past the step.
+  * Skip strategies (reference: AfterMatchSkipStrategy.java):
+  *  - NoSkip: every match, overlaps allowed;
+  *  - SkipToNext: at most one match per start event (partials sharing
+  *    the emitted match's start are discarded);
+  *  - SkipPastLastEvent: after a match, every partial overlapping it
+  *    is discarded and its last event cannot start a new partial.
   */
 object Cep {
 
-  /** One pattern step; `times` (Flink Pattern.times quantifier) asks
-    * for that many consecutive occurrences of the predicate.
+  /** One pattern step. `times` (Pattern.times) asks for that many
+    * consecutive occurrences; `optional` (Pattern.optional) lets the
+    * step match zero events; `oneOrMore` (Pattern.oneOrMore) loops the
+    * step, reluctantly unless `greedy` (Pattern.greedy).
     */
-  final case class Step(name: String, predicate: Event => Boolean, times: Int = 1) {
+  final case class Step(
+      name: String,
+      predicate: Event => Boolean,
+      times: Int = 1,
+      optional: Boolean = false,
+      oneOrMore: Boolean = false,
+      greedy: Boolean = false
+  ) {
     require(times >= 1)
+    require(times == 1 || (!optional && !oneOrMore),
+      "times(n) cannot combine with optional/oneOrMore on one step")
   }
 
+  sealed trait SkipStrategy
+  case object NoSkip extends SkipStrategy
+  case object SkipToNext extends SkipStrategy
+  case object SkipPastLastEvent extends SkipStrategy
+
   /** A sequence pattern: steps matched in order; `strict` demands the
-    * very next event match the next step (Flink `next`), otherwise
-    * non-matching events in between are skipped (`followedBy`).
-    * Quantified steps are expanded to `times` consecutive copies.
+    * very next event match (Flink `next`), otherwise non-matching
+    * events in between are skipped (`followedBy`). Quantified
+    * `times(n)` steps are expanded to n consecutive copies.
     */
   final case class SequencePattern(
       steps: Seq[Step],
       withinMs: Long,
-      strict: Boolean
+      strict: Boolean,
+      skip: SkipStrategy = NoSkip
   ) {
     require(steps.nonEmpty)
-    /** steps with quantifiers unrolled — what the NFA actually runs */
+    /** steps with times(n) unrolled — what the NFA actually runs */
     val expanded: Seq[Step] =
       steps.flatMap(s => Seq.fill(s.times)(s.copy(times = 1)))
   }
 
-  final case class PartialMatch(stepIdx: Int, startTs: Long, eventIds: Seq[Long])
-  final case class NfaState(partials: Seq[PartialMatch])
+  /** A live partial match. `inLoop` marks a oneOrMore step that has
+    * consumed at least one event and may consume more; `startSeq` /
+    * `lastSeq` are per-key event sequence numbers for skip-strategy
+    * overlap checks.
+    */
+  final case class PartialMatch(
+      stepIdx: Int,
+      inLoop: Boolean,
+      startTs: Long,
+      lastTs: Long,
+      startSeq: Long,
+      lastSeq: Long,
+      eventIds: Seq[Long]
+  )
+  final case class NfaState(partials: Seq[PartialMatch], nextSeq: Long)
   final case class Match(key: Long, start_ts: Long, end_ts: Long, event_ids: Seq[Long])
 
+  private final case class Emit(startSeq: Long, lastSeq: Long, m: Match)
+
   /** Advance the NFA over time-ordered events, returning completed
-    * matches and the surviving partials.
+    * matches (in emission order) and the surviving state.
     */
   def advance(
       pattern: SequencePattern,
       key: Long,
       events: Seq[Event],
-      initial: Seq[PartialMatch]
-  ): (Seq[Match], Seq[PartialMatch]) = {
-    var partials = initial
+      initial: NfaState
+  ): (Seq[Match], NfaState) = {
+    val steps = pattern.expanded
+    val n = steps.size
+    var partials = initial.partials
+    var seq = initial.nextSeq
     val out = Seq.newBuilder[Match]
+
+    // positions reachable without consuming an event: exit a satisfied
+    // loop, skip optional steps. Linear chain — each position has at
+    // most one epsilon edge.
+    def closure(idx: Int, inLoop: Boolean): Seq[(Int, Boolean)] = {
+      val acc = Seq.newBuilder[(Int, Boolean)]
+      var i = idx
+      var loop = inLoop
+      acc += ((i, loop))
+      var go = true
+      while (go && i < n) {
+        if (loop) { i += 1; loop = false; acc += ((i, false)) }
+        else if (steps(i).optional) { i += 1; acc += ((i, false)) }
+        else go = false
+      }
+      acc.result()
+    }
+
+    def completable(p: PartialMatch): Boolean =
+      closure(p.stepIdx, p.inLoop).exists(_._1 == n)
+
+    // a retired greedy loop (expired / strict-broken / flushed) emits
+    // its maximal match now; reluctant loops already emitted per length
+    def retirementEmit(p: PartialMatch): Option[Emit] =
+      if (p.inLoop && p.stepIdx < n && steps(p.stepIdx).greedy && completable(p))
+        Some(Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds)))
+      else None
+
+    /** Try to consume `e` from partial `p`. Returns (consumed,
+      * successors, emits). A greedy in-loop partial whose loop
+      * predicate accepts takes only the loop branch.
+      */
+    def consume(p: PartialMatch, e: Event, ts: Long, s: Long): (Boolean, Seq[PartialMatch], Seq[Emit]) = {
+      val succ = Seq.newBuilder[PartialMatch]
+      val emits = Seq.newBuilder[Emit]
+      var consumed = false
+      // greedy loop branch wins outright
+      val greedyLoop = p.inLoop && steps(p.stepIdx).greedy && steps(p.stepIdx).predicate(e)
+      val positions =
+        if (greedyLoop) Seq((p.stepIdx, true)) else closure(p.stepIdx, p.inLoop)
+      positions.foreach { case (i, _) =>
+        if (i < n && steps(i).predicate(e)) {
+          consumed = true
+          val ids = p.eventIds :+ e.event_id
+          if (steps(i).oneOrMore) {
+            val looping =
+              p.copy(stepIdx = i, inLoop = true, lastTs = ts, lastSeq = s, eventIds = ids)
+            succ += looping
+            // reluctant loop that can already exit to the accept state
+            // emits at this length too
+            if (!steps(i).greedy && closure(i, true).exists(_._1 == n))
+              emits += Emit(p.startSeq, s, Match(key, p.startTs, ts, ids))
+          } else {
+            val next =
+              p.copy(stepIdx = i + 1, inLoop = false, lastTs = ts, lastSeq = s, eventIds = ids)
+            if (closure(i + 1, false).exists(_._1 == n))
+              emits += Emit(p.startSeq, s, Match(key, p.startTs, ts, ids))
+            if (i + 1 < n) succ += next
+          }
+        }
+      }
+      (consumed, succ.result(), emits.result())
+    }
+
     events.foreach { e =>
       val ts = e.ts.getTime
-      // prune expired partials, then try to extend each
-      val alive = partials.filter(p => ts - p.startTs <= pattern.withinMs)
-      val extended = Seq.newBuilder[PartialMatch]
+      val s = seq
+      seq += 1
+
+      // retire expired partials; a completable greedy loop emits its
+      // (already fully-within-bound) match on retirement
+      val (alive, expired) = partials.partition(p => ts - p.startTs <= pattern.withinMs)
+      val emitsB = Seq.newBuilder[Emit]
+      expired.foreach(p => retirementEmit(p).foreach(emitsB += _))
+
+      val nextPartials = Seq.newBuilder[PartialMatch]
       alive.foreach { p =>
-        if (pattern.expanded(p.stepIdx).predicate(e)) {
-          val np = PartialMatch(p.stepIdx + 1, p.startTs, p.eventIds :+ e.event_id)
-          if (np.stepIdx == pattern.expanded.size)
-            out += Match(key, np.startTs, ts, np.eventIds)
-          else extended += np
-        } else if (!pattern.strict) {
-          extended += p // relaxed: keep waiting
-        } // strict: partial dies on a non-matching event
+        val (consumed, succ, emits) = consume(p, e, ts, s)
+        if (consumed) {
+          nextPartials ++= succ
+          emitsB ++= emits
+        } else if (pattern.strict) {
+          // strict contiguity: the partial dies; a pending greedy loop
+          // emits its maximal match first (the run just ended)
+          retirementEmit(p).foreach(emitsB += _)
+        } else {
+          nextPartials += p // relaxed: keep waiting
+        }
       }
+
       // can this event start a new partial?
-      if (pattern.expanded.head.predicate(e)) {
-        if (pattern.expanded.size == 1)
-          out += Match(key, ts, ts, Seq(e.event_id))
-        else extended += PartialMatch(1, ts, Seq(e.event_id))
+      val fresh = PartialMatch(0, inLoop = false, ts, ts, s, s, Seq.empty)
+      val (startedHere, freshSucc, freshEmits) = consume(fresh, e, ts, s)
+      emitsB ++= freshEmits
+      var pending = nextPartials.result()
+      var candidates = emitsB.result().sortBy(em => (em.startSeq, em.lastSeq))
+      var freshAllowed = startedHere
+
+      // after-match skip strategy
+      pattern.skip match {
+        case NoSkip =>
+          candidates.foreach(em => out += em.m)
+        case SkipToNext =>
+          // at most one match per start event; drop partials sharing an
+          // emitted start (including the fresh one born this event)
+          val seen = scala.collection.mutable.Set.empty[Long]
+          candidates.foreach { em =>
+            if (!seen.contains(em.startSeq)) {
+              seen += em.startSeq
+              out += em.m
+              pending = pending.filterNot(_.startSeq == em.startSeq)
+            }
+          }
+          if (seen.contains(s)) freshAllowed = false
+        case SkipPastLastEvent =>
+          candidates.headOption.foreach { em =>
+            out += em.m
+            // discard everything overlapping the match, including
+            // fresh partials born on its last event
+            pending = pending.filter(_.startSeq > em.lastSeq)
+            if (em.lastSeq >= s) freshAllowed = false
+          }
       }
-      partials = extended.result()
+      partials = if (freshAllowed) pending ++ freshSucc else pending
     }
-    (out.result(), partials)
+
+    (out.result(), NfaState(partials, seq))
   }
 
   private def ordered(rows: Iterator[Event]): Seq[Event] =
     // getNanos carries sub-millisecond precision getTime drops
     rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
 
-  /** Batch detection: each key's events processed in event-time order.
-    * Works on a bounded Dataset (flatMapGroups = one NFA pass per key).
+  /** Batch detection: each key's events processed in event-time order,
+    * then pending greedy loops flushed at end-of-input (bounded data
+    * has a real end).
     */
   def detectBatch(events: Dataset[Event], pattern: SequencePattern): Dataset[Match] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroups { (key: Long, rows: Iterator[Event]) =>
-        advance(pattern, key, ordered(rows), Seq.empty)._1.iterator
+        val (matches, st) = advance(pattern, key, ordered(rows), NfaState(Seq.empty, 0L))
+        (matches ++ flush(pattern, key, st)).iterator
       }
+  }
+
+  /** End-of-input flush: retire every pending partial, emitting
+    * completable greedy loops under the pattern's skip strategy.
+    */
+  def flush(pattern: SequencePattern, key: Long, st: NfaState): Seq[Match] = {
+    val steps = pattern.expanded
+    val n = steps.size
+    def completableFrom(idx: Int, inLoop: Boolean): Boolean = {
+      var i = idx
+      var loop = inLoop
+      var go = true
+      while (go && i < n) {
+        if (loop) { i += 1; loop = false }
+        else if (steps(i).optional) i += 1
+        else go = false
+      }
+      i == n
+    }
+    val emits = st.partials
+      .filter(p => p.inLoop && p.stepIdx < n && steps(p.stepIdx).greedy
+        && completableFrom(p.stepIdx, p.inLoop))
+      .map(p => Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds)))
+      .sortBy(em => (em.startSeq, em.lastSeq))
+    pattern.skip match {
+      case NoSkip => emits.map(_.m)
+      case SkipToNext =>
+        emits.groupBy(_.startSeq).toSeq.sortBy(_._1).map(_._2.head.m)
+      case SkipPastLastEvent =>
+        // emit the earliest, drop overlaps, repeat
+        val out = Seq.newBuilder[Match]
+        var rest = emits
+        while (rest.nonEmpty) {
+          val head = rest.head
+          out += head.m
+          rest = rest.filter(_.startSeq > head.lastSeq)
+        }
+        out.result()
+    }
   }
 
   /** Streaming detection: partial matches survive across micro-batches
     * in keyed state. Events are ordered within each batch; cross-batch
     * order is arrival order (pair with a watermark-sorted upstream for
-    * strict event-time guarantees).
+    * strict event-time guarantees). Pending greedy loops emit when the
+    * loop breaks or `within` expires — an unbounded stream never ends.
     */
   def detectStream(events: Dataset[Event], pattern: SequencePattern): Dataset[Match] = {
     import events.sparkSession.implicits._
@@ -114,9 +312,12 @@ object Cep {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[Event], state: GroupState[NfaState]) =>
-          val initial = state.getOption.map(_.partials).getOrElse(Seq.empty)
-          val (matches, partials) = advance(pattern, key, ordered(rows), initial)
-          if (partials.isEmpty) state.remove() else state.update(NfaState(partials))
+          val initial = state.getOption.getOrElse(NfaState(Seq.empty, 0L))
+          val (matches, st) = advance(pattern, key, ordered(rows), initial)
+          // no live partials → drop the key's state entirely; the seq
+          // counter may reset, which is safe because skip-strategy
+          // comparisons only ever involve live partials
+          if (st.partials.isEmpty) state.remove() else state.update(st)
           matches.iterator
       }
   }

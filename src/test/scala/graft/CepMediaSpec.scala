@@ -31,9 +31,9 @@ class CepMediaSpec extends AnyFunSuite {
       ev(1, 0, "error"), ev(2, 5, "error"), ev(3, 10, "click"),
       ev(4, 20, "error"), ev(5, 60, "error"), ev(6, 65, "error")
     )
-    val (matches, partials) = Cep.advance(errPair, 1L, events, Seq.empty)
+    val (matches, st) = Cep.advance(errPair, 1L, events, Cep.NfaState(Seq.empty, 0L))
     assert(matches.map(_.event_ids) == Seq(Seq(1L, 2L), Seq(5L, 6L)))
-    assert(partials.nonEmpty) // e6 starts a fresh partial
+    assert(st.partials.nonEmpty) // e6 starts a fresh partial
   }
 
   test("NFA times(n) quantifier expands to consecutive occurrences") {
@@ -49,7 +49,7 @@ class CepMediaSpec extends AnyFunSuite {
       ev(1, 0, "error"), ev(2, 1, "error"), ev(3, 2, "error"),
       ev(4, 3, "error"), ev(5, 4, "click"), ev(6, 5, "error")
     )
-    val (matches, _) = Cep.advance(p, 1L, events, Seq.empty)
+    val (matches, _) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
     assert(matches.map(_.event_ids) == Seq(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)))
   }
 
@@ -61,7 +61,7 @@ class CepMediaSpec extends AnyFunSuite {
       strict = false
     )
     val events = Seq(ev(1, 0, "signup"), ev(2, 5, "click"), ev(3, 10, "purchase"))
-    val (matches, _) = Cep.advance(p, 1L, events, Seq.empty)
+    val (matches, _) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
     assert(matches.map(_.event_ids) == Seq(Seq(1L, 3L)))
   }
 
@@ -81,6 +81,132 @@ class CepMediaSpec extends AnyFunSuite {
       q.processAllAvailable()
       val m = spark.sql("SELECT event_ids FROM cep_out").collect()
       assert(m.length == 1 && m(0).getSeq[Long](0) == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("NFA reluctant oneOrMore emits a match per loop length") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    val p = Cep.SequencePattern(
+      Seq(Cep.Step("e", _.event_type == "error", oneOrMore = true)),
+      withinMs = 60L * 60 * 1000,
+      strict = true
+    )
+    val events = Seq(ev(1, 0, "error"), ev(2, 1, "error"), ev(3, 2, "error"))
+    val (matches, _) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    // every (start, length) combination: 1; 1,2; 2; 1,2,3; 2,3; 3
+    assert(matches.map(_.event_ids).toSet == Set(
+      Seq(1L), Seq(1L, 2L), Seq(2L), Seq(1L, 2L, 3L), Seq(2L, 3L), Seq(3L)))
+  }
+
+  test("NFA greedy oneOrMore emits only the maximal run, when it breaks") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    val p = Cep.SequencePattern(
+      Seq(Cep.Step("e", _.event_type == "error", oneOrMore = true, greedy = true)),
+      withinMs = 60L * 60 * 1000,
+      strict = true,
+      skip = Cep.SkipPastLastEvent
+    )
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 1, "error"), ev(3, 2, "error"),
+      ev(4, 3, "click"), ev(5, 4, "error")
+    )
+    val (matches, st) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    // run 1-3 emitted when the click broke it; e5's run is still open
+    assert(matches.map(_.event_ids) == Seq(Seq(1L, 2L, 3L)))
+    assert(Cep.flush(p, 1L, st).map(_.event_ids) == Seq(Seq(5L)))
+  }
+
+  test("NFA greedy loop followed by a next step consumes the whole run") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    val p = Cep.SequencePattern(
+      Seq(
+        Cep.Step("errs", _.event_type == "error", oneOrMore = true, greedy = true),
+        Cep.Step("rec", _.event_type != "error")
+      ),
+      withinMs = 60L * 60 * 1000,
+      strict = true,
+      skip = Cep.SkipPastLastEvent
+    )
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 1, "error"), ev(3, 2, "error"), ev(4, 3, "click"),
+      ev(5, 4, "error"), ev(6, 5, "view")
+    )
+    val (matches, _) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    assert(matches.map(_.event_ids) == Seq(Seq(1L, 2L, 3L, 4L), Seq(5L, 6L)))
+  }
+
+  test("NFA optional step matches with and without the middle event") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    val p = Cep.SequencePattern(
+      Seq(
+        Cep.Step("s", _.event_type == "signup"),
+        Cep.Step("e", _.event_type == "error", optional = true),
+        Cep.Step("p", _.event_type == "purchase")
+      ),
+      withinMs = 60L * 60 * 1000,
+      strict = true
+    )
+    val events = Seq(
+      ev(1, 0, "signup"), ev(2, 1, "purchase"),             // skip the optional
+      ev(3, 2, "signup"), ev(4, 3, "error"), ev(5, 4, "purchase"), // take it
+      ev(6, 5, "signup"), ev(7, 6, "click"), ev(8, 7, "purchase")  // no match
+    )
+    val (matches, _) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    assert(matches.map(_.event_ids) == Seq(Seq(1L, 2L), Seq(3L, 4L, 5L)))
+  }
+
+  test("NFA skip strategies prune overlapping matches") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    def pat(skip: Cep.SkipStrategy) = Cep.SequencePattern(
+      Seq(Cep.Step("e", _.event_type == "error", times = 2)),
+      withinMs = 60L * 60 * 1000,
+      strict = true,
+      skip = skip
+    )
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 1, "error"), ev(3, 2, "error"), ev(4, 3, "error"))
+    val init = Cep.NfaState(Seq.empty, 0L)
+    // NoSkip: every adjacent pair
+    assert(Cep.advance(pat(Cep.NoSkip), 1L, events, init)._1.map(_.event_ids) ==
+      Seq(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L)))
+    // SkipPastLastEvent: non-overlapping pairs
+    assert(Cep.advance(pat(Cep.SkipPastLastEvent), 1L, events, init)._1.map(_.event_ids) ==
+      Seq(Seq(1L, 2L), Seq(3L, 4L)))
+    // SkipToNext on times(2) keeps one match per start event — same as
+    // NoSkip here (each start yields one pair), the pruning shows on
+    // looping patterns
+    val loop = Cep.SequencePattern(
+      Seq(Cep.Step("e", _.event_type == "error", oneOrMore = true)),
+      withinMs = 60L * 60 * 1000, strict = true, skip = Cep.SkipToNext)
+    val loopMatches = Cep.advance(loop, 1L, events, init)._1.map(_.event_ids)
+    // one match per start event: the shortest from each start
+    assert(loopMatches == Seq(Seq(1L), Seq(2L), Seq(3L), Seq(4L)))
+  }
+
+  test("streaming CEP: greedy run spanning micro-batches emits once on break") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val p = Cep.SequencePattern(
+      Seq(
+        Cep.Step("errs", _.event_type == "error", oneOrMore = true, greedy = true),
+        Cep.Step("rec", _.event_type != "error")
+      ),
+      withinMs = 60L * 60 * 1000,
+      strict = true,
+      skip = Cep.SkipPastLastEvent
+    )
+    val in = MemoryStream[Event]
+    val q = Cep.detectStream(in.toDS(), p)
+      .writeStream.format("memory").queryName("cep_greedy_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 9, "error", 0.0), Event(2, ts(2), 9, "error", 0.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cep_greedy_out").count() == 0) // loop still open
+      in.addData(Event(3, ts(4), 9, "error", 0.0), Event(4, ts(6), 9, "view", 0.0))
+      q.processAllAvailable()
+      val m = spark.sql("SELECT event_ids FROM cep_greedy_out").collect()
+      assert(m.length == 1 && m(0).getSeq[Long](0) == Seq(1L, 2L, 3L, 4L))
     } finally q.stop()
   }
 
