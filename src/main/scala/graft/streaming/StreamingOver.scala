@@ -63,6 +63,56 @@ object StreamingOver {
       }
   }
 
+  final case class TimedVal(micros: Long, value: Double)
+  final case class RangeState(buf: Seq[TimedVal])
+  final case class RangeOut(user_id: Long, event_id: Long, range_sum: Double, range_n: Long)
+
+  /** RANGE BETWEEN INTERVAL x PRECEDING AND CURRENT ROW over event
+    * time, per key (reference: flink-table-runtime-blink/.../over/
+    * RowTimeRangeBoundedPrecedingFunction.java:1-296). State is the
+    * time-bounded buffer of (timestamp, value) pairs inside the frame;
+    * each incoming event evicts entries older than `rangeMs`, joins the
+    * buffer, and emits the frame aggregate. Rows tied on the timestamp
+    * share one frame (SQL RANGE semantics: the frame bound is a time
+    * predicate, so all peers of the current row are inside it), which
+    * is why events are processed per distinct timestamp, exactly like
+    * the reference's per-timestamp record lists.
+    *
+    * State per key is bounded by the range width — the streaming analog
+    * of a 100 TB-safe windowed buffer. Cross-batch order is arrival
+    * order; pair with [[temporalSort]] upstream for strict event-time.
+    */
+  def rangePrecedingAggregate(events: Dataset[Event], rangeMs: Long): Dataset[RangeOut] = {
+    import events.sparkSession.implicits._
+    val rangeMicros = rangeMs * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Event], state: GroupState[RangeState]) =>
+          var buf = state.getOption.map(_.buf).getOrElse(Seq.empty)
+          val sorted = rows.toSeq
+            .map(e => (e.ts.getTime * 1000L + (e.ts.getNanos % 1000000) / 1000, e))
+            .sortBy { case (us, e) => (us, e.event_id) }
+          val out = Seq.newBuilder[RangeOut]
+          // consecutive runs of equal timestamps form one frame update
+          var i = 0
+          while (i < sorted.size) {
+            val ts = sorted(i)._1
+            var j = i
+            while (j < sorted.size && sorted(j)._1 == ts) j += 1
+            val tied = sorted.slice(i, j)
+            buf = buf.filter(_.micros >= ts - rangeMicros) ++
+              tied.map { case (us, e) => TimedVal(us, e.value) }
+            val s = buf.map(_.value).sum
+            val n = buf.size.toLong
+            tied.foreach { case (_, e) => out += RangeOut(key, e.event_id, s, n) }
+            i = j
+          }
+          if (buf.isEmpty) state.remove() else state.update(RangeState(buf))
+          out.result().iterator
+      }
+  }
+
   /** Late-data side output (reference WindowedStream.sideOutputLateData
     * — Structured Streaming silently drops late rows, so the capture
     * is an explicit split): rows older than the high-watermark minus

@@ -50,6 +50,75 @@ class StreamingOverSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time RANGE-preceding OVER evicts by time, keeps ts-peers in one frame") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    // 10-minute range frame
+    val q = StreamingOver.rangePrecedingAggregate(in.toDS(), rangeMs = 10L * 60 * 1000)
+      .writeStream.format("memory").queryName("range_out").outputMode("append").start()
+    try {
+      in.addData(
+        Event(1, ts(0), 1, "a", 10.0),
+        Event(2, ts(5), 1, "a", 5.0),
+        Event(3, ts(5), 1, "a", 2.0) // ts-peer of event 2: shares its frame
+      )
+      q.processAllAvailable()
+      // cross-batch: event at :12 evicts the :0 row, keeps the :5 peers
+      in.addData(Event(4, ts(12), 1, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_id, range_sum, range_n FROM range_out ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(rows.toSeq == Seq(
+        (1L, 10.0, 1L),   // [10]
+        (2L, 17.0, 3L),   // peers share the frame: [10, 5, 2]
+        (3L, 17.0, 3L),
+        (4L, 8.0, 3L)     // :0 evicted: [5, 2, 1]
+      ))
+    } finally q.stop()
+  }
+
+  test("streaming RANGE frame equals the batch RANGE window at sf0.01") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = Engine.Tables(spark, "/root/testdata/sf0.01").events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    // batch truth: SQL RANGE frame over the same data
+    events.createOrReplaceTempView("range_spec_events")
+    val expected = spark.sql("""
+      SELECT event_id,
+             sum(value) OVER w AS range_sum,
+             count(*)  OVER w AS range_n
+      FROM range_spec_events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+    """).collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    // stream the same rows in two event-time-ordered micro-batches
+    val all = events.collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val mid = all(all.length / 2).ts
+    val in = MemoryStream[Event]
+    val q = StreamingOver.rangePrecedingAggregate(in.toDS(), rangeMs = 10L * 60 * 1000)
+      .writeStream.format("memory").queryName("range_sf_out").outputMode("append").start()
+    try {
+      in.addData(all.filter(!_.ts.after(mid)).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(all.filter(_.ts.after(mid)).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, range_sum, range_n FROM range_sf_out")
+        .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+      assert(got.size == expected.size)
+      var checked = 0
+      expected.foreach { case (id, (sv, n)) =>
+        val (gsv, gn) = got(id)
+        assert(gn == n, s"event $id frame count: $gn vs $n")
+        assert(math.abs(gsv - sv) < 1e-6, s"event $id frame sum: $gsv vs $sv")
+        checked += 1
+      }
+      assert(checked == expected.size)
+    } finally q.stop()
+  }
+
   test("late-data split separates rows behind the watermark delay") {
     val t = Engine.Tables(spark, "/root/testdata/sf0.001")
     val (onTime, late) = StreamingOver.splitLate(t.events, "ts", "1 DAY")
