@@ -245,6 +245,42 @@ object MiscQueries extends QueryModule {
               FROM (SELECT string_split(text, ' ') AS words FROM documents))
         GROUP BY bigram
       """)
+    ),
+    // Two-input keyed coprocess (reference ConnectedStreams /
+    // KeyedCoProcessFunction): a control stream of customer segments
+    // feeds per-key state; the order stream reads it to enrich each
+    // order. Control-before-data ordering makes the bounded run equal
+    // a left join, which is the oracle.
+    QueryDef(
+      "q_coprocess_enrich",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val orders = t.orders
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .as[CoOrder]
+        val controls = t.customer
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .as[CoSegment]
+        graft.streaming.CoProcess
+          .connect(orders, controls)(_.o_custkey, _.c_custkey)(
+            onLeft = (k, o, st: Option[String]) =>
+              (st, Seq(CoEnriched(o.o_orderkey, k, st.getOrElse("unknown"), o.o_totalprice))),
+            onRight = (_, c, _: Option[String]) =>
+              (Some(c.c_mktsegment), Seq.empty[CoEnriched])
+          )
+          .toDF()
+      },
+      Some("""
+        SELECT o.o_orderkey AS order_key, o.o_custkey AS cust_key,
+               coalesce(c.c_mktsegment, 'unknown') AS segment,
+               o.o_totalprice AS total
+        FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      """)
     )
   )
+
+  final case class CoOrder(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+  final case class CoSegment(c_custkey: Long, c_mktsegment: String)
+  final case class CoEnriched(order_key: Long, cust_key: Long, segment: String, total: Double)
 }
