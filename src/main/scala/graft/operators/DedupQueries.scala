@@ -206,6 +206,15 @@ object MinHashLsh {
   private val NumHashes = graft.functions.MinHashSignature.NumHashes
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
+  /** Band buckets larger than this are dropped before the self-join: a
+    * degenerate bucket (a boilerplate shingle-set shared by millions of
+    * docs) would turn the bucket-equi join quadratic on one hot key —
+    * the df-cap convention from shingle-index dedup. Pairs inside a
+    * dropped bucket stay reachable through their 15 other bands, so
+    * recall degrades gracefully instead of the job degrading
+    * quadratically.
+    */
+  val MaxBucketSize = 10000
 
   /** Candidate pairs from band buckets, verified with exact Jaccard on
     * the original shingle sets.
@@ -229,10 +238,24 @@ object MinHashLsh {
     val bandHashes = (0 until Bands).map(b =>
       hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b))
     )
-    val banded = sig.select(
+    val bandedAll = sig.select(
       col("doc_id"),
       posexplode(array(bandHashes: _*)).as(Seq("band", "bucket"))
     )
+    // hot-bucket guard: the over-cap bucket list is tiny by
+    // construction (map-side combine collapses the count shuffle), so
+    // it broadcasts, and the anti-join costs almost nothing when no
+    // bucket is hot — unlike a window count, which would sort the
+    // whole banded table
+    val hotBuckets = bandedAll
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > MaxBucketSize)
+      .select(col("band"), col("bucket"))
+    // persisted: both sides of the self-join read the guarded table
+    val banded = bandedAll
+      .join(broadcast(hotBuckets), Seq("band", "bucket"), "left_anti")
+      .persist()
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("d2"))
     val cand = l
@@ -278,11 +301,23 @@ object SimHash {
     val bandCols = (0 until HamBands).map(b =>
       shiftright(col("sig"), b * (Bits / HamBands)).bitwiseAND(lit(0xffffL))
     )
-    val banded = sig.select(
+    val bandedAll = sig.select(
       col("doc_id"),
       col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket"))
     )
+    // same hot-bucket guard as MinHashLsh: a 16-bit band value shared
+    // by a huge near-identical corpus slice would explode the
+    // self-join; pairs keep 3 other bands
+    val hotBuckets = bandedAll
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > MinHashLsh.MaxBucketSize)
+      .select(col("band"), col("bucket"))
+    // persisted: both sides of the self-join read the guarded table
+    val banded = bandedAll
+      .join(broadcast(hotBuckets), Seq("band", "bucket"), "left_anti")
+      .persist()
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("d2"), col("sig").as("sig2"))
     l.join(r, Seq("band", "bucket"))

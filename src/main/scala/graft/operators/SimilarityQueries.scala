@@ -92,6 +92,9 @@ object SimilarityQueries extends QueryModule {
     def bucket(t: Int): Column = concat(
       planeCoeffs(t).map(pc => when(dot(col("v"), pc) >= 0, "1").otherwise("0")): _*
     )
+    // persisted: the hyperplane bucket assignment (planes × dim dot
+    // products per row) is the expensive part and feeds three
+    // consumers — hot-bucket scan, query side, candidate side
     val withBuckets = e
       .withColumn("n2", dot(col("v"), col("v")))
       .select(
@@ -100,7 +103,7 @@ object SimilarityQueries extends QueryModule {
         col("n2"),
         posexplode(array((0 until numTables).map(bucket): _*))
           .as(Seq("tbl", "bucket"))
-      )
+      ).persist()
     val q = withBuckets
       .filter(col("vec_id") < nQueries)
       .select(
@@ -110,13 +113,25 @@ object SimilarityQueries extends QueryModule {
         col("tbl"),
         col("bucket")
       )
-    val c = withBuckets.select(
-      col("vec_id").as("cand_id"),
-      col("v").as("cv"),
-      col("n2").as("cn"),
-      col("tbl"),
-      col("bucket")
-    )
+    // hot-bucket guard: a bucket holding a giant slice of the corpus
+    // (e.g. the all-zeros region of a degenerate embedding model) would
+    // make the bucket join quadratic; candidates keep numTables-1 other
+    // tables, so recall degrades gracefully. The over-cap list is tiny
+    // by construction, so it broadcasts.
+    val hotBuckets = withBuckets
+      .groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > MinHashLsh.MaxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val c = withBuckets
+      .join(broadcast(hotBuckets), Seq("tbl", "bucket"), "left_anti")
+      .select(
+        col("vec_id").as("cand_id"),
+        col("v").as("cv"),
+        col("n2").as("cn"),
+        col("tbl"),
+        col("bucket")
+      )
     val scored = c
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("cand_id"))

@@ -168,7 +168,10 @@ object TextQueries extends QueryModule {
     ),
     // TF-IDF: term frequency × inverse document frequency, top term
     // per document — the classic relevance-scoring pass (explode →
-    // two aggregations → broadcast-joined idf → ranked).
+    // two aggregations → idf join → ranked). The idf join is left
+    // unhinted: a web-scale vocabulary (1e8+ terms) does not fit a
+    // broadcast, and AQE already broadcasts small idf tables on its
+    // own at runtime.
     QueryDef(
       "q_text_tfidf",
       (s, dir) => {
@@ -188,7 +191,7 @@ object TextQueries extends QueryModule {
           .agg(count(lit(1)).as("df"))
           .withColumn("idf", log(lit(nDocs.toDouble) / col("df")))
         val scored = tf
-          .join(broadcast(df_), "word")
+          .join(df_, "word")
           .withColumn("tfidf", round(col("tf") * col("idf"), 6))
         val w = Window
           .partitionBy(col("doc_id"))
