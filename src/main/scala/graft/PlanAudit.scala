@@ -18,9 +18,12 @@ object PlanAudit {
       "q_ann_brute_force"
     )
     // NLJ is the *intended* strategy for the contains-join (theta
-    // predicate) and the brute-force ANN (deliberate small cross).
+    // predicate), the brute-force ANN (deliberate small cross), and
+    // the idle-customers scalar subquery (1-row broadcast avg joined
+    // to every candidate row).
     val crossAllowed = Set(
-      "q_join_static_contains", "q_join_cross", "q_ann_brute_force", "q_ann_lsh"
+      "q_join_static_contains", "q_join_cross", "q_ann_brute_force", "q_ann_lsh",
+      "q_flagship_idle_customers"
     )
 
     var failures = 0

@@ -248,6 +248,180 @@ object FlagshipQueries extends QueryModule {
                to_base64(p_brand::BLOB) AS brand_b64
         FROM part
       """)
+    ),
+    // Q5 analog — local-supplier revenue: 6-way join where customer
+    // and supplier must sit in the same nation, region-filtered.
+    // nation/region broadcast (truly tiny); customer/orders/supplier
+    // shuffle on their keys — at TPC-H scale those sides are large,
+    // and AQE upgrades them to broadcasts at small SF on its own.
+    QueryDef(
+      "q_flagship_local_supplier",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(
+            t.supplier,
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey")
+          )
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_items")
+          )
+      },
+      Some("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+      """)
+    ),
+    // Q19 analog — discounted revenue under disjunctive brand/size/
+    // quantity predicates: the planner must push the OR-of-ANDs into
+    // the join without falling back to a cartesian.
+    QueryDef(
+      "q_flagship_disjunctive",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val cond1 = col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+        val cond2 = col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+        val cond3 = col("p_brand") === "Brand#34" &&
+          col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+        t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .filter(cond1 || cond2 || cond3)
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_items")
+          )
+      },
+      Some("""
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+      """)
+    ),
+    // Q21 analog — suppliers who kept a multi-supplier order waiting:
+    // late supplier (semi-join: another supplier exists on the order)
+    // with no other late supplier (anti-join). The semi+anti chain on
+    // one fact table is the planner shape under test.
+    QueryDef(
+      "q_flagship_waiting_supplier",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val li = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        val late = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val l1 = late.as("l1")
+        val withOther = l1.join(
+          li.as("o2"),
+          col("l1.l_orderkey") === col("o2.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("o2.l_suppkey"),
+          "left_semi"
+        )
+        val soleLate = withOther.join(
+          late.as("o3"),
+          col("l1.l_orderkey") === col("o3.l_orderkey") &&
+            col("l1.l_suppkey") =!= col("o3.l_suppkey"),
+          "left_anti"
+        )
+        soleLate
+          .join(broadcast(t.supplier), col("l1.l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""
+        WITH late AS (
+          SELECT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM late l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE EXISTS (SELECT 1 FROM lineitem o2
+                      WHERE o2.l_orderkey = l1.l_orderkey
+                        AND o2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late o3
+                          WHERE o3.l_orderkey = l1.l_orderkey
+                            AND o3.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+      """)
+    ),
+    // Q22 analog — promising idle customers: name-suffix code in a
+    // set, balance above the positive-balance average (scalar
+    // subquery), and no urgent orders (NOT EXISTS / anti-join; this
+    // synthetic set gives every customer *some* order, so the classic
+    // "no orders at all" predicate would be vacuous).
+    QueryDef(
+      "q_flagship_idle_customers",
+      (s, dir) => {
+        val t = tables(s, dir)
+        // the scalar average stays in the plan as a broadcast 1-row
+        // cross join — no driver round-trip
+        val avgBal = t.customer
+          .filter(col("c_acctbal") > 0)
+          .agg(avg(col("c_acctbal")).as("__avg"))
+        val codes = Seq("01", "13", "25", "37", "49")
+        t.customer
+          .withColumn("code", substring(col("c_name"), -2, 2))
+          .filter(col("code").isInCollection(codes))
+          .crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("__avg"))
+          .join(
+            t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti"
+          )
+          .groupBy(col("code"))
+          .agg(
+            count(lit(1)).as("numcust"),
+            round(sum(col("c_acctbal")), 4).as("totacctbal")
+          )
+      },
+      Some("""
+        SELECT substring(c_name, length(c_name) - 1, 2) AS code,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 4) AS totacctbal
+        FROM customer c
+        WHERE substring(c_name, length(c_name) - 1, 2)
+                IN ('01', '13', '25', '37', '49')
+          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY code
+      """)
     )
   )
 }
