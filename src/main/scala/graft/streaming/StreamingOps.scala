@@ -105,6 +105,39 @@ object StreamingOps {
     )
   }
 
+  final case class CountWinState(batch_id: Long, n: Long, sum: Double)
+  final case class CountWin(user_id: Long, batch_id: Long, n: Long, sv: Double)
+
+  /** Count-trigger window (reference KeyedStream.countWindow /
+    * windowing/triggers/CountTrigger.java): per key, the trigger fires
+    * and emits exactly when the `size`-th event arrives; the partial
+    * window stays in O(1) keyed state across micro-batches (an
+    * unbounded stream never flushes a partial — same as the
+    * reference's purging count trigger). Output rows match the batch
+    * count-window query's full windows (q_count_window with n = size).
+    */
+  def countTriggerWindow(events: Dataset[Event], size: Int): Dataset[CountWin] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Event], state: GroupState[CountWinState]) =>
+          var st = state.getOption.getOrElse(CountWinState(0L, 0L, 0.0))
+          val out = Seq.newBuilder[CountWin]
+          rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              st = CountWinState(st.batch_id, st.n + 1, st.sum + e.value)
+              if (st.n == size) {
+                out += CountWin(key, st.batch_id, size.toLong, st.sum)
+                st = CountWinState(st.batch_id + 1, 0L, 0.0)
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class TopNState(top: Seq[(Double, Long)])
   final case class TopNOut(user_id: Long, rank: Int, event_id: Long, value: Double)
 

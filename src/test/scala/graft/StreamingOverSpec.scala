@@ -119,6 +119,46 @@ class StreamingOverSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("count-trigger window equals the batch count window's full windows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val events = Engine.Tables(spark, "/root/testdata/sf0.001").events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    // batch truth: row_number batches of 5, FULL windows only (the
+    // streaming trigger never fires for a partial window)
+    events.createOrReplaceTempView("cw_spec_events")
+    val expected = spark.sql("""
+      SELECT user_id, batch_id, count(*) AS n, round(sum(value), 4) AS sv
+      FROM (SELECT user_id, value,
+                   CAST(floor((row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) - 1) / 5) AS BIGINT) AS batch_id
+            FROM cw_spec_events)
+      GROUP BY user_id, batch_id
+      HAVING count(*) = 5
+    """).collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // stream the same rows in two event-time-ordered micro-batches so
+    // windows span the batch boundary
+    val all = events.collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val mid = all(all.length / 2).ts
+    val in = MemoryStream[Event]
+    val q = StreamingOps.countTriggerWindow(in.toDS(), size = 5)
+      .writeStream.format("memory").queryName("cw_out").outputMode("append").start()
+    try {
+      in.addData(all.filter(!_.ts.after(mid)).toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(all.filter(_.ts.after(mid)).toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, batch_id, n, round(sv, 4) AS sv FROM cw_out")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.size == expected.size, s"${got.size} windows vs ${expected.size}")
+      expected.foreach { case (k, (n, sv)) =>
+        val (gn, gsv) = got(k)
+        assert(gn == n && math.abs(gsv - sv) < 1e-6, s"window $k: ($gn,$gsv) vs ($n,$sv)")
+      }
+    } finally q.stop()
+  }
+
   test("late-data split separates rows behind the watermark delay") {
     val t = Engine.Tables(spark, "/root/testdata/sf0.001")
     val (onTime, late) = StreamingOver.splitLate(t.events, "ts", "1 DAY")
