@@ -422,6 +422,199 @@ object FlagshipQueries extends QueryModule {
                             AND o.o_orderpriority = '1-URGENT')
         GROUP BY code
       """)
+    ),
+    // Q4 analog — order-priority checking: orders with at least one
+    // late lineitem (EXISTS → left-semi), counted per priority.
+    QueryDef(
+      "q_flagship_priority_check",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val lateKeys = t.lineitem
+          .join(
+            t.orders.select(col("o_orderkey").as("ok"), col("o_orderdate").as("od")),
+            col("l_orderkey") === col("ok")
+          )
+          .filter(col("l_shipdate") > col("od") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"))
+        t.orders
+          .join(lateKeys, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+      """)
+    ),
+    // Q7 analog — volume shipping between two nations: supplier nation
+    // and customer nation joined independently (the two-alias nation
+    // join shape), yearly revenue for both directions of one pair.
+    QueryDef(
+      "q_flagship_two_nation_volume",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val n1 = t.nation
+          .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+        val n2 = t.nation
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+        t.lineitem
+          .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .filter(
+            (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+              (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3")
+          )
+          .groupBy(
+            col("supp_nation"),
+            col("cust_nation"),
+            year(col("l_shipdate")).as("l_year")
+          )
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+              .as("revenue")
+          )
+      },
+      Some("""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 4) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+      """)
+    ),
+    // Q9 analog — product-type profit by nation and year. No partsupp
+    // table in this set, so supply cost is proxied from p_retailprice.
+    QueryDef(
+      "q_flagship_profit",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_name").contains("red"))
+          .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+          .agg(
+            round(
+              sum(
+                col("l_extendedprice") * (lit(1) - col("l_discount")) -
+                  col("p_retailprice") * lit(0.5) * col("l_quantity")
+              ),
+              4
+            ).as("profit")
+          )
+      },
+      Some("""
+        SELECT n_name, CAST(year(l_shipdate) AS INT) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * 0.5 * l_quantity), 4) AS profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year
+      """)
+    ),
+    // Q13 analog — customer order-count distribution: left outer join
+    // with a filtered ON clause, two stacked aggregations.
+    QueryDef(
+      "q_flagship_order_distribution",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val perCust = t.customer
+          .join(
+            t.orders.filter(!col("o_orderpriority").startsWith("1")),
+            col("c_custkey") === col("o_custkey"),
+            "left_outer"
+          )
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+      """)
+    ),
+    // Q16 analog — supplier diversity per part class: NOT-IN exclusion
+    // subquery + count(DISTINCT) (lineitem stands in for partsupp).
+    QueryDef(
+      "q_flagship_supplier_diversity",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val badSupp = t.supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        t.lineitem
+          .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_brand") =!= "Brand#45" && col("p_size").isin(1, 4, 9, 16, 25, 36))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_size IN (1, 4, 9, 16, 25, 36)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+      """)
+    ),
+    // Q17 analog — small-quantity-order revenue: correlated per-part
+    // average (decorrelated to an aggregate join), single-row answer.
+    QueryDef(
+      "q_flagship_small_quantity",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val partAvg = t.lineitem
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(avg(col("l_quantity")).as("avg_qty"))
+        t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_brand") === "Brand#23")
+          .join(partAvg, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+      },
+      Some("""
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = lineitem.l_partkey)
+      """)
     )
   )
 }
