@@ -73,10 +73,73 @@ object FormatQueries extends QueryModule {
       )
   }
 
+  /** Gzip-compressed CSV round-trip (reference
+    * flink-formats compression support / StandardDeCompressors): the
+    * writer produces .csv.gz part files; the reader's codec inference
+    * decompresses transparently.
+    */
+  private def compressedRoundTrip(s: SparkSession, dir: String) = {
+    val src = tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val path = scratch("csv_gz")
+    src.write.mode("overwrite").option("compression", "gzip").csv(path)
+    s.read.schema(schema).csv(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key")
+      )
+  }
+
+  /** Hadoop SequenceFile round-trip (reference
+    * flink-formats/flink-sequence-file): key = orderkey, value = a
+    * tab-separated record, via the RDD API (SequenceFiles are a
+    * Hadoop-native container with no DSv2 reader; this is the one
+    * place the RDD bridge is the idiomatic Spark surface).
+    */
+  private def sequenceFileRoundTrip(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val path = scratch("seq")
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .as[(Long, String, Double)]
+      .rdd
+      .map { case (k, st, price) => (k, s"$st\t$price") }
+      .saveAsSequenceFile(path)
+    s.sparkContext
+      .sequenceFile[Long, String](path)
+      .map { case (k, v) =>
+        val Array(st, price) = v.split("\t")
+        (k, st, price.toDouble)
+      }
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key")
+      )
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_source_csv_roundtrip", (s, dir) => roundTrip(s, dir, "csv"), Some(oracle)),
     QueryDef("q_source_json_roundtrip", (s, dir) => roundTrip(s, dir, "json"), Some(oracle)),
     QueryDef("q_source_orc_roundtrip", (s, dir) => roundTrip(s, dir, "orc"), Some(oracle)),
-    QueryDef("q_source_jdbc_roundtrip", (s, dir) => jdbcRoundTrip(s, dir), Some(oracle))
+    QueryDef("q_source_jdbc_roundtrip", (s, dir) => jdbcRoundTrip(s, dir), Some(oracle)),
+    QueryDef(
+      "q_source_csv_gzip_roundtrip",
+      (s, dir) => compressedRoundTrip(s, dir),
+      Some(oracle)
+    ),
+    QueryDef(
+      "q_source_sequencefile_roundtrip",
+      (s, dir) => sequenceFileRoundTrip(s, dir),
+      Some(oracle)
+    )
   )
 }
