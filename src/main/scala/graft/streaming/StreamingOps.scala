@@ -138,6 +138,45 @@ object StreamingOps {
       }
   }
 
+  final case class DeltaWinState(
+      has_base: Boolean, base: Double, n: Long, sum: Double, fires: Long)
+  final case class DeltaWin(user_id: Long, trigger_id: Long, n: Long, sv: Double, fire_value: Double)
+
+  /** Delta trigger (reference windowing/triggers/DeltaTrigger.java):
+    * the window fires for a key when the current element's value
+    * drifts more than `threshold` from the value that fired the last
+    * window (the DeltaFunction here is |a - b|). The accumulating
+    * window (count, sum) and the last fire value are O(1) keyed state
+    * across micro-batches; the partial window after the last fire
+    * never emits, like any purging trigger on an unbounded stream.
+    */
+  def deltaTriggerWindow(events: Dataset[Event], threshold: Double): Dataset[DeltaWin] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Event], state: GroupState[DeltaWinState]) =>
+          var st = state.getOption.getOrElse(DeltaWinState(false, 0.0, 0L, 0.0, 0L))
+          val out = Seq.newBuilder[DeltaWin]
+          rows.toSeq
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              st = st.copy(n = st.n + 1, sum = st.sum + e.value)
+              if (!st.has_base) {
+                // first element establishes the baseline (the
+                // reference seeds the delta function with the first
+                // element, which cannot fire)
+                st = DeltaWinState(true, e.value, st.n, st.sum, st.fires)
+              } else if (math.abs(e.value - st.base) > threshold) {
+                out += DeltaWin(key, st.fires, st.n, st.sum, e.value)
+                st = DeltaWinState(true, e.value, 0L, 0.0, st.fires + 1)
+              }
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   final case class TopNState(top: Seq[(Double, Long)])
   final case class TopNOut(user_id: Long, rank: Int, event_id: Long, value: Double)
 

@@ -159,6 +159,33 @@ class StreamingOverSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("delta trigger fires on value drift past the threshold, across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamingOps.deltaTriggerWindow(in.toDS(), threshold = 5.0)
+      .writeStream.format("memory").queryName("delta_out").outputMode("append").start()
+    try {
+      // base=10; 12, 14 stay within 5; 16 drifts 6 → fire (n=4 incl.
+      // base element, sum=52)
+      in.addData(
+        Event(1, ts(0), 1, "a", 10.0), Event(2, ts(1), 1, "a", 12.0),
+        Event(3, ts(2), 1, "a", 14.0), Event(4, ts(3), 1, "a", 16.0))
+      q.processAllAvailable()
+      // new base=16 persisted across the batch boundary: 18 within 5,
+      // 25 drifts 9 → second fire (n=2, sum=43)
+      in.addData(Event(5, ts(4), 1, "a", 18.0), Event(6, ts(5), 1, "a", 25.0))
+      q.processAllAvailable()
+      // 27 within 5 of 25 → partial window, never emitted
+      in.addData(Event(7, ts(6), 1, "a", 27.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT trigger_id, n, sv, fire_value FROM delta_out ORDER BY trigger_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      assert(rows.toSeq == Seq((0L, 4L, 52.0, 16.0), (1L, 2L, 43.0, 25.0)))
+    } finally q.stop()
+  }
+
   test("late-data split separates rows behind the watermark delay") {
     val t = Engine.Tables(spark, "/root/testdata/sf0.001")
     val (onTime, late) = StreamingOver.splitLate(t.events, "ts", "1 DAY")
