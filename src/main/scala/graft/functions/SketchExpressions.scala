@@ -5,17 +5,20 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot inner loops of the
   * dedup/similarity operators. The declarative formulations
   * (aggregate/zip_with folds) are interpreted per element — fine for
   * correctness baselines, ~50x too slow for a 100 TB pass. These run
-  * as tight JVM loops over ArrayData; DotProduct additionally
-  * participates in whole-stage codegen.
+  * as tight JVM loops over ArrayData, and all four participate in
+  * whole-stage codegen: the generated code calls the statically
+  * compiled kernel below (one JIT-compiled method call per row), so a
+  * projection containing them never falls back to interpreted
+  * per-expression eval.
   */
 object SketchExpressions {
 
@@ -92,13 +95,31 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * Coefficients come from a fixed LCG so results are stable across
   * JVMs/sessions.
   */
-case class MinHashSignature(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  import MinHashSignature._
+case class MinHashSignature(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashSignature.compute($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSignature {
+  val NumHashes = 64
+  val P = 2147483647L // 2^31 - 1
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue)
+  val As: Array[Long] = lcg(42L).map(x => (x % (P - 1)) + 1).take(NumHashes).toArray
+  val Bs: Array[Long] = lcg(7L).map(_ % P).take(NumHashes).toArray
+
+  /** The kernel: statically compiled, called from both interpreted
+    * eval and generated code.
+    */
+  def compute(arr: ArrayData): ArrayData = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     var j = 0
     val n = arr.numElements()
@@ -118,17 +139,6 @@ case class MinHashSignature(child: Expression)
     }
     new GenericArrayData(sig)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-object MinHashSignature {
-  val NumHashes = 64
-  val P = 2147483647L // 2^31 - 1
-  private def lcg(seed: Long): Iterator[Long] =
-    Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue)
-  val As: Array[Long] = lcg(42L).map(x => (x % (P - 1)) + 1).take(NumHashes).toArray
-  val Bs: Array[Long] = lcg(7L).map(_ % P).take(NumHashes).toArray
 }
 
 /** Distinct 3-word shingles of a whitespace-tokenized text, as one
@@ -138,13 +148,25 @@ object MinHashSignature {
   * with string_split tokenization: empty tokens are kept, docs under 3
   * words yield an empty array.
   */
-case class WordShingles(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.split(" ", -1)
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordShingles.compute($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object WordShingles {
+  /** The kernel: statically compiled, called from both interpreted
+    * eval and generated code.
+    */
+  def compute(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
     if (words.length < 3) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new java.util.LinkedHashSet[String]()
@@ -157,25 +179,35 @@ case class WordShingles(child: Expression)
       val it = seen.iterator()
       var j = 0
       while (it.hasNext) {
-        out(j) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+        out(j) = UTF8String.fromString(it.next())
         j += 1
       }
       new GenericArrayData(out)
     }
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 64-bit SimHash of a token array (multiset-weighted sign sketch),
   * murmur3-based with two 32-bit halves per token.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHash64.compute($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64 {
+  /** The kernel: statically compiled, called from both interpreted
+    * eval and generated code.
+    */
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var j = 0
     val n = arr.numElements()
@@ -201,8 +233,6 @@ case class SimHash64(child: Expression)
       if (counts(i) > 0) sig |= (1L << i)
       i += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

