@@ -23,7 +23,8 @@ object SparkEntry {
     operators.CepQueries,
     operators.ChangelogQueries,
     operators.FlagshipQueries,
-    operators.CollectionQueries
+    operators.CollectionQueries,
+    operators.EvictorQueries
   )
 
   private lazy val all: Seq[QueryDef] = {
