@@ -147,6 +147,104 @@ object SimilarityQueries extends QueryModule {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    * the hyperplane LSH: a small k-means codebook partitions the corpus
+    * into `nLists` cells; a query probes only its `nProbe` nearest
+    * cells and rescores those candidates exactly. At scale the index
+    * build is one narrow pipeline over the corpus (assignment is a
+    * broadcast argmin, the codebook update shuffles k×dim cells), and
+    * the search join is list-equi instead of cross.
+    *
+    * Determinism: seed centroids are the evenly-spaced vec_ids, Lloyd
+    * updates average in a fixed element order, and every argmin breaks
+    * ties on the centroid id — stable across runs and partitionings.
+    * The codebook (k×dim doubles) is the only driver-side state, the
+    * same footprint any k-means keeps.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    graft.functions.SketchExpressions.register(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val s = emb.sparkSession
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .persist()
+    val n = e.count()
+    val step = math.max(1L, n / nLists)
+
+    def centroidDf(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      import s.implicits._
+      cents.toDF("list_id", "cv").withColumn("cn2", dot(col("cv"), col("cv")))
+    }
+
+    /** nearest-centroid assignment: broadcast codebook, argmin of
+      * squared euclidean, ties to the lower list id
+      */
+    def assign(df: DataFrame, cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("list_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("dist2", col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "dist2", "cv", "cn2")
+    }
+
+    // seed codebook: evenly-spaced vec_ids
+    var codebook = e
+      .filter(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id"))
+      .limit(nLists)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](r.fieldIndex("v"))) }
+      .toSeq
+    // Lloyd iterations: elementwise mean per cell via posexplode —
+    // the shuffle is k×dim cells, independent of corpus size
+    for (_ <- 1 to lloydIters) {
+      val assigned = assign(e, centroidDf(codebook))
+      codebook = assigned
+        .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("list_id"), col("pm.m").as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toSeq
+        .sortBy(_._1)
+    }
+
+    val cents = centroidDf(codebook)
+    val lists = assign(e, cents) // (vec_id, v, n2, list_id)
+    // each query probes its nProbe nearest cells
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("list_id"))
+    val probes = e
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2", col("qn") - lit(2.0) * dot(col("qv"), col("cv")) + col("cn2"))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("list_id"))
+    val scored = lists
+      .join(probes, "list_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn"), col("n2")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_brute_force",
@@ -172,6 +270,11 @@ object SimilarityQueries extends QueryModule {
       "q_ann_lsh",
       (s, dir) => lshTopK(tables(s, dir).embeddings, 10, 5, 4, 64),
       None
+    ),
+    QueryDef(
+      "q_ann_ivf",
+      (s, dir) => ivfTopK(tables(s, dir).embeddings, 10, 5),
+      None // probabilistic recall — spec-checked against brute force
     )
   )
 }

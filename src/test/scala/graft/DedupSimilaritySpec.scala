@@ -63,6 +63,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"LSH recall degenerate: $recall")
   }
 
+  test("IVF ANN probes its cells and keeps sane recall vs brute force") {
+    val brute = SparkEntry
+      .queries("q_ann_brute_force")(spark, dir)
+      .select("q_id", "cand_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ivf = SparkEntry
+      .queries("q_ann_ivf")(spark, dir)
+      .select("q_id", "cand_id", "rnk")
+      .collect()
+    assert(ivf.nonEmpty, "IVF should return neighbors for some queries")
+    // every query returns at most k candidates, ranked densely
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= 5, s"query $q returned ${rows.length} > k")
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length), s"query $q ranks")
+    }
+    // nprobe=4 of 16 cells on these random embeddings simulates to
+    // recall ≈ 0.54; demand non-degenerate with margin
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivfPairs & brute).size.toDouble / brute.size
+    assert(recall > 0.25, s"IVF recall degenerate: $recall")
+    // determinism: the deterministic codebook must reproduce exactly
+    val again = SparkEntry.queries("q_ann_ivf")(spark, dir)
+      .select("q_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivfPairs, "IVF result not deterministic")
+  }
+
   test("exact dedup groups every document") {
     val t = Engine.Tables(spark, dir)
     val total = t.documents.count()
