@@ -438,6 +438,42 @@ object ScalarFunctionQueries extends QueryModule {
              v(code, rank_no, weight)
         WHERE rank_no > 1
       """)
+    ),
+    // PARSE_URL + OVERLAY (reference BuiltInFunctionDefinitions
+    // PARSE_URL / OVERLAY). DuckDB has neither, so the oracle rebuilds
+    // them from regexp/substr primitives — which also pins down the
+    // exact component semantics being claimed.
+    QueryDef(
+      "q_fn_url_overlay",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val url = concat(
+          lit("https://ex"), pmod(col("p_partkey"), lit(5)),
+          lit(".org/p/"), col("p_partkey"),
+          lit("?id="), col("p_partkey"), lit("&x=1")
+        )
+        t.part.select(
+          col("p_partkey"),
+          parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY"), lit("id")).as("qid"),
+          overlay(col("p_brand"), lit("XX"), lit(2)).as("brand_patched")
+        )
+      },
+      Some("""
+        WITH u AS (
+          SELECT p_partkey, p_brand,
+                 'https://ex' || (p_partkey % 5) || '.org/p/' || p_partkey
+                   || '?id=' || p_partkey || '&x=1' AS url
+          FROM part
+        )
+        SELECT p_partkey,
+               regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+               regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '[?&]id=([^&]*)', 1) AS qid,
+               substr(p_brand, 1, 1) || 'XX' || substr(p_brand, 4) AS brand_patched
+        FROM u
+      """)
     )
   )
 }

@@ -244,6 +244,43 @@ object TextQueries extends QueryModule {
                n_chars * 13 % 480 AS fake_height
         FROM documents
       """)
+    ),
+    // The composed training-data prep pass: exact dedup (keep lowest
+    // doc_id per content hash) → quality gate (length + token floor)
+    // → per-doc token stats. One narrow pipeline + one ranking
+    // shuffle — the shape a 100 TB corpus prep actually runs.
+    QueryDef(
+      "q_pipeline_prep",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = tables(s, dir)
+        val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        t.documents
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .withColumn("words", split(col("text"), " "))
+          .filter(length(col("text")) >= 200 && size(col("words")) >= 30)
+          .select(
+            col("doc_id"),
+            size(col("words")).as("n_tokens"),
+            length(col("text")).as("n_chars"),
+            round(length(col("text")).cast("double") / size(col("words")), 4)
+              .as("avg_tok_len")
+          )
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars,
+               round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
+                 AS avg_tok_len
+        FROM (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents
+        )
+        WHERE rn = 1 AND length(text) >= 200 AND len(string_split(text, ' ')) >= 30
+      """)
     )
   )
 }
