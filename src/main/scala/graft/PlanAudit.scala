@@ -18,12 +18,13 @@ object PlanAudit {
       "q_ann_brute_force"
     )
     // NLJ is the *intended* strategy for the contains-join (theta
-    // predicate), the brute-force ANN (deliberate small cross), and
-    // the idle-customers scalar subquery (1-row broadcast avg joined
-    // to every candidate row).
+    // predicate), the brute-force ANN (deliberate small cross), the
+    // idle-customers scalar subquery (1-row broadcast avg joined to
+    // every candidate row), and the IVF codebook assignment (k-row
+    // broadcast argmin against every vector).
     val crossAllowed = Set(
       "q_join_static_contains", "q_join_cross", "q_ann_brute_force", "q_ann_lsh",
-      "q_flagship_idle_customers"
+      "q_flagship_idle_customers", "q_ann_ivf"
     )
 
     var failures = 0

@@ -324,6 +324,55 @@ object JoinQueries extends QueryModule {
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
           ON p.user_id = s.user_id AND p.ts >= s.ts
       """)
+    ),
+    // Bucketed co-located join (§2.10 partitioning primitives): both
+    // sides written bucketed+sorted on the join key, so the sort-merge
+    // join reads bucket-aligned files with NO exchange — the plan a
+    // fact-dim join keeps at 100 TB when both tables are bucketed.
+    // The oracle is the identical join on the unbucketed parquet.
+    QueryDef(
+      "q_join_bucketed_colocated",
+      (s, dir) => {
+        val t = tables(s, dir)
+        s.sql("DROP TABLE IF EXISTS orders_bktq")
+        s.sql("DROP TABLE IF EXISTS customer_bktq")
+        // the catalog is per-process but the warehouse dir is not: a
+        // previous process's table data survives its metastore, and
+        // saveAsTable refuses to reuse the location
+        val warehouse = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"))
+        for (tb <- Seq("orders_bktq", "customer_bktq")) {
+          val d = new java.io.File(warehouse, tb)
+          if (d.exists()) {
+            d.listFiles().foreach(_.delete())
+            d.delete()
+          }
+        }
+        t.orders
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable("orders_bktq")
+        t.customer
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .mode("overwrite").saveAsTable("customer_bktq")
+        s.table("orders_bktq")
+          .join(s.table("customer_bktq"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 4).as("total"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key")
+          )
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n,
+               round(sum(o_totalprice), 4) AS total,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+      """)
     )
   )
 }

@@ -251,6 +251,41 @@ object MiscQueries extends QueryModule {
     // feeds per-key state; the order stream reads it to enrich each
     // order. Control-before-data ordering makes the bounded run equal
     // a left join, which is the oracle.
+    // Batch iteration (reference DataStream.iterate): transitive
+    // reachability over the order–supplier bipartite graph, BFS in a
+    // driver loop with distributed steps. The oracle is DuckDB's
+    // recursive CTE over the same edge list — the iteration fixpoint
+    // checked exactly.
+    QueryDef(
+      "q_iterations_reachability",
+      (s, dir) => {
+        val t = tables(s, dir)
+        // supplier nodes get negative ids to keep the two vertex
+        // domains disjoint
+        val edges = t.lineitem
+          .filter(col("l_suppkey") < 10 && col("l_orderkey") <= 2000)
+          .select(
+            col("l_orderkey").as("src"),
+            (-(col("l_suppkey") + 1)).as("dst")
+          )
+          .distinct()
+        val source = edges.agg(min(col("src"))).collect()(0).getLong(0)
+        graft.plans.Iterations.reachableFrom(edges, source)
+      },
+      Some("""
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT l_orderkey AS src, -(l_suppkey + 1) AS dst
+          FROM lineitem WHERE l_suppkey < 10 AND l_orderkey <= 2000
+        ),
+        reach(node) AS (
+          SELECT min(src) FROM edges
+          UNION
+          SELECT CASE WHEN e.src = r.node THEN e.dst ELSE e.src END AS node
+          FROM reach r JOIN edges e ON e.src = r.node OR e.dst = r.node
+        )
+        SELECT node FROM reach
+      """)
+    ),
     QueryDef(
       "q_coprocess_enrich",
       (s, dir) => {

@@ -53,4 +53,38 @@ object Iterations {
     bidir.unpersist()
     labels
   }
+
+  /** Transitive reachability from a source vertex over an undirected
+    * edge list — BFS frontier expansion as a driver loop, each step
+    * fully distributed (the oracle-checkable face of the iteration
+    * primitive: DuckDB verifies it with a recursive CTE).
+    */
+  def reachableFrom(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bidir = edges
+      .select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    var reach = Seq(source).toDF("node").localCheckpoint()
+    var size = 1L
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val expanded = reach
+        .union(
+          bidir.join(reach, bidir("src") === reach("node")).select(col("dst").as("node"))
+        )
+        .distinct()
+        .localCheckpoint()
+      val nextSize = expanded.count()
+      converged = nextSize == size
+      size = nextSize
+      reach = expanded
+      iter += 1
+    }
+    bidir.unpersist()
+    reach
+  }
 }
