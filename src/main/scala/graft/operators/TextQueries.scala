@@ -245,6 +245,65 @@ object TextQueries extends QueryModule {
         FROM documents
       """)
     ),
+    // Media resize plumbing: the stub decode's dimensions and the
+    // clamp-to-fit scale are pure arithmetic over the payload, so the
+    // whole per-partition transform is SQL-checkable even though the
+    // codec is a stand-in.
+    QueryDef(
+      "q_media_resize",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        MediaPipeline
+          .resize(MediaPipeline.mediaFromDocuments(t.documents), 320, 240)
+          .toDF()
+          .select(col("media_id"), col("width"), col("height"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 1 + (unicode(substring(text, 1, 1)) * 7) % 640 AS w,
+                 1 + (octet_length(text::BLOB) * 13) % 480 AS h
+          FROM documents
+        )
+        SELECT media_id,
+               GREATEST(1, CAST(trunc(w * LEAST(1.0, 320.0 / w, 240.0 / h)) AS INT))
+                 AS width,
+               GREATEST(1, CAST(trunc(h * LEAST(1.0, 320.0 / w, 240.0 / h)) AS INT))
+                 AS height
+        FROM m
+      """)
+    ),
+    // Frame sampling: one media row fans out to every 4th 256-byte
+    // chunk; the oracle recomputes the sampled-frame count and byte
+    // volume from the payload length.
+    QueryDef(
+      "q_media_frames",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        MediaPipeline
+          .sampleFrames(MediaPipeline.mediaFromDocuments(t.documents), 256, 4)
+          .toDF()
+          .groupBy(col("media_id"))
+          .agg(
+            count(lit(1)).as("n_frames"),
+            sum(octet_length(col("frame_bytes"))).as("n_bytes")
+          )
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id AS media_id, octet_length(text::BLOB) AS len,
+                 unnest(generate_series(0,
+                   CAST(ceil(octet_length(text::BLOB) / 256.0) AS INT) - 1)) AS i
+          FROM documents
+        )
+        SELECT media_id, count(*) AS n_frames,
+               CAST(sum(LEAST(256, len - i * 256)) AS BIGINT) AS n_bytes
+        FROM f WHERE i % 4 = 0
+        GROUP BY media_id
+      """)
+    ),
     // The composed training-data prep pass: exact dedup (keep lowest
     // doc_id per content hash) → quality gate (length + token floor)
     // → per-doc token stats. One narrow pipeline + one ranking
