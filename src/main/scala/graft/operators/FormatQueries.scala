@@ -126,6 +126,40 @@ object FormatQueries extends QueryModule {
       )
   }
 
+  /** Partitioned-directory scan with dynamic partition pruning: orders
+    * written as a hive-layout directory partitioned on priority, then
+    * joined to a filtered dim so only the matching partitions are read
+    * (the DPP subquery shows up in the scan's partition filters). The
+    * 100 TB read-path feature the flat test parquet cannot show.
+    */
+  private def partitionPrunedScan(s: SparkSession, dir: String) = {
+    // keyed by SF so a test at sf0.001 and Verify at sf0.01 don't
+    // reuse each other's partition layout
+    val path = scratch("orders_part_" + new java.io.File(dir).getName)
+    val marker = new java.io.File(path, "_SUCCESS")
+    if (!marker.exists()) {
+      tables(s, dir).orders
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    }
+    // DPP only plants its pruning subquery when the dim side is a real
+    // scan with a selective predicate (a VALUES relation folds the
+    // filter away and never qualifies), so the dim is derived from the
+    // base parquet
+    val dim = tables(s, dir).orders
+      .select(col("o_orderpriority").as("prio"))
+      .filter(col("prio").isin("1-URGENT", "2-HIGH"))
+      .distinct()
+    s.read.parquet(path)
+      .join(dim, col("o_orderpriority") === col("prio"))
+      .groupBy(col("prio"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total")
+      )
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_source_csv_roundtrip", (s, dir) => roundTrip(s, dir, "csv"), Some(oracle)),
     QueryDef("q_source_json_roundtrip", (s, dir) => roundTrip(s, dir, "json"), Some(oracle)),
@@ -140,6 +174,18 @@ object FormatQueries extends QueryModule {
       "q_source_sequencefile_roundtrip",
       (s, dir) => sequenceFileRoundTrip(s, dir),
       Some(oracle)
+    ),
+    QueryDef(
+      "q_scan_partition_pruned",
+      (s, dir) => partitionPrunedScan(s, dir),
+      Some("""
+        SELECT prio, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        FROM orders
+        JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) d
+          ON o_orderpriority = prio
+        GROUP BY prio
+      """)
     )
   )
 }

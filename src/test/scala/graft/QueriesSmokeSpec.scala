@@ -29,4 +29,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
       assert(n >= 0)
     }
   }
+
+  test("partitioned scan prunes partitions dynamically") {
+    val df = SparkEntry.queries("q_scan_partition_pruned")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the scan must carry a runtime partition filter from the dim join
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters: [("),
+      s"no dynamic partition filter in plan:\n${plan.take(2000)}")
+  }
 }
