@@ -615,6 +615,199 @@ object FlagshipQueries extends QueryModule {
                             FROM lineitem l2
                             WHERE l2.l_partkey = lineitem.l_partkey)
       """)
+    ),
+    // Q2 analog — minimum-cost supplier per part: correlated min over
+    // the part-supplier association (lineitem stands in for partsupp;
+    // unit price for supply cost), joined back on the rounded minimum.
+    QueryDef(
+      "q_flagship_min_cost_supplier",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val offers = t.lineitem
+          .select(
+            col("l_partkey"),
+            col("l_suppkey"),
+            round(col("l_extendedprice") / col("l_quantity"), 4).as("unit")
+          )
+        val minUnit = offers
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(min(col("unit")).as("min_unit"))
+        offers
+          .join(minUnit, col("l_partkey") === col("pk") && col("unit") === col("min_unit"))
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .filter(col("p_size") === 11)
+          .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+          .select(col("p_partkey"), col("s_name"), col("min_unit"))
+          .distinct()
+      },
+      Some("""
+        WITH offers AS (
+          SELECT l_partkey, l_suppkey,
+                 round(l_extendedprice / l_quantity, 4) AS unit
+          FROM lineitem
+        ),
+        mu AS (SELECT l_partkey AS pk, min(unit) AS min_unit
+               FROM offers GROUP BY l_partkey)
+        SELECT DISTINCT p_partkey, s_name, min_unit
+        FROM offers
+        JOIN mu ON l_partkey = pk AND unit = min_unit
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE p_size = 11
+      """)
+    ),
+    // Q8 analog — market share: one nation's share of yearly revenue
+    // among orders from customers of one region (conditional aggregate
+    // over a 6-way join).
+    QueryDef(
+      "q_flagship_market_share",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val sn = t.nation
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val cn = t.nation
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("c_region"))
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(t.customer, col("o_custkey") === col("c_custkey"))
+          .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+          .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(t.region), col("c_region") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            round(
+              sum(
+                when(col("supp_nation") === "NATION_5",
+                  col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)
+              ) / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+              6
+            ).as("mkt_share")
+          )
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               round(sum(CASE WHEN n1.n_name = 'NATION_5'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY o_year
+      """)
+    ),
+    // Q11 analog — important stock: per-part inventory value from one
+    // nation's suppliers, kept only when above a scalar fraction of
+    // the total (HAVING against a scalar subquery).
+    QueryDef(
+      "q_flagship_important_stock",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val natSupp = t.supplier
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .filter(col("n_name") === "NATION_2")
+          .select(col("s_suppkey"))
+        val base = t.lineitem
+          .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .groupBy(col("l_partkey"))
+          .agg(round(sum(col("l_extendedprice") * col("l_quantity")), 4).as("value"))
+        val threshold = base
+          .agg((sum(col("value")) * lit(0.001)).as("__thr"))
+        base
+          .crossJoin(broadcast(threshold))
+          .filter(col("value") > col("__thr"))
+          .select(col("l_partkey"), col("value"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 4) AS value
+          FROM lineitem
+          WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                              JOIN nation ON s_nationkey = n_nationkey
+                              WHERE n_name = 'NATION_2')
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey, value FROM base
+        WHERE value > (SELECT sum(value) * 0.001 FROM base)
+      """)
+    ),
+    // Q15 analog — top supplier(s): revenue per supplier over one
+    // quarter, returning every supplier matching the scalar max.
+    QueryDef(
+      "q_flagship_top_supplier",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val rev = t.lineitem
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp")
+          )
+          .groupBy(col("l_suppkey"))
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+              .as("total_revenue")
+          )
+        val mx = rev.agg(max(col("total_revenue")).as("__mx"))
+        rev
+          .crossJoin(broadcast(mx))
+          .filter(col("total_revenue") === col("__mx"))
+          .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      """)
+    ),
+    // Q20 analog — suppliers with surplus of a part family: nested IN
+    // chain (suppliers → parts shipped in quantity above a floor; this
+    // part catalog's color vocabulary has red, not green).
+    QueryDef(
+      "q_flagship_surplus_supplier",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val redParts = t.part.filter(col("p_name").contains("red"))
+          .select(col("p_partkey"))
+        val heavy = t.lineitem
+          .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+          .groupBy(col("l_suppkey"), col("l_partkey"))
+          .agg(sum(col("l_quantity")).as("qty"))
+          .filter(col("qty") > 90)
+          .select(col("l_suppkey"))
+          .distinct()
+        t.supplier
+          .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%red%')
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > 90
+        )
+      """)
     )
   )
 }
