@@ -24,7 +24,9 @@ object PlanAudit {
     // broadcast argmin against every vector).
     val crossAllowed = Set(
       "q_join_static_contains", "q_join_cross", "q_ann_brute_force", "q_ann_lsh",
-      "q_flagship_idle_customers", "q_ann_ivf"
+      "q_flagship_idle_customers", "q_ann_ivf",
+      // 1-row broadcast scalar subqueries (threshold / max)
+      "q_flagship_important_stock", "q_flagship_top_supplier"
     )
 
     var failures = 0
