@@ -80,6 +80,45 @@ object SkewQueries extends QueryModule {
         FROM keyed JOIN dim USING (skew_key)
         GROUP BY cohort
       """)
+    ),
+    // Manual salted join over the same skewed shape: the mitigation
+    // for engines/stages where AQE's runtime skew split cannot act
+    // (streaming joins, pinned partitionings). The dim side is
+    // replicated per salt; the oracle is the identical unsalted join.
+    QueryDef(
+      "q_skew_salted_join",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val keyed = t.events
+          .withColumn(
+            "skew_key",
+            when(col("event_id") % 4 =!= 0, lit(0L)).otherwise(col("user_id"))
+          )
+          .select(col("skew_key"), col("event_id"), col("value"))
+        val dim = keyed
+          .select(col("skew_key"))
+          .distinct()
+          .withColumn("cohort", pmod(col("skew_key"), lit(5)))
+        graft.skew.SaltedJoin
+          .join(keyed, dim, Seq("skew_key"), saltFactor = 8)
+          .groupBy(col("cohort"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("value")), 4).as("sv")
+          )
+      },
+      Some("""
+        WITH keyed AS (
+          SELECT CASE WHEN event_id % 4 != 0 THEN 0 ELSE user_id END AS skew_key,
+                 event_id, value
+          FROM events
+        ), dim AS (
+          SELECT DISTINCT skew_key, skew_key % 5 AS cohort FROM keyed
+        )
+        SELECT cohort, count(*) AS n, round(sum(value), 4) AS sv
+        FROM keyed JOIN dim USING (skew_key)
+        GROUP BY cohort
+      """)
     )
   )
 }

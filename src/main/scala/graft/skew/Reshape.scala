@@ -250,6 +250,42 @@ object AdaptiveReshape {
   }
 }
 
+/** Salted skew join — the manual replicate-and-salt mitigation for a
+  * skewed equi-join, for the cases AQE's runtime skew split cannot
+  * reach (streaming joins, or when the build side must stay
+  * partitioned). The fact side gets a deterministic per-row salt; the
+  * dim side is replicated `saltFactor` times so every (key, salt)
+  * bucket finds its match. Results are identical to the unsalted join
+  * (the reference's result-awareness invariant), the hot key's rows
+  * just land on `saltFactor` reducers instead of one.
+  *
+  * Cost model: dim-side rows are duplicated saltFactor times — the
+  * right mitigation when dim << fact (the reference's
+  * join-with-static shape, JoinWithStaticExample.java:100-151), wrong
+  * for fact-fact joins (use AQE skew split there).
+  */
+object SaltedJoin {
+
+  def join(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: Seq[String],
+      saltFactor: Int
+  ): DataFrame = {
+    require(saltFactor >= 1)
+    val saltExpr: Column =
+      pmod(hash(fact.columns.map(col).toSeq: _*), lit(saltFactor))
+    val saltedFact = fact.withColumn("__salt", saltExpr)
+    val replicatedDim = dim.withColumn(
+      "__salt",
+      explode(array((0 until saltFactor).map(lit): _*))
+    )
+    saltedFact
+      .join(replicatedDim, key :+ "__salt")
+      .drop("__salt")
+  }
+}
+
 /** Salted two-stage aggregation — the result-aware reroute analog.
   *
   * Stage 1 groups by (key, salt) so a hot key's records spread over

@@ -67,6 +67,22 @@ class SkewSpec extends AnyFunSuite {
     assert(counts.max < 3 * fair, s"slot imbalance: max=${counts.max} fair=$fair")
   }
 
+  test("salted join is result-identical and spreads the hot key") {
+    val dim = zipf.select($"k").distinct().withColumn("tag", pmod($"k", lit(7)))
+    val plain = zipf.join(dim, "k")
+      .groupBy("tag").agg(round(sum($"v"), 4).as("sv"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val salted = graft.skew.SaltedJoin.join(zipf, dim, Seq("k"), saltFactor = 16)
+      .groupBy("tag").agg(round(sum($"v"), 4).as("sv"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(salted == plain)
+    // the hot key occupies many salt buckets on the fact side
+    val buckets = zipf
+      .withColumn("salt", pmod(hash(zipf.columns.map(col).toSeq: _*), lit(16)))
+      .filter($"k" === 0).select("salt").distinct().count()
+    assert(buckets > 8, s"hot key in only $buckets of 16 salt buckets")
+  }
+
   test("SkewMonitor reports stage stats and a salt recommendation") {
     val settings = ReshapeConfig.from(spark)
     assert(settings.hiThreshold == 0.8 && settings.loThreshold == 0.2
