@@ -285,6 +285,35 @@ object JoinQueries extends QueryModule {
           ON p.user_id = s.user_id AND p.ts >= s.ts
       """)
     ),
+    // Forward as-of: each purchase matched to the EARLIEST signup at
+    // or after it — the other temporal direction, same single-shuffle
+    // window mechanism.
+    QueryDef(
+      "q_join_asof_forward",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val purchases = t.events
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val signups = t.events
+          .filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("value").as("next_signup_value"))
+        AsOfJoin
+          .joinForward(purchases, signups, "user_id", "ts", Seq("next_signup_value"))
+          .select(
+            col("event_id"),
+            col("value").as("p_value"),
+            col("next_signup_value")
+          )
+      },
+      Some("""
+        SELECT p.event_id AS event_id, p.value AS p_value,
+               s.value AS next_signup_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts <= s.ts
+      """)
+    ),
     // Same as-of semantics through the NATIVE custom operator
     // (LogicalPlan + Rule + Strategy + sort-merge SparkPlan injected
     // via SparkSessionExtensions — graft.plans.AsOfJoinNative).

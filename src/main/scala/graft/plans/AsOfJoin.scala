@@ -58,4 +58,38 @@ object AsOfJoin {
       .filter(col(TAG) === 1 && rightCols.map(col(_).isNotNull).reduce(_ && _))
       .drop(TAG)
   }
+
+  /** Forward as-of: attach the EARLIEST right row with `right.time >=
+    * left.time` (inclusive). Same single-shuffle window mechanism,
+    * time-descending; at equal timestamps the right row sorts first so
+    * it is visible to the left row, matching `l.ts <= r.ts`.
+    */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      rightCols: Seq[String]
+  ): DataFrame = {
+    require(
+      rightCols.forall(c => !left.columns.contains(c)),
+      s"rightCols ${rightCols.mkString(",")} must not collide with left columns"
+    )
+    val l = left.withColumn(TAG, lit(1))
+    val r = right
+      .select((Seq(key, time) ++ rightCols).map(col): _*)
+      .withColumn(TAG, lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window
+      .partitionBy(col(key))
+      .orderBy(col(time).desc, col(TAG))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col(TAG) === 1 && rightCols.map(col(_).isNotNull).reduce(_ && _))
+      .drop(TAG)
+  }
 }
