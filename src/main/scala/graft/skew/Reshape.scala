@@ -248,6 +248,23 @@ object AdaptiveReshape {
       val salt = salter.nextSalt(awaitEvidenceMs)
       onResult(SaltedAggregation.aggregate(batch, key, spec, salt), batchId, salt)
   }
+
+  /** The same closed loop for the join path: each micro-batch of the
+    * fact stream joins the dim with the controller's current salt —
+    * the streaming stand-in for AQE's runtime skew split, which is
+    * unavailable inside a streaming query. With salt 1 the join is a
+    * plain equi-join (zero replication cost until skew is observed).
+    */
+  def foreachBatchJoinBody(
+      dim: DataFrame,
+      key: Seq[String],
+      salter: AdaptiveSalter,
+      awaitEvidenceMs: Long = 0L
+  )(onResult: (DataFrame, Long, Int) => Unit): (DataFrame, Long) => Unit = {
+    (batch: DataFrame, batchId: Long) =>
+      val salt = salter.nextSalt(awaitEvidenceMs)
+      onResult(SaltedJoin.join(batch, dim, key, salt), batchId, salt)
+  }
 }
 
 /** Salted skew join — the manual replicate-and-salt mitigation for a

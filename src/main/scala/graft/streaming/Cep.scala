@@ -42,9 +42,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Cep {
 
   /** One pattern step. `times` (Pattern.times) asks for that many
-    * consecutive occurrences; `optional` (Pattern.optional) lets the
-    * step match zero events; `oneOrMore` (Pattern.oneOrMore) loops the
-    * step, reluctantly unless `greedy` (Pattern.greedy).
+    * consecutive occurrences — with `timesMax > times` it becomes the
+    * range quantifier times(n, m) (n required + up to m-n more);
+    * `optional` (Pattern.optional) lets the step match zero events;
+    * `oneOrMore` (Pattern.oneOrMore) loops the step, reluctantly
+    * unless `greedy` (Pattern.greedy).
     */
   final case class Step(
       name: String,
@@ -52,11 +54,14 @@ object Cep {
       times: Int = 1,
       optional: Boolean = false,
       oneOrMore: Boolean = false,
-      greedy: Boolean = false
+      greedy: Boolean = false,
+      timesMax: Int = 0
   ) {
     require(times >= 1)
     require(times == 1 || (!optional && !oneOrMore),
       "times(n) cannot combine with optional/oneOrMore on one step")
+    require(timesMax == 0 || timesMax >= times,
+      "times(n, m) needs m >= n")
   }
 
   sealed trait SkipStrategy
@@ -76,9 +81,15 @@ object Cep {
       skip: SkipStrategy = NoSkip
   ) {
     require(steps.nonEmpty)
-    /** steps with times(n) unrolled — what the NFA actually runs */
+    /** steps with times(n[, m]) unrolled — n required copies plus
+      * m - n optional ones — what the NFA actually runs
+      */
     val expanded: Seq[Step] =
-      steps.flatMap(s => Seq.fill(s.times)(s.copy(times = 1)))
+      steps.flatMap { s =>
+        val mx = if (s.timesMax > 0) s.timesMax else s.times
+        Seq.fill(s.times)(s.copy(times = 1, timesMax = 0)) ++
+          Seq.fill(mx - s.times)(s.copy(times = 1, timesMax = 0, optional = true))
+      }
   }
 
   /** A live partial match. `inLoop` marks a oneOrMore step that has

@@ -130,6 +130,31 @@ class AdaptiveSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive salted join body re-salts per batch with identical results") {
+    val settings = ReshapeConfig.from(spark)
+    val monitor = new SkewMonitor(settings)
+    val salter = new AdaptiveSalter(monitor, settings)
+    val fact = skewedRows(4000)
+    val dim = fact.select(col("k")).distinct()
+      .withColumn("tag", pmod(col("k"), lit(7)))
+    val expected = fact.join(dim, "k")
+      .groupBy("tag").agg(round(sum(col("v")), 4).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val results = ArrayBuffer.empty[Map[Long, Double]]
+    val salts = ArrayBuffer.empty[Int]
+    val body = AdaptiveReshape.foreachBatchJoinBody(dim, Seq("k"), salter) {
+      (joined, _, salt) =>
+        salts += salt
+        results += joined.groupBy("tag").agg(round(sum(col("v")), 4).as("sv"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    }
+    // invoked directly: the body is a plain (DataFrame, Long) function
+    body(fact, 0L)
+    body(fact, 1L)
+    assert(salts.size == 2 && salts.forall(_ >= 1))
+    results.foreach(r => assert(r == expected))
+  }
+
   test("salter is sticky: balanced post-mitigation stages keep the raised salt") {
     val settings = ReshapeConfig.from(spark)
     val monitor = new SkewMonitor(settings)

@@ -155,6 +155,23 @@ class CepMediaSpec extends AnyFunSuite {
     assert(matches.map(_.event_ids) == Seq(Seq(1L, 2L), Seq(3L, 4L, 5L)))
   }
 
+  test("NFA times(n, m) range quantifier emits every admissible length") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    val p = Cep.SequencePattern(
+      Seq(Cep.Step("e", _.event_type == "error", times = 2, timesMax = 3)),
+      withinMs = 60L * 60 * 1000,
+      strict = true
+    )
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 1, "error"), ev(3, 2, "error"),
+      ev(4, 3, "error"), ev(5, 4, "click"))
+    val (matches, _) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    assert(matches.map(_.event_ids).toSet == Set(
+      Seq(1L, 2L), Seq(1L, 2L, 3L),
+      Seq(2L, 3L), Seq(2L, 3L, 4L),
+      Seq(3L, 4L)))
+  }
+
   test("NFA skip strategies prune overlapping matches") {
     def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
     def pat(skip: Cep.SkipStrategy) = Cep.SequencePattern(
