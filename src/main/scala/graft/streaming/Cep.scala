@@ -55,13 +55,20 @@ object Cep {
       optional: Boolean = false,
       oneOrMore: Boolean = false,
       greedy: Boolean = false,
-      timesMax: Int = 0
+      timesMax: Int = 0,
+      /** Pattern.until: a oneOrMore loop stops accepting elements once
+        * an event matches this condition (checked before the loop
+        * predicate; the until event itself is never consumed by the
+        * loop).
+        */
+      until: Option[Event => Boolean] = None
   ) {
     require(times >= 1)
     require(times == 1 || (!optional && !oneOrMore),
       "times(n) cannot combine with optional/oneOrMore on one step")
     require(timesMax == 0 || timesMax >= times,
       "times(n, m) needs m >= n")
+    require(until.isEmpty || oneOrMore, "until only applies to oneOrMore loops")
   }
 
   sealed trait SkipStrategy
@@ -157,16 +164,23 @@ object Cep {
       * successors, emits). A greedy in-loop partial whose loop
       * predicate accepts takes only the loop branch.
       */
+    // Pattern.until: the loop at step i refuses e once the stop
+    // condition matches (the until event is never consumed by the loop)
+    def untilHit(i: Int, e: Event): Boolean = steps(i).until.exists(f => f(e))
+
     def consume(p: PartialMatch, e: Event, ts: Long, s: Long): (Boolean, Seq[PartialMatch], Seq[Emit]) = {
       val succ = Seq.newBuilder[PartialMatch]
       val emits = Seq.newBuilder[Emit]
       var consumed = false
-      // greedy loop branch wins outright
-      val greedyLoop = p.inLoop && steps(p.stepIdx).greedy && steps(p.stepIdx).predicate(e)
+      // greedy loop branch wins outright — unless the stop condition
+      // closes the loop, in which case the exit positions take over
+      val greedyLoop = p.inLoop && steps(p.stepIdx).greedy &&
+        steps(p.stepIdx).predicate(e) && !untilHit(p.stepIdx, e)
       val positions =
         if (greedyLoop) Seq((p.stepIdx, true)) else closure(p.stepIdx, p.inLoop)
       positions.foreach { case (i, _) =>
-        if (i < n && steps(i).predicate(e)) {
+        if (i < n && steps(i).predicate(e) &&
+          !(steps(i).oneOrMore && untilHit(i, e))) {
           consumed = true
           val ids = p.eventIds :+ e.event_id
           if (steps(i).oneOrMore) {
@@ -211,7 +225,14 @@ object Cep {
           // emits its maximal match first (the run just ended)
           retirementEmit(p).foreach(emitsB += _)
         } else {
-          nextPartials += p // relaxed: keep waiting
+          // relaxed: keep waiting; an until-hit permanently closes an
+          // open loop — a terminal greedy loop emits its maximal match,
+          // a mid-pattern loop continues from the exit position
+          if (p.inLoop && p.stepIdx < n && steps(p.stepIdx).oneOrMore
+            && untilHit(p.stepIdx, e)) {
+            if (p.stepIdx + 1 == n) retirementEmit(p).foreach(emitsB += _)
+            else nextPartials += p.copy(stepIdx = p.stepIdx + 1, inLoop = false)
+          } else nextPartials += p
         }
       }
 

@@ -172,6 +172,37 @@ class CepMediaSpec extends AnyFunSuite {
       Seq(3L, 4L)))
   }
 
+  test("NFA until stops a loop without consuming the stop event") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    // clicks accumulate until a purchase; the purchase closes the loop
+    // and is consumed by the NEXT step, not the loop
+    val p = Cep.SequencePattern(
+      Seq(
+        Cep.Step("clicks", _.event_type == "click", oneOrMore = true, greedy = true,
+          until = Some(_.event_type == "purchase")),
+        Cep.Step("buy", _.event_type == "purchase")
+      ),
+      withinMs = 60L * 60 * 1000,
+      strict = true,
+      skip = Cep.SkipPastLastEvent
+    )
+    val events = Seq(
+      ev(1, 0, "click"), ev(2, 1, "click"), ev(3, 2, "purchase"),
+      ev(4, 3, "click"), ev(5, 4, "view"))
+    val (matches, st) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    assert(matches.map(_.event_ids) == Seq(Seq(1L, 2L, 3L)))
+    // a greedy TERMINAL loop closed by until emits its maximal run
+    val p2 = Cep.SequencePattern(
+      Seq(Cep.Step("clicks", _.event_type == "click", oneOrMore = true, greedy = true,
+        until = Some(_.event_type == "purchase"))),
+      withinMs = 60L * 60 * 1000,
+      strict = false,
+      skip = Cep.SkipPastLastEvent
+    )
+    val (matches2, _) = Cep.advance(p2, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    assert(matches2.map(_.event_ids) == Seq(Seq(1L, 2L)))
+  }
+
   test("NFA skip strategies prune overlapping matches") {
     def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
     def pat(skip: Cep.SkipStrategy) = Cep.SequencePattern(
