@@ -27,17 +27,18 @@ object AggregateQueries extends QueryModule {
           .filter(col("l_quantity") < 50)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
+            // the wide sums run in exact decimal: at sf>=0.1 their
+            // magnitude (1e9+) makes double summation-order drift
+            // visible past round(4). The inputs are exact 2-decimal
+            // prices, so the products are exact 4-/6-decimal values.
             round(sum(col("l_quantity")), 4).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-              .as("sum_disc_price"),
-            round(
-              sum(
-                col("l_extendedprice") * (lit(1) - col("l_discount")) *
-                  (lit(1) + col("l_tax"))
-              ),
-              4
-            ).as("sum_charge"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_base_price"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(24,4)")).cast("double").as("sum_disc_price"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax"))).cast("decimal(28,6)"))
+              .cast("double").as("sum_charge"),
             round(avg(col("l_quantity")), 4).as("avg_qty"),
             round(avg(col("l_extendedprice")), 4).as("avg_price"),
             round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -47,9 +48,11 @@ object AggregateQueries extends QueryModule {
       Some("""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,
-               round(sum(l_extendedprice), 4) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE)
+                 AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
                round(avg(l_quantity), 4) AS avg_qty,
                round(avg(l_extendedprice), 4) AS avg_price,
                round(avg(l_discount), 4) AS avg_disc,
@@ -68,7 +71,10 @@ object AggregateQueries extends QueryModule {
           .agg(
             countDistinct(col("o_custkey")).as("uniq_cust"),
             countDistinct(col("o_orderpriority")).as("uniq_prio"),
-            round(sum_distinct(col("o_totalprice")), 4).as("sum_dist_price"),
+            // exact decimal accumulation — double summation order drifts
+            // past round(4) at this magnitude (prices are 2-decimal)
+            sum_distinct(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_dist_price"),
             count(lit(1)).as("n")
           )
       },
@@ -76,7 +82,8 @@ object AggregateQueries extends QueryModule {
         SELECT o_orderstatus,
                count(DISTINCT o_custkey) AS uniq_cust,
                count(DISTINCT o_orderpriority) AS uniq_prio,
-               round(sum(DISTINCT o_totalprice), 4) AS sum_dist_price,
+               CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_dist_price,
                count(*) AS n
         FROM orders GROUP BY o_orderstatus
       """)
@@ -209,7 +216,8 @@ object AggregateQueries extends QueryModule {
         s.sql("""
           SELECT coalesce(o_orderstatus, 'ALL') AS status,
                  coalesce(o_orderpriority, 'ALL') AS prio,
-                 count(*) AS n, round(sum(o_totalprice), 4) AS total
+                 count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           FROM orders_gs
           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """)
@@ -217,7 +225,8 @@ object AggregateQueries extends QueryModule {
       Some("""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS prio,
-               count(*) AS n, round(sum(o_totalprice), 4) AS total
+               count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       """)
@@ -228,7 +237,7 @@ object AggregateQueries extends QueryModule {
         val t = tables(s, dir)
         t.orders
           .rollup(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
           .select(
             coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
@@ -239,7 +248,8 @@ object AggregateQueries extends QueryModule {
       Some("""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS prio,
-               count(*) AS n, round(sum(o_totalprice), 4) AS total
+               count(*) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       """)
     ),

@@ -623,11 +623,16 @@ object FlagshipQueries extends QueryModule {
       "q_flagship_min_cost_supplier",
       (s, dir) => {
         val t = tables(s, dir)
+        // floor-scaling instead of round(): the engines' round()
+        // implementations disagree on representation-boundary halfway
+        // cases, while floor over identical IEEE arithmetic is
+        // bit-identical — and this value feeds an equality join
         val offers = t.lineitem
           .select(
             col("l_partkey"),
             col("l_suppkey"),
-            round(col("l_extendedprice") / col("l_quantity"), 4).as("unit")
+            (floor(col("l_extendedprice") / col("l_quantity") * 10000 + 0.5) / 10000.0)
+              .as("unit")
           )
         val minUnit = offers
           .groupBy(col("l_partkey").as("pk"))
@@ -643,7 +648,7 @@ object FlagshipQueries extends QueryModule {
       Some("""
         WITH offers AS (
           SELECT l_partkey, l_suppkey,
-                 round(l_extendedprice / l_quantity, 4) AS unit
+                 floor(l_extendedprice / l_quantity * 10000 + 0.5) / 10000.0 AS unit
           FROM lineitem
         ),
         mu AS (SELECT l_partkey AS pk, min(unit) AS min_unit

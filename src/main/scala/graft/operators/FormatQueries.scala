@@ -38,7 +38,10 @@ object FormatQueries extends QueryModule {
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 4).as("total"),
+        // exact decimal accumulation: double summation order differs
+        // between engines and partitionings, and at 1e10 magnitude the
+        // drift survives round(4); prices are exact 2-decimal values
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key")
       )
@@ -46,7 +49,7 @@ object FormatQueries extends QueryModule {
 
   private val oracle = """
     SELECT o_orderstatus, count(*) AS n,
-           round(sum(o_totalprice), 4) AS total,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
     FROM orders GROUP BY o_orderstatus
   """
@@ -67,7 +70,10 @@ object FormatQueries extends QueryModule {
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 4).as("total"),
+        // exact decimal accumulation: double summation order differs
+        // between engines and partitionings, and at 1e10 magnitude the
+        // drift survives round(4); prices are exact 2-decimal values
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key")
       )
@@ -87,7 +93,10 @@ object FormatQueries extends QueryModule {
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 4).as("total"),
+        // exact decimal accumulation: double summation order differs
+        // between engines and partitionings, and at 1e10 magnitude the
+        // drift survives round(4); prices are exact 2-decimal values
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key")
       )
@@ -120,7 +129,10 @@ object FormatQueries extends QueryModule {
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 4).as("total"),
+        // exact decimal accumulation: double summation order differs
+        // between engines and partitionings, and at 1e10 magnitude the
+        // drift survives round(4); prices are exact 2-decimal values
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key")
       )
@@ -156,7 +168,7 @@ object FormatQueries extends QueryModule {
       .groupBy(col("prio"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 4).as("total")
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total")
       )
   }
 
@@ -179,7 +191,8 @@ object FormatQueries extends QueryModule {
       "q_scan_partition_pruned",
       (s, dir) => partitionPrunedScan(s, dir),
       Some("""
-        SELECT prio, count(*) AS n, round(sum(o_totalprice), 4) AS total
+        SELECT prio, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders
               WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) d

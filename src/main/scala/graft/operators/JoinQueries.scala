@@ -30,12 +30,12 @@ object JoinQueries extends QueryModule {
           .groupBy(col("c_mktsegment"))
           .agg(
             count(lit(1)).as("n_orders"),
-            round(sum(col("o_totalprice")), 4).as("revenue")
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue")
           )
       },
       Some("""
         SELECT c_mktsegment, count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
       """)
@@ -149,14 +149,15 @@ object JoinQueries extends QueryModule {
           .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-              .as("revenue"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(24,4)")).cast("double").as("revenue"),
             count(lit(1)).as("n_items")
           )
       },
       Some("""
         SELECT r_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4)))
+                    AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -390,14 +391,14 @@ object JoinQueries extends QueryModule {
           .groupBy(col("c_mktsegment"))
           .agg(
             count(lit(1)).as("n"),
-            round(sum(col("o_totalprice")), 4).as("total"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
             min(col("o_orderkey")).as("min_key"),
             max(col("o_orderkey")).as("max_key")
           )
       },
       Some("""
         SELECT c_mktsegment, count(*) AS n,
-               round(sum(o_totalprice), 4) AS total,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment

@@ -81,9 +81,14 @@ object WindowQueries extends QueryModule {
       "q_over_frames",
       (s, dir) => {
         val t = tables(s, dir)
+        // (l_orderkey, l_linenumber) alone is NOT unique in this
+        // generator at sf>=0.1 — extend the ordering until rows that
+        // differ anywhere differ in a sort key, or frames are
+        // arbitrary for the tied rows
         val base = Window
           .partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
         t.lineitem.select(
           col("l_suppkey"),
           col("l_orderkey"),
@@ -112,7 +117,8 @@ object WindowQueries extends QueryModule {
                last_value(l_quantity) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_qty
         FROM lineitem
         WINDOW w AS (PARTITION BY l_suppkey
-                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                              l_partkey, l_quantity, l_extendedprice)
       """)
     ),
     // RANGE frame over a numeric ordering column.
