@@ -207,6 +207,51 @@ object AggregateQueries extends QueryModule {
         FROM events GROUP BY user_id
       """)
     ),
+    // Bitwise aggregates (reference BIT_AND/BIT_OR/BIT_XOR in
+    // FlinkSqlOperatorTable).
+    QueryDef(
+      "q_agg_bitwise",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            bit_and(col("l_suppkey")).as("band"),
+            bit_or(col("l_suppkey")).as("bor"),
+            bit_xor(col("l_suppkey")).as("bxor"),
+            count(lit(1)).as("n")
+          )
+      },
+      Some("""
+        SELECT l_returnflag,
+               bit_and(l_suppkey) AS band,
+               bit_or(l_suppkey) AS bor,
+               bit_xor(l_suppkey) AS bxor,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+      """)
+    ),
+    // LISTAGG (reference BuiltInFunctionDefinitions.LISTAGG): string
+    // aggregation, made deterministic by sorting the collected values
+    // before joining.
+    QueryDef(
+      "q_agg_listagg",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.supplier
+          .groupBy(col("s_nationkey"))
+          .agg(
+            array_join(array_sort(collect_list(col("s_name"))), ",").as("names"),
+            count(lit(1)).as("n")
+          )
+      },
+      Some("""
+        SELECT s_nationkey,
+               string_agg(s_name, ',' ORDER BY s_name) AS names,
+               count(*) AS n
+        FROM supplier GROUP BY s_nationkey
+      """)
+    ),
     // GROUPING SETS via the SQL surface (Catalyst Expand node —
     // reference StreamExecExpand.java:38).
     QueryDef(
