@@ -70,6 +70,38 @@ object EvictorQueries extends QueryModule {
         WHERE ts >= mx - INTERVAL 10 MINUTE
         GROUP BY user_id, win_start
       """)
+    ),
+    // DeltaEvictor.of(50, |a-b|): keep only elements within 50.0 of
+    // the window's last element's value.
+    QueryDef(
+      "q_evictor_delta",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val win = date_trunc("hour", col("ts"))
+        val w = Window
+          .partitionBy(col("user_id"), win)
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t.events
+          .withColumn("lastv", last(col("value")).over(w))
+          .filter(abs(col("value") - col("lastv")) < 50.0)
+          .groupBy(col("user_id"), unix_timestamp(win).as("win_start"))
+          .agg(count(lit(1)).as("n_kept"), round(sum(col("value")), 4).as("sv"))
+      },
+      Some("""
+        SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+               count(*) AS n_kept, round(sum(value), 4) AS sv
+        FROM (
+          SELECT user_id, ts, value,
+                 last_value(value) OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lastv
+          FROM events
+        )
+        WHERE abs(value - lastv) < 50.0
+        GROUP BY user_id, win_start
+      """)
     )
   )
 }

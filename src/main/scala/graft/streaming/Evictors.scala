@@ -36,6 +36,20 @@ object Evictors {
     }
   }
 
+  /** DeltaEvictor.of(threshold, delta): evict elements whose delta
+    * against the window's LAST element (event-time order) reaches the
+    * threshold; the delta function here is |a - b| over `value`.
+    */
+  def evictDelta(events: Seq[Event], threshold: Double): Seq[Event] = {
+    if (events.isEmpty) events
+    else {
+      val last = events
+        .maxBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .value
+      events.filter(e => math.abs(e.value - last) < threshold)
+    }
+  }
+
   final case class EvictBuf(events: Seq[Event])
   final case class EvictWinOut(user_id: Long, win_start: Long, n_kept: Long, sv: Double)
 

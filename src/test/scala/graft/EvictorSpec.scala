@@ -28,8 +28,22 @@ class EvictorSpec extends AnyFunSuite {
     val evs = Seq(ev(1, 0, 1.0), ev(2, 10, 2.0), ev(3, 20, 3.0), ev(4, 30, 4.0))
     assert(Evictors.evictCount(evs, 2).map(_.event_id) == Seq(3L, 4L))
     assert(Evictors.evictTime(evs, 15L * 60 * 1000).map(_.event_id).sorted == Seq(3L, 4L))
+    // delta vs the last element (value 4.0): keep within 2.0
+    assert(Evictors.evictDelta(evs, 2.0).map(_.event_id).sorted == Seq(3L, 4L))
     assert(Evictors.evictCount(Seq.empty, 2).isEmpty)
     assert(Evictors.evictTime(Seq.empty, 1000L).isEmpty)
+    assert(Evictors.evictDelta(Seq.empty, 1.0).isEmpty)
+  }
+
+  test("streaming delta evictor equals the batch last-value formulation") {
+    val got = runStreaming(Evictors.evictDelta(_, 50.0), "evict_delta_out")
+    val expected = batchExpected("q_evictor_delta")
+    assert(got.size == expected.size, s"${got.size} windows vs ${expected.size}")
+    expected.foreach { case (k, (n, sv)) =>
+      val (gn, gsv) = got(k)
+      assert(gn == n, s"window $k kept $gn vs $n")
+      assert(math.abs(gsv - sv) < 1e-3, s"window $k sum $gsv vs $sv")
+    }
   }
 
   private def runStreaming(
