@@ -353,4 +353,44 @@ object Cep {
           matches.iterator
       }
   }
+
+  /** [[detectStream]] with watermark-driven state expiry: a key that
+    * stops receiving events still retires its partials once the
+    * watermark passes their `within` horizon — pending greedy loops
+    * emit their match, everything else is dropped, and the key's state
+    * cell is freed. Without this a dead key would hold partial-match
+    * state forever (the reference clears NFA state through the same
+    * within timers its PatternStream registers).
+    */
+  def detectStreamExpiring(
+      events: Dataset[Event],
+      pattern: SequencePattern,
+      watermarkDelay: String
+  ): Dataset[Match] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[Event], state: GroupState[NfaState]) =>
+          val initial = state.getOption.getOrElse(NfaState(Seq.empty, 0L))
+          val wm = state.getCurrentWatermarkMs()
+          // retire partials the watermark has expired (covers both the
+          // timeout path and stale partials on a data batch)
+          val (expired, alive) =
+            initial.partials.partition(p => wm - p.startTs > pattern.withinMs)
+          val expiredMatches = flush(pattern, key, NfaState(expired, initial.nextSeq))
+          val (matches, st) =
+            if (state.hasTimedOut) (Seq.empty[Match], NfaState(alive, initial.nextSeq))
+            else advance(pattern, key, ordered(rows), NfaState(alive, initial.nextSeq))
+          if (st.partials.isEmpty) state.remove()
+          else {
+            state.update(st)
+            // wake when the earliest partial's within horizon passes
+            val earliest = st.partials.map(_.startTs + pattern.withinMs).min
+            state.setTimeoutTimestamp(math.max(earliest, wm + 1))
+          }
+          (expiredMatches ++ matches).iterator
+      }
+  }
 }

@@ -258,6 +258,36 @@ class CepMediaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CEP with expiry emits pending greedy matches and frees dead keys") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val p = Cep.SequencePattern(
+      Seq(Cep.Step("errs", _.event_type == "error", oneOrMore = true, greedy = true)),
+      withinMs = 30L * 60 * 1000,
+      strict = true,
+      skip = Cep.SkipPastLastEvent
+    )
+    val in = MemoryStream[Event]
+    val q = Cep.detectStreamExpiring(in.toDS(), p, "1 minute")
+      .writeStream.format("memory").queryName("cep_exp_out")
+      .outputMode("append").start()
+    try {
+      // key 7: an open greedy run, then silence
+      in.addData(Event(1, ts(0), 7, "error", 0.0), Event(2, ts(5), 7, "error", 0.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cep_exp_out").count() == 0) // loop still open
+      // key 8's much later events push the watermark past key 7's
+      // within horizon; key 7 gets NO new events
+      in.addData(Event(3, ts(120), 8, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts(125), 8, "view", 0.0)) // extra batch: timers fire
+      q.processAllAvailable()
+      val m = spark.sql("SELECT key, event_ids FROM cep_exp_out").collect()
+      assert(m.length == 1 && m(0).getLong(0) == 7L &&
+        m(0).getSeq[Long](1) == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("media pipeline decodes deterministically per partition") {
     val docs = Engine.Tables(spark, "/root/testdata/sf0.001").documents
     val media = MediaPipeline.mediaFromDocuments(docs)
