@@ -10,6 +10,47 @@ import org.scalatest.funsuite.AnyFunSuite
 class CoGroupBucketSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.get
 
+  test("partitioning primitives: keyBy/rebalance/global/custom partitioner") {
+    import spark.implicits._
+    val t = Engine.Tables(spark, "/root/testdata/sf0.001")
+    val orders = t.orders.select(col("o_orderkey"), col("o_custkey"))
+
+    // keyBy → repartition(col): same key lands in one partition
+    val keyed = orders.repartition(8, col("o_custkey"))
+    val spread = keyed
+      .groupBy(col("o_custkey"), spark_partition_id().as("pid"))
+      .count()
+      .groupBy(col("o_custkey")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(spread == 1L, "a key must map to exactly one partition")
+
+    // rebalance → round-robin repartition(n): near-uniform partitions
+    val rebalanced = orders.repartition(8)
+    val sizes = rebalanced
+      .groupBy(spark_partition_id()).count().collect().map(_.getLong(1))
+    assert(sizes.length == 8 && sizes.max - sizes.min <= math.max(2, sizes.max / 10),
+      s"rebalance imbalance: ${sizes.mkString(",")}")
+
+    // global → repartition(1)
+    assert(orders.repartition(1).rdd.getNumPartitions == 1)
+
+    // partitionCustom → RDD partitionBy with a custom Partitioner
+    val custom = new org.apache.spark.Partitioner {
+      def numPartitions: Int = 4
+      def getPartition(key: Any): Int =
+        (key.asInstanceOf[Long] % 2).toInt * 2 // only partitions 0 and 2
+    }
+    val parted = orders
+      .select(col("o_custkey"), col("o_orderkey"))
+      .as[(Long, Long)].rdd
+      .partitionBy(custom)
+    assert(parted.getNumPartitions == 4)
+    val usedParts = parted
+      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.nonEmpty)))
+      .collect().filter(_._2).map(_._1).toSet
+    assert(usedParts == Set(0, 2), s"custom partitioner routed to $usedParts")
+  }
+
   test("cogroup merges two keyed streams like the join-based rewrite") {
     import spark.implicits._
     val t = Engine.Tables(spark, "/root/testdata/sf0.001")
