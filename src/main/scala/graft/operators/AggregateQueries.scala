@@ -27,32 +27,28 @@ object AggregateQueries extends QueryModule {
           .filter(col("l_quantity") < 50)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            // the wide sums run in exact decimal: at sf>=0.1 their
-            // magnitude (1e9+) makes double summation-order drift
-            // visible past round(4). The inputs are exact 2-decimal
-            // prices, so the products are exact 4-/6-decimal values.
+            // the wide sums accumulate exact long cents (Money.scala):
+            // at sf>=0.1 their magnitude (1e9+) makes double
+            // summation-order drift visible past round(4), and decimal
+            // accumulators cost ~3x vs primitive longs.
             round(sum(col("l_quantity")), 4).as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)"))
-              .cast("double").as("sum_base_price"),
-            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .cast("decimal(24,4)")).cast("double").as("sum_disc_price"),
-            sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
-              (lit(1) + col("l_tax"))).cast("decimal(28,6)"))
-              .cast("double").as("sum_charge"),
+            Money.sumPrice(col("l_extendedprice")).as("sum_base_price"),
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
+              .as("sum_disc_price"),
+            Money.sumCharge(col("l_extendedprice"), col("l_discount"),
+              col("l_tax")).as("sum_charge"),
             round(avg(col("l_quantity")), 4).as("avg_qty"),
             round(avg(col("l_extendedprice")), 4).as("avg_price"),
             round(avg(col("l_discount")), 4).as("avg_disc"),
             count(lit(1)).as("count_order")
           )
       },
-      Some("""
+      Some(s"""
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 4) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE)
-                 AS sum_disc_price,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                    AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+               ${Money.sumPriceSql("l_extendedprice")} AS sum_base_price,
+               ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS sum_disc_price,
+               ${Money.sumChargeSql("l_extendedprice", "l_discount", "l_tax")} AS sum_charge,
                round(avg(l_quantity), 4) AS avg_qty,
                round(avg(l_extendedprice), 4) AS avg_price,
                round(avg(l_discount), 4) AS avg_disc,
@@ -71,19 +67,18 @@ object AggregateQueries extends QueryModule {
           .agg(
             countDistinct(col("o_custkey")).as("uniq_cust"),
             countDistinct(col("o_orderpriority")).as("uniq_prio"),
-            // exact decimal accumulation — double summation order drifts
-            // past round(4) at this magnitude (prices are 2-decimal)
-            sum_distinct(col("o_totalprice").cast("decimal(18,2)"))
-              .cast("double").as("sum_dist_price"),
+            // exact long-cents accumulation (Money.scala) — double
+            // summation order drifts past round(4) at this magnitude;
+            // distinct classes on cents == distinct 2-decimal values
+            Money.sumDistinctPrice(col("o_totalprice")).as("sum_dist_price"),
             count(lit(1)).as("n")
           )
       },
-      Some("""
+      Some(s"""
         SELECT o_orderstatus,
                count(DISTINCT o_custkey) AS uniq_cust,
                count(DISTINCT o_orderpriority) AS uniq_prio,
-               CAST(sum(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                 AS sum_dist_price,
+               ${Money.sumDistinctPriceSql("o_totalprice")} AS sum_dist_price,
                count(*) AS n
         FROM orders GROUP BY o_orderstatus
       """)
@@ -258,20 +253,22 @@ object AggregateQueries extends QueryModule {
       "q_agg_grouping_sets",
       (s, dir) => {
         tables(s, dir).orders.createOrReplaceTempView("orders_gs")
-        s.sql("""
+        // the long-cents total (Money.sumPriceSql) parses identically
+        // in Spark SQL and DuckDB — one snippet serves both sides
+        s.sql(s"""
           SELECT coalesce(o_orderstatus, 'ALL') AS status,
                  coalesce(o_orderpriority, 'ALL') AS prio,
                  count(*) AS n,
-                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                 ${Money.sumPriceSql("o_totalprice")} AS total
           FROM orders_gs
           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """)
       },
-      Some("""
+      Some(s"""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS prio,
                count(*) AS n,
-                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               ${Money.sumPriceSql("o_totalprice")} AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       """)
@@ -282,7 +279,7 @@ object AggregateQueries extends QueryModule {
         val t = tables(s, dir)
         t.orders
           .rollup(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+          .agg(count(lit(1)).as("n"), Money.sumPrice(col("o_totalprice")).as("total"))
           .select(
             coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
@@ -290,11 +287,11 @@ object AggregateQueries extends QueryModule {
             col("total")
           )
       },
-      Some("""
+      Some(s"""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS prio,
                count(*) AS n,
-                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               ${Money.sumPriceSql("o_totalprice")} AS total
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       """)
     ),

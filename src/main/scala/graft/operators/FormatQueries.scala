@@ -38,18 +38,18 @@ object FormatQueries extends QueryModule {
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        // exact decimal accumulation: double summation order differs
-        // between engines and partitionings, and at 1e10 magnitude the
-        // drift survives round(4); prices are exact 2-decimal values
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        // exact long-cents accumulation (Money.scala): double summation
+        // order differs between engines and partitionings, and at 1e10
+        // magnitude the drift survives round(4)
+        Money.sumPrice(col("o_totalprice")).as("total"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key")
       )
   }
 
-  private val oracle = """
+  private val oracle = s"""
     SELECT o_orderstatus, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           ${Money.sumPriceSql("o_totalprice")} AS total,
            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
     FROM orders GROUP BY o_orderstatus
   """
@@ -70,10 +70,10 @@ object FormatQueries extends QueryModule {
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        // exact decimal accumulation: double summation order differs
-        // between engines and partitionings, and at 1e10 magnitude the
-        // drift survives round(4); prices are exact 2-decimal values
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        // exact long-cents accumulation (Money.scala): double summation
+        // order differs between engines and partitionings, and at 1e10
+        // magnitude the drift survives round(4)
+        Money.sumPrice(col("o_totalprice")).as("total"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key")
       )
@@ -93,10 +93,10 @@ object FormatQueries extends QueryModule {
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        // exact decimal accumulation: double summation order differs
-        // between engines and partitionings, and at 1e10 magnitude the
-        // drift survives round(4); prices are exact 2-decimal values
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        // exact long-cents accumulation (Money.scala): double summation
+        // order differs between engines and partitionings, and at 1e10
+        // magnitude the drift survives round(4)
+        Money.sumPrice(col("o_totalprice")).as("total"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key")
       )
@@ -129,10 +129,10 @@ object FormatQueries extends QueryModule {
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        // exact decimal accumulation: double summation order differs
-        // between engines and partitionings, and at 1e10 magnitude the
-        // drift survives round(4); prices are exact 2-decimal values
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        // exact long-cents accumulation (Money.scala): double summation
+        // order differs between engines and partitionings, and at 1e10
+        // magnitude the drift survives round(4)
+        Money.sumPrice(col("o_totalprice")).as("total"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key")
       )
@@ -168,7 +168,7 @@ object FormatQueries extends QueryModule {
       .groupBy(col("prio"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total")
+        Money.sumPrice(col("o_totalprice")).as("total")
       )
   }
 
@@ -190,9 +190,9 @@ object FormatQueries extends QueryModule {
     QueryDef(
       "q_scan_partition_pruned",
       (s, dir) => partitionPrunedScan(s, dir),
-      Some("""
+      Some(s"""
         SELECT prio, count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               ${Money.sumPriceSql("o_totalprice")} AS total
         FROM orders
         JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders
               WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) d

@@ -30,12 +30,12 @@ object JoinQueries extends QueryModule {
           .groupBy(col("c_mktsegment"))
           .agg(
             count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue")
+            Money.sumPrice(col("o_totalprice")).as("revenue")
           )
       },
-      Some("""
+      Some(s"""
         SELECT c_mktsegment, count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+               ${Money.sumPriceSql("o_totalprice")} AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
       """)
@@ -149,15 +149,14 @@ object JoinQueries extends QueryModule {
           .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(
-            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .cast("decimal(24,4)")).cast("double").as("revenue"),
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
+              .as("revenue"),
             count(lit(1)).as("n_items")
           )
       },
-      Some("""
+      Some(s"""
         SELECT r_name, n_name,
-               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4)))
-                    AS DOUBLE) AS revenue,
+               ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -391,14 +390,14 @@ object JoinQueries extends QueryModule {
           .groupBy(col("c_mktsegment"))
           .agg(
             count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+            Money.sumPrice(col("o_totalprice")).as("total"),
             min(col("o_orderkey")).as("min_key"),
             max(col("o_orderkey")).as("max_key")
           )
       },
-      Some("""
+      Some(s"""
         SELECT c_mktsegment, count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               ${Money.sumPriceSql("o_totalprice")} AS total,
                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
