@@ -261,12 +261,21 @@ object Cep {
           }
           if (seen.contains(s)) freshAllowed = false
         case SkipPastLastEvent =>
-          candidates.headOption.foreach { em =>
+          // emit the earliest candidate, prune everything overlapping
+          // it (candidates and live partials), repeat — same loop as
+          // flush(). Multiple candidates can retire on one event with
+          // disjoint spans (e.g. two within-expired greedy loops from
+          // separate bursts); emitting only the head silently dropped
+          // the later ones.
+          var rest = candidates
+          while (rest.nonEmpty) {
+            val em = rest.head
             out += em.m
             // discard everything overlapping the match, including
             // fresh partials born on its last event
             pending = pending.filter(_.startSeq > em.lastSeq)
             if (em.lastSeq >= s) freshAllowed = false
+            rest = rest.tail.filter(_.startSeq > em.lastSeq)
           }
       }
       partials = if (freshAllowed) pending ++ freshSucc else pending

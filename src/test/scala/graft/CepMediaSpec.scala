@@ -258,6 +258,58 @@ class CepMediaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // Both steps optional: an expired greedy loop retires with a PAST
+  // lastSeq on the same event where a fresh single-event match
+  // completes — two candidates with disjoint spans on one event.
+  // SkipPastLastEvent must emit both (emit earliest, prune overlaps,
+  // repeat — the flush() loop); emitting only the head drops the
+  // second match.
+  private val disjointRetirePat = Cep.SequencePattern(
+    Seq(
+      Cep.Step("errs", _.event_type == "error",
+        oneOrMore = true, greedy = true, optional = true),
+      Cep.Step("view", _.event_type == "view", optional = true)
+    ),
+    withinMs = 4L * 60 * 1000,
+    strict = false,
+    skip = Cep.SkipPastLastEvent
+  )
+
+  test("NFA SkipPastLastEvent emits all disjoint candidates retiring on one event") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    // error@0 opens a greedy loop; view@5 expires it (within=4m) AND
+    // completes its own fresh single-event match: candidates (0,0) and
+    // (1,1) retire on the same event, non-overlapping
+    val events = Seq(ev(1, 0, "error"), ev(2, 5, "view"))
+    val (matches, st) = Cep.advance(disjointRetirePat, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    assert(matches.map(_.event_ids) == Seq(Seq(1L), Seq(2L)))
+    assert(st.partials.isEmpty)
+  }
+
+  test("streaming CEP SkipPastLastEvent matches batch on cross-batch disjoint retirements") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = Seq(Event(1, ts(0), 11, "error", 0.0), Event(2, ts(5), 11, "view", 0.0))
+    val batchMatches = Cep
+      .detectBatch(spark.createDataset(evs), disjointRetirePat)
+      .collect().map(_.event_ids).toSet
+    val in = MemoryStream[Event]
+    val q = Cep.detectStream(in.toDS(), disjointRetirePat)
+      .writeStream.format("memory").queryName("cep_disjoint_out")
+      .outputMode("append").start()
+    try {
+      in.addData(evs.head)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cep_disjoint_out").count() == 0) // loop open
+      in.addData(evs(1))
+      q.processAllAvailable()
+      val streamMatches = spark.sql("SELECT event_ids FROM cep_disjoint_out")
+        .collect().map(_.getSeq[Long](0)).toSet
+      assert(streamMatches == Set(Seq(1L), Seq(2L)))
+      assert(streamMatches == batchMatches)
+    } finally q.stop()
+  }
+
   test("streaming CEP with expiry emits pending greedy matches and frees dead keys") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
