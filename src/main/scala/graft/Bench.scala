@@ -60,7 +60,12 @@ object Bench {
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      // scoped: operator-internal caches are released per query, so the
+      // timing includes the cache's full lifecycle and queries don't
+      // inherit each other's pinned blocks
+      try CacheScope.scoped {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -45,9 +45,10 @@ object DedupQueries extends QueryModule {
     * both engines make the identical keep/drop decision.
     */
   def jaccardPairs(t: graft.Engine.Tables, threshold: Double): DataFrame = {
-    // reused by both sides of the self-join — cache to avoid double
-    // shingling (at cluster scale this is a materialized temp table)
-    val sh = shingled(t).persist()
+    // reused by both sides of the self-join — cached for the span of
+    // the consuming action (at cluster scale: a scratch table dropped
+    // when the job ends; CacheScope releases it in the action's finally)
+    val sh = graft.CacheScope.cached(shingled(t))
     val ex = sh.select(
       col("doc_id"),
       explode(col("shingles")).as("sh"),
@@ -226,13 +227,12 @@ object MinHashLsh {
     // the signature table feeds banding (twice, via the self-join) and
     // the verification joins — cache it instead of recomputing the
     // shingling 4x (on a cluster: write it out as a signature table)
-    val sig = shingled
+    val sig = graft.CacheScope.cached(shingled
       .select(
         col("doc_id"),
         col("shingles"),
         graft.functions.SketchExpressions.minhash_signature(col("shingles")).as("sig")
-      )
-      .persist()
+      ))
     // band key: (band index, hash of the 4 signature slots); bands are
     // a Scala-level loop so the slice offsets are static literals.
     val bandHashes = (0 until Bands).map(b =>
@@ -252,10 +252,10 @@ object MinHashLsh {
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > MaxBucketSize)
       .select(col("band"), col("bucket"))
-    // persisted: both sides of the self-join read the guarded table
-    val banded = bandedAll
-      .join(broadcast(hotBuckets), Seq("band", "bucket"), "left_anti")
-      .persist()
+    // cached: both sides of the self-join read the guarded table;
+    // released by the consuming action's CacheScope
+    val banded = graft.CacheScope.cached(bandedAll
+      .join(broadcast(hotBuckets), Seq("band", "bucket"), "left_anti"))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("d2"))
     val cand = l
@@ -314,10 +314,10 @@ object SimHash {
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > MinHashLsh.MaxBucketSize)
       .select(col("band"), col("bucket"))
-    // persisted: both sides of the self-join read the guarded table
-    val banded = bandedAll
-      .join(broadcast(hotBuckets), Seq("band", "bucket"), "left_anti")
-      .persist()
+    // cached: both sides of the self-join read the guarded table;
+    // released by the consuming action's CacheScope
+    val banded = graft.CacheScope.cached(bandedAll
+      .join(broadcast(hotBuckets), Seq("band", "bucket"), "left_anti"))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"), col("sig").as("sig1"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("d2"), col("sig").as("sig2"))
     l.join(r, Seq("band", "bucket"))

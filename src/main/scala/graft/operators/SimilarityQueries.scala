@@ -92,10 +92,11 @@ object SimilarityQueries extends QueryModule {
     def bucket(t: Int): Column = concat(
       planeCoeffs(t).map(pc => when(dot(col("v"), pc) >= 0, "1").otherwise("0")): _*
     )
-    // persisted: the hyperplane bucket assignment (planes × dim dot
-    // products per row) is the expensive part and feeds three
-    // consumers — hot-bucket scan, query side, candidate side
-    val withBuckets = e
+    // cached for the consuming action (CacheScope releases it): the
+    // hyperplane bucket assignment (planes × dim dot products per row)
+    // is the expensive part and feeds three consumers — hot-bucket
+    // scan, query side, candidate side
+    val withBuckets = graft.CacheScope.cached(e
       .withColumn("n2", dot(col("v"), col("v")))
       .select(
         col("vec_id"),
@@ -103,7 +104,7 @@ object SimilarityQueries extends QueryModule {
         col("n2"),
         posexplode(array((0 until numTables).map(bucket): _*))
           .as(Seq("tbl", "bucket"))
-      ).persist()
+      ))
     val q = withBuckets
       .filter(col("vec_id") < nQueries)
       .select(
@@ -172,10 +173,12 @@ object SimilarityQueries extends QueryModule {
     graft.functions.SketchExpressions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val s = emb.sparkSession
-    val e = emb
+    // cached: the normed corpus feeds the codebook seed, every Lloyd
+    // iteration, the final assignment, and the probe side; released by
+    // the consuming action's CacheScope
+    val e = graft.CacheScope.cached(emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("n2", dot(col("v"), col("v")))
-      .persist()
+      .withColumn("n2", dot(col("v"), col("v"))))
     val n = e.count()
     val step = math.max(1L, n / nLists)
 
