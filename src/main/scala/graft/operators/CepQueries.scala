@@ -119,7 +119,10 @@ object CepQueries extends QueryModule {
             Cep.Step("errs", _.event_type == "error", oneOrMore = true, greedy = true),
             Cep.Step("recovery", _.event_type != "error")
           ),
-          withinMs = 365L * 24 * 3600 * 1000,
+          // provably inert: ts - startTs is a nonnegative epoch-ms
+          // difference, always < Long.MaxValue — the NFA never expires
+          // a partial, exactly matching the oracle's unbounded islands
+          withinMs = Long.MaxValue,
           strict = true,
           skip = Cep.SkipPastLastEvent
         )
@@ -173,7 +176,9 @@ object CepQueries extends QueryModule {
             Cep.Step("e1", _.event_type == "error"),
             Cep.Step("e2", _.event_type == "error")
           ),
-          withinMs = 365L * 24 * 3600 * 1000,
+          // provably inert (see q_cep_error_burst): the oracle's
+          // non-overlapping pairs carry no time bound
+          withinMs = Long.MaxValue,
           strict = true,
           skip = Cep.SkipPastLastEvent
         )
@@ -226,7 +231,9 @@ object CepQueries extends QueryModule {
             Cep.Step("maybe_err", _.event_type == "error", optional = true),
             Cep.Step("purchase", _.event_type == "purchase")
           ),
-          withinMs = 365L * 24 * 3600 * 1000,
+          // provably inert (see q_cep_error_burst): the oracle's lead()
+          // branches carry no time bound
+          withinMs = Long.MaxValue,
           strict = true
         )
         Cep
@@ -251,6 +258,94 @@ object CepQueries extends QueryModule {
         UNION ALL
         SELECT user_id, event_id, id2
         FROM o WHERE event_type = 'signup' AND t1 = 'error' AND t2 = 'purchase'
+      """)
+    ),
+    // Negation, relaxed: notFollowedBy — the canonical
+    // funnel-abandonment query. A signup with NO purchase in the
+    // following 30 minutes (reference Pattern.notFollowedBy,
+    // flink-cep/.../pattern/Pattern.java:304; a trailing notFollowedBy
+    // requires within() and resolves at its expiry — here end-of-input
+    // flush plays the same role for the events beyond every horizon).
+    // Oracle: anti-join against later purchases inside the bound.
+    QueryDef(
+      "q_cep_not_followed_by",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        val pattern = Cep.SequencePattern(
+          steps = Seq(
+            Cep.Step("signup", _.event_type == "signup"),
+            Cep.Step("no_purchase", _.event_type == "purchase", negated = true)
+          ),
+          withinMs = 30L * 60 * 1000,
+          strict = false
+        )
+        Cep
+          .detectBatch(events, pattern)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("signup_id")
+          )
+      },
+      Some("""
+        SELECT user_id, event_id AS signup_id
+        FROM events s
+        WHERE event_type = 'signup'
+          AND NOT EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+              AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+              -- ms-boundary count == the NFA's getTime subtraction (the
+              -- µs-precision INTERVAL compare would disagree when a gap
+              -- straddles the bound inside one millisecond)
+              AND date_diff('millisecond', s.ts, p.ts) <= 1800000
+          )
+      """)
+    ),
+    // Negation, strict: notNext — an error whose IMMEDIATE successor is
+    // not a recovery click (reference Pattern.notNext,
+    // flink-cep/.../pattern/Pattern.java:273). The within is inert (see
+    // q_cep_error_burst), so the negation resolves on the next event or
+    // at end-of-input — exactly the oracle's lead() semantics, where a
+    // missing successor (NULL lead) also satisfies the negation.
+    QueryDef(
+      "q_cep_not_next",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        val pattern = Cep.SequencePattern(
+          steps = Seq(
+            Cep.Step("err", _.event_type == "error"),
+            Cep.Step("no_click", _.event_type == "click", negated = true)
+          ),
+          withinMs = Long.MaxValue,
+          strict = true
+        )
+        Cep
+          .detectBatch(events, pattern)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("error_id")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+          FROM events
+        )
+        SELECT user_id, event_id AS error_id
+        FROM o
+        WHERE event_type = 'error' AND (nxt IS NULL OR nxt <> 'click')
       """)
     )
   )

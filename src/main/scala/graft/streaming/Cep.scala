@@ -61,7 +61,19 @@ object Cep {
         * predicate; the until event itself is never consumed by the
         * loop).
         */
-      until: Option[Event => Boolean] = None
+      until: Option[Event => Boolean] = None,
+      /** Negative step (Pattern.notNext / Pattern.notFollowedBy,
+        * reference flink-libraries/flink-cep/.../pattern/Pattern.java:
+        * 273,304): the predicate names the FORBIDDEN event. Under
+        * strict contiguity this is notNext (the immediate next event
+        * must not match); relaxed it is notFollowedBy (no matching
+        * event may occur before the following step consumes). A
+        * forbidden event kills the partial; a trailing negation
+        * resolves positively at within-expiry or end-of-input flush —
+        * the reference's rule that a pattern cannot END with
+        * notFollowedBy unless a within() bounds it.
+        */
+      negated: Boolean = false
   ) {
     require(times >= 1)
     require(times == 1 || (!optional && !oneOrMore),
@@ -69,6 +81,8 @@ object Cep {
     require(timesMax == 0 || timesMax >= times,
       "times(n, m) needs m >= n")
     require(until.isEmpty || oneOrMore, "until only applies to oneOrMore loops")
+    require(!negated || (times == 1 && timesMax == 0 && !optional && !oneOrMore),
+      "a negated step consumes nothing and cannot be quantified")
   }
 
   sealed trait SkipStrategy
@@ -88,6 +102,11 @@ object Cep {
       skip: SkipStrategy = NoSkip
   ) {
     require(steps.nonEmpty)
+    require(!steps.head.negated,
+      "a pattern cannot start with a negation (nothing precedes it)")
+    require(!steps.iterator.sliding(2).withPartial(false)
+      .exists(w => w.head.negated && w(1).negated),
+      "two adjacent negated steps are ambiguous — merge the predicates")
     /** steps with times(n[, m]) unrolled — n required copies plus
       * m - n optional ones — what the NFA actually runs
       */
@@ -160,6 +179,18 @@ object Cep {
         Some(Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds)))
       else None
 
+    def negationPending(p: PartialMatch): Boolean =
+      p.stepIdx < n && steps(p.stepIdx).negated
+
+    // a partial waiting at a TRAILING negation (only optional steps
+    // after it) whose within expired without the forbidden event: the
+    // negation resolves positively — the match ends at its last
+    // consumed event
+    def negationExpiryEmit(p: PartialMatch): Option[Emit] =
+      if (negationPending(p) && closure(p.stepIdx + 1, false).exists(_._1 == n))
+        Some(Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds)))
+      else None
+
     /** Try to consume `e` from partial `p`. Returns (consumed,
       * successors, emits). A greedy in-loop partial whose loop
       * predicate accepts takes only the loop branch.
@@ -209,30 +240,68 @@ object Cep {
       seq += 1
 
       // retire expired partials; a completable greedy loop emits its
-      // (already fully-within-bound) match on retirement
+      // (already fully-within-bound) match on retirement, and a
+      // trailing negation that saw no forbidden event resolves as a
+      // match
       val (alive, expired) = partials.partition(p => ts - p.startTs <= pattern.withinMs)
       val emitsB = Seq.newBuilder[Emit]
-      expired.foreach(p => retirementEmit(p).foreach(emitsB += _))
+      expired.foreach(p =>
+        retirementEmit(p).orElse(negationExpiryEmit(p)).foreach(emitsB += _))
 
       val nextPartials = Seq.newBuilder[PartialMatch]
       alive.foreach { p =>
-        val (consumed, succ, emits) = consume(p, e, ts, s)
-        if (consumed) {
-          nextPartials ++= succ
-          emitsB ++= emits
-        } else if (pattern.strict) {
-          // strict contiguity: the partial dies; a pending greedy loop
-          // emits its maximal match first (the run just ended)
-          retirementEmit(p).foreach(emitsB += _)
+        if (negationPending(p)) {
+          val i = p.stepIdx
+          if (steps(i).predicate(e)) {
+            // the forbidden event arrived inside the negation window:
+            // the partial dies silently (both notNext and notFollowedBy)
+          } else if (pattern.strict) {
+            // notNext: the immediate-next event is not the forbidden
+            // one — the negation resolves NOW. A trailing negation
+            // completes (the resolving event is not part of the match);
+            // a mid-pattern negation hands this same event to the
+            // continuation (error notNext(x) next(b): b checks the very
+            // event that cleared the notNext).
+            if (closure(i + 1, false).exists(_._1 == n))
+              emitsB += Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds))
+            if (i + 1 < n) {
+              val p2 = p.copy(stepIdx = i + 1)
+              val (consumed2, succ2, emits2) = consume(p2, e, ts, s)
+              if (consumed2) { nextPartials ++= succ2; emitsB ++= emits2 }
+              // not consumed → the strict continuation dies with the
+              // negation already resolved above
+            }
+          } else {
+            // notFollowedBy: the negation stays pending until the
+            // following step consumes (which resolves it — the required
+            // event arrived before any forbidden one) or the within
+            // horizon passes
+            val p2 = p.copy(stepIdx = i + 1)
+            val (consumed2, succ2, emits2) =
+              if (i + 1 < n) consume(p2, e, ts, s)
+              else (false, Seq.empty[PartialMatch], Seq.empty[Emit])
+            if (consumed2) { nextPartials ++= succ2; emitsB ++= emits2 }
+            else nextPartials += p
+          }
         } else {
-          // relaxed: keep waiting; an until-hit permanently closes an
-          // open loop — a terminal greedy loop emits its maximal match,
-          // a mid-pattern loop continues from the exit position
-          if (p.inLoop && p.stepIdx < n && steps(p.stepIdx).oneOrMore
-            && untilHit(p.stepIdx, e)) {
-            if (p.stepIdx + 1 == n) retirementEmit(p).foreach(emitsB += _)
-            else nextPartials += p.copy(stepIdx = p.stepIdx + 1, inLoop = false)
-          } else nextPartials += p
+          val (consumed, succ, emits) = consume(p, e, ts, s)
+          if (consumed) {
+            nextPartials ++= succ
+            emitsB ++= emits
+          } else if (pattern.strict) {
+            // strict contiguity: the partial dies; a pending greedy loop
+            // emits its maximal match first (the run just ended)
+            retirementEmit(p).foreach(emitsB += _)
+          } else {
+            // relaxed: keep waiting; an until-hit permanently closes an
+            // open loop — a terminal greedy loop emits its maximal match,
+            // a mid-pattern loop continues from the exit position
+            if (p.inLoop && p.stepIdx < n && steps(p.stepIdx).oneOrMore
+              && untilHit(p.stepIdx, e)) {
+              if (p.stepIdx + 1 == n) retirementEmit(p).foreach(emitsB += _)
+              else nextPartials += p.copy(stepIdx = p.stepIdx + 1, inLoop = false)
+            } else nextPartials += p
+          }
         }
       }
 
@@ -319,9 +388,16 @@ object Cep {
       }
       i == n
     }
+    // pending greedy loops emit their maximal run; partials waiting at
+    // a trailing negation resolve positively — bounded input ended
+    // without the forbidden event (matches the within-expiry path in
+    // advance())
     val emits = st.partials
-      .filter(p => p.inLoop && p.stepIdx < n && steps(p.stepIdx).greedy
-        && completableFrom(p.stepIdx, p.inLoop))
+      .filter(p =>
+        (p.inLoop && p.stepIdx < n && steps(p.stepIdx).greedy
+          && completableFrom(p.stepIdx, p.inLoop)) ||
+        (p.stepIdx < n && steps(p.stepIdx).negated
+          && completableFrom(p.stepIdx + 1, false)))
       .map(p => Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds)))
       .sortBy(em => (em.startSeq, em.lastSeq))
     pattern.skip match {

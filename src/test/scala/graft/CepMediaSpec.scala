@@ -340,6 +340,102 @@ class CepMediaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("NFA notFollowedBy: forbidden event kills, expiry/flush resolve") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    val p = Cep.SequencePattern(
+      Seq(
+        Cep.Step("s", _.event_type == "signup"),
+        Cep.Step("no_buy", _.event_type == "purchase", negated = true)
+      ),
+      withinMs = 30L * 60 * 1000,
+      strict = false
+    )
+    // signup@0 → purchase@5 kills it; signup@10 → expiry at @50 emits;
+    // signup@45 → pending at end-of-input, flush emits
+    val events = Seq(
+      ev(1, 0, "signup"), ev(2, 5, "purchase"),
+      ev(3, 10, "signup"), ev(4, 20, "click"),
+      ev(5, 50, "view"), ev(6, 55, "signup")
+    )
+    val (matches, st) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    assert(matches.map(_.event_ids) == Seq(Seq(3L)))
+    assert(Cep.flush(p, 1L, st).map(_.event_ids) == Seq(Seq(6L)))
+    // batch = advance + flush
+    import spark.implicits._
+    val all = Cep.detectBatch(spark.createDataset(events), p)
+      .collect().map(_.event_ids).toSet
+    assert(all == Set(Seq(3L), Seq(6L)))
+  }
+
+  test("NFA notNext: immediate successor resolves or kills; mid-pattern continues") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    val p = Cep.SequencePattern(
+      Seq(
+        Cep.Step("err", _.event_type == "error"),
+        Cep.Step("no_click", _.event_type == "click", negated = true)
+      ),
+      withinMs = Long.MaxValue,
+      strict = true
+    )
+    // error@0 → click@1 kills; error@2 → view@3 resolves (emit, match =
+    // just the error); error@4 → end of input, flush resolves
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 1, "click"),
+      ev(3, 2, "error"), ev(4, 3, "view"), ev(5, 4, "error")
+    )
+    val (matches, st) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    assert(matches.map(_.event_ids) == Seq(Seq(3L)))
+    assert(Cep.flush(p, 1L, st).map(_.event_ids) == Seq(Seq(5L)))
+
+    // mid-pattern notNext: error notNext(click) next(view) — the event
+    // clearing the negation is the one the continuation must match
+    val pMid = Cep.SequencePattern(
+      Seq(
+        Cep.Step("err", _.event_type == "error"),
+        Cep.Step("no_click", _.event_type == "click", negated = true),
+        Cep.Step("rec", _.event_type == "view")
+      ),
+      withinMs = Long.MaxValue,
+      strict = true
+    )
+    val (midMatches, _) = Cep.advance(pMid, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    assert(midMatches.map(_.event_ids) == Seq(Seq(3L, 4L)))
+  }
+
+  test("streaming CEP negation: cross-batch kill and watermark expiry") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val p = Cep.SequencePattern(
+      Seq(
+        Cep.Step("s", _.event_type == "signup"),
+        Cep.Step("no_buy", _.event_type == "purchase", negated = true)
+      ),
+      withinMs = 30L * 60 * 1000,
+      strict = false
+    )
+    val in = MemoryStream[Event]
+    val q = Cep.detectStreamExpiring(in.toDS(), p, "1 minute")
+      .writeStream.format("memory").queryName("cep_neg_out")
+      .outputMode("append").start()
+    try {
+      // key 21: signup then a later-batch purchase inside the window →
+      // killed across batches. key 22: signup, then only foreign-key
+      // events push the watermark past its horizon → emitted.
+      in.addData(Event(1, ts(0), 21, "signup", 0.0), Event(2, ts(0), 22, "signup", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts(10), 21, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cep_neg_out").count() == 0)
+      in.addData(Event(4, ts(120), 23, "view", 0.0)) // watermark push
+      q.processAllAvailable()
+      in.addData(Event(5, ts(125), 23, "view", 0.0)) // timers fire
+      q.processAllAvailable()
+      val m = spark.sql("SELECT key, event_ids FROM cep_neg_out").collect()
+      assert(m.length == 1 && m(0).getLong(0) == 22L &&
+        m(0).getSeq[Long](1) == Seq(2L))
+    } finally q.stop()
+  }
+
   test("media pipeline decodes deterministically per partition") {
     val docs = Engine.Tables(spark, "/root/testdata/sf0.001").documents
     val media = MediaPipeline.mediaFromDocuments(docs)
