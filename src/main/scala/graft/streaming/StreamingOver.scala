@@ -120,10 +120,16 @@ object StreamingOver {
     * Batch-computable per micro-batch inside foreachBatch.
     */
   def splitLate(df: DataFrame, tsCol: String, delay: String): (DataFrame, DataFrame) = {
-    val cutoff = max(col(tsCol)).over() - expr(s"INTERVAL $delay")
-    val tagged = df.withColumn("__late", col(tsCol) < cutoff)
-    (tagged.filter(!col("__late")).drop("__late"),
-      tagged.filter(col("__late")).drop("__late"))
+    // the high-watermark scalar comes from a 1-row broadcast aggregate
+    // joined back to the batch — an empty-partition OVER() window would
+    // funnel the entire micro-batch through one WindowExec task, the
+    // slowest task in the stage by construction at scale
+    val hwm = df.agg(max(col(tsCol)).as("__hwm"))
+    val tagged = df
+      .crossJoin(broadcast(hwm))
+      .withColumn("__late", col(tsCol) < col("__hwm") - expr(s"INTERVAL $delay"))
+    (tagged.filter(!col("__late")).drop("__late", "__hwm"),
+      tagged.filter(col("__late")).drop("__late", "__hwm"))
   }
 
   final case class SortBuffer(events: Seq[Event])
