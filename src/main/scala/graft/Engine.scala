@@ -82,10 +82,19 @@ object Engine {
       */
     def events: DataFrame = {
       import org.apache.spark.sql.functions._
-      t("events").withColumn(
-        "ts",
-        timestamp_micros((col("ts") / lit(1000L)).cast("long"))
-      )
+      val raw = t("events")
+      // the driver's events.parquet carries TIMESTAMP(NANOS), surfaced
+      // as int64 nanos by the nanosAsLong config; an events table from
+      // any other producer (including our own scaled-up copies) is a
+      // regular micros TimestampType and needs no conversion
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn(
+            "ts",
+            timestamp_micros((col("ts") / lit(1000L)).cast("long"))
+          )
+        case _ => raw
+      }
     }
     def documents: DataFrame = t("documents")
     def embeddings: DataFrame = t("embeddings")

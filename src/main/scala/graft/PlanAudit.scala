@@ -1,11 +1,12 @@
 package graft
 
-/** Dev tool: audits physical plans of the headline queries for the
+/** Dev tool: audits physical plans of every registered query for the
   * properties that matter at cluster scale — filter/projection
-  * pushdown into the parquet scan, broadcast joins for dimension
-  * tables, whole-stage codegen coverage, and absence of accidental
-  * cartesian products. Prints a per-query summary plus the full
-  * formatted plan when a check fails.
+  * pushdown into the parquet scan, dynamic partition pruning,
+  * broadcast joins for dimension tables, whole-stage codegen
+  * coverage, absence of accidental cartesian products, and absence of
+  * partitionless OVER() windows (a single-task funnel at scale). All
+  * checks FAIL the audit (exit 1), not just print.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -28,6 +29,38 @@ object PlanAudit {
       // 1-row broadcast scalar subqueries (threshold / max)
       "q_flagship_important_stock", "q_flagship_top_supplier"
     )
+    // Queries whose predicates MUST reach the parquet scan — every
+    // selective filter over a base-table column. A regression here
+    // (e.g. a filter moved behind a UDF or an opaque expression) turns
+    // a pruned scan into a full-table read at 100 TB.
+    val pushdownExpected = Set(
+      "q_agg_pricing_summary", "q_agg_window_hop", "q_agg_window_session",
+      "q_agg_window_session_dynamic", "q_agg_window_tumble",
+      "q_ann_brute_force", "q_dedup_embedding", "q_explode_with_position",
+      "q_flagship_big_orders", "q_flagship_disjunctive", "q_flagship_idle_customers",
+      "q_flagship_important_stock", "q_flagship_local_supplier",
+      "q_flagship_market_share", "q_flagship_min_cost_supplier",
+      "q_flagship_order_distribution", "q_flagship_priority_check",
+      "q_flagship_priority_class", "q_flagship_profit", "q_flagship_promo_share",
+      "q_flagship_returned_items", "q_flagship_shipping_priority",
+      "q_flagship_small_quantity", "q_flagship_supplier_diversity",
+      "q_flagship_surplus_supplier", "q_flagship_top_supplier",
+      "q_flagship_two_nation_volume", "q_flagship_waiting_supplier",
+      "q_join_anti", "q_join_asof", "q_join_asof_forward", "q_join_asof_native",
+      "q_join_broadcast_dim", "q_join_bucketed_colocated", "q_join_inner",
+      "q_join_interval", "q_join_left_outer", "q_join_multiway", "q_join_semi",
+      "q_join_static_contains", "q_join_window", "q_lookup_join",
+      "q_scan_partition_pruned", "q_subquery_correlated", "q_subquery_in",
+      "q_subquery_scalar"
+    )
+    // Plans with no parquet scan at all (inline VALUES, JDBC/Derby,
+    // SequenceFile via RDD bridge, the iterations driver loop whose
+    // final plan is the accumulated in-memory frontier) — exempt from
+    // scan/codegen checks.
+    val nonParquet = Set(
+      "q_values_inline", "q_source_jdbc_roundtrip", "q_source_sequencefile_roundtrip",
+      "q_iterations_reachability"
+    )
 
     var failures = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -38,17 +71,44 @@ object PlanAudit {
           .fromString("formatted")
         val full = df.queryExecution.explainString(formatted)
         val hasScan = plan.contains("FileScan") || plan.contains("Scan parquet")
-        val codegen = plan.contains("WholeStageCodegen") || full.contains("WholeStageCodegen")
         val cartesian = plan.contains("CartesianProduct") ||
           plan.contains("BroadcastNestedLoopJoin")
         val broadcast = plan.contains("BroadcastHashJoin") ||
           plan.contains("BroadcastExchange")
-        val pushed = full.contains("PushedFilters: [") &&
-          !full.replaceAll("PushedFilters: \\[\\]", "").contains("PushedFilters: []")
+        val pushed = "PushedFilters: \\[[^\\]]".r.findFirstIn(full).isDefined
+
+        // AQE hides codegen annotations until the final plan exists, so
+        // codegen coverage is measured on a one-off AQE-less replan of
+        // the same query (the operators are identical; only runtime
+        // re-planning is off).
+        val codegenSpans = {
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          try fn(spark, dir).queryExecution.executedPlan.collect {
+            case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+          }.size
+          finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+        }
+
+        // A Window with an empty partition spec funnels every row of
+        // the stage through ONE task — never acceptable in a
+        // registered query (global aggregates go through agg +
+        // 1-row broadcast join instead).
+        val globalWindows = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
 
         val problems = Seq.newBuilder[String]
         if (cartesian && !crossAllowed(name)) problems += "unexpected-cartesian/BNLJ"
         if (broadcastExpected(name) && !broadcast) problems += "missing-broadcast"
+        if (pushdownExpected(name) && !pushed) problems += "missing-filter-pushdown"
+        if (!hasScan && !nonParquet(name)) problems += "missing-parquet-scan"
+        if (globalWindows.nonEmpty) problems += "empty-partition-window"
+        if (codegenSpans == 0 && !nonParquet(name)) problems += "no-codegen-span"
+        if (name == "q_scan_partition_pruned" &&
+          !full.toLowerCase.contains("dynamicpruning"))
+          problems += "missing-dynamic-partition-pruning"
+
         val ps = problems.result()
         if (ps.nonEmpty) {
           failures += 1
@@ -56,7 +116,7 @@ object PlanAudit {
           println(full.linesIterator.take(60).mkString("\n"))
         } else {
           println(
-            f"[audit] $name%-28s scan=$hasScan%-5s codegen=$codegen%-5s " +
+            f"[audit] $name%-28s scan=$hasScan%-5s codegenSpans=$codegenSpans%-3d " +
               f"broadcast=$broadcast%-5s filterPushdown=$pushed"
           )
         }

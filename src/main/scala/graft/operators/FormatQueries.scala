@@ -144,16 +144,39 @@ object FormatQueries extends QueryModule {
     * (the DPP subquery shows up in the scan's partition filters). The
     * 100 TB read-path feature the flat test parquet cannot show.
     */
+  /** Content fingerprint of the source orders table: file names, sizes
+    * and mtimes. The scratch partition layout is only reusable while
+    * the source it was derived from is unchanged — keying the cache on
+    * `_SUCCESS` alone would silently serve a stale copy after the
+    * testdata is regenerated and diverge from the oracle's fresh read.
+    */
+  private def sourceFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(dir, "orders.parquet"))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
+
   private def partitionPrunedScan(s: SparkSession, dir: String) = {
     // keyed by SF so a test at sf0.001 and Verify at sf0.01 don't
     // reuse each other's partition layout
     val path = scratch("orders_part_" + new java.io.File(dir).getName)
-    val marker = new java.io.File(path, "_SUCCESS")
-    if (!marker.exists()) {
+    val fp = sourceFingerprint(dir)
+    val fpFile = new java.io.File(path, "_GRAFT_SRC_FINGERPRINT")
+    val cachedFp =
+      if (fpFile.exists())
+        new String(java.nio.file.Files.readAllBytes(fpFile.toPath), "UTF-8")
+      else ""
+    if (cachedFp != fp) {
       tables(s, dir).orders
         .write.mode("overwrite")
         .partitionBy("o_orderpriority")
         .parquet(path)
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
     }
     // DPP only plants its pruning subquery when the dim side is a real
     // scan with a selective predicate (a VALUES relation folds the

@@ -168,17 +168,28 @@ object WindowQueries extends QueryModule {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       """)
     ),
-    // ntile / percent_rank / cume_dist.
+    // ntile / percent_rank / cume_dist — a GLOBAL ranking, which must
+    // not plan as a partitionless WindowExec (single task for the
+    // whole table). DistributedRank range-partitions on the sort keys,
+    // ranks per partition, and adds broadcast cumulative offsets; the
+    // unique (o_totalprice, o_orderkey) tiebreak makes ntile /
+    // percent_rank / cume_dist pure arithmetic on the global rank.
     QueryDef(
       "q_over_distribution",
       (s, dir) => {
+        import graft.plans.DistributedRank
         val t = tables(s, dir)
-        val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-        t.orders.select(
+        val (ranked, n) = DistributedRank.globalRank(
+          t.orders.select(col("o_orderkey"), col("o_totalprice")),
+          "__rank",
+          col("o_totalprice"),
+          col("o_orderkey")
+        )
+        ranked.select(
           col("o_orderkey"),
-          ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume")
+          DistributedRank.ntileFromRank(col("__rank"), n, 4).as("quartile"),
+          round(DistributedRank.percentRankFromRank(col("__rank"), n), 6).as("pct_rank"),
+          round(DistributedRank.cumeDistFromRank(col("__rank"), n), 6).as("cume")
         )
       },
       Some("""

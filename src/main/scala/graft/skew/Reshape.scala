@@ -1,6 +1,7 @@
 package graft.skew
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,6 +77,31 @@ object ReshapeConfig {
 final class SkewMonitor(settings: ReshapeConfig.Settings) extends SparkListener {
 
   final case class TaskStat(durationMs: Long, records: Long, bytes: Long)
+
+  /** When set, only stages belonging to this job group count as
+    * evidence. A SparkListener is session-wide, so without a scope the
+    * monitor would read *foreign* load — an oracle query, another
+    * stream, even the result collect of the job it feeds — as skew in
+    * the monitored pipeline (the reference's controller only ever sees
+    * its own job's subtasks, ControllerSimulator.scala:95-155).
+    */
+  @volatile private var jobGroup: Option[String] = None
+  private val stageGroups = new TrieMap[Int, String]()
+
+  def scopeTo(group: String): Unit = { jobGroup = Some(group) }
+
+  /** Scope evidence to the calling thread's job group — inside a
+    * foreachBatch body that is the owning streaming query's execution
+    * group (StreamExecution sets it to the run id). No-op when the
+    * caller has no group (direct batch invocation stays unscoped).
+    */
+  def scopeToCallingGroup(sc: SparkContext): Unit =
+    Option(sc.getLocalProperty("spark.jobGroup.id")).foreach(scopeTo)
+
+  override def onJobStart(j: SparkListenerJobStart): Unit = {
+    val g = Option(j.properties).flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+    g.foreach(gr => j.stageIds.foreach(sid => stageGroups.put(sid, gr)))
+  }
   final case class SkewReport(
       stageId: Int,
       numTasks: Int,
@@ -104,9 +130,11 @@ final class SkewMonitor(settings: ReshapeConfig.Settings) extends SparkListener 
 
   override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
     val stageId = sc.stageInfo.stageId
+    val group = stageGroups.remove(stageId)
     perStage.remove(stageId).foreach { stats =>
+      val inScope = jobGroup.forall(g => group.contains(g))
       val durations = stats.values.map(_.durationMs).toSeq.sorted
-      if (durations.size >= 2 && durations.last > 0) {
+      if (inScope && durations.size >= 2 && durations.last > 0) {
         val median = durations(durations.size / 2)
         // Load signal, in preference order: shuffle-read BYTES — the
         // per-channel input volume the reference's controller reads
@@ -182,12 +210,13 @@ final class SkewMonitor(settings: ReshapeConfig.Settings) extends SparkListener 
   *    (WorkerSimulator.assignRouting).
   */
 final class AdaptiveSalter(
-    monitor: SkewMonitor,
+    val monitor: SkewMonitor,
     settings: ReshapeConfig.Settings,
     aggressiveSalt: Int = 32
 ) {
   @volatile private var lastStageSeen: Int = -1
   @volatile private var salt: Int = 1
+  private var ticked: Boolean = false
   private var skewTicks: Int = 0
   private val history = scala.collection.mutable.ArrayBuffer.empty[Int]
 
@@ -202,7 +231,12 @@ final class AdaptiveSalter(
     * latency of one batch is acceptable.
     */
   def nextSalt(awaitEvidenceMs: Long = 0L): Int = synchronized {
-    val deadline = System.currentTimeMillis() + awaitEvidenceMs
+    // first tick: no monitored batch has run yet, so no evidence can
+    // ever land — polling would only burn the full awaitEvidenceMs
+    // as dead decision latency on every query start
+    val wait = if (ticked) awaitEvidenceMs else 0L
+    ticked = true
+    val deadline = System.currentTimeMillis() + wait
     var fresh = monitor.stageReports.filter(_._1 > lastStageSeen)
     while (fresh.isEmpty && System.currentTimeMillis() < deadline) {
       Thread.sleep(25)
@@ -245,6 +279,10 @@ object AdaptiveReshape {
       awaitEvidenceMs: Long = 0L
   )(onResult: (DataFrame, Long, Int) => Unit): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
+      // the body runs on the owning query's execution thread: scope the
+      // monitor to that query's job group so concurrent foreign jobs
+      // (oracle reads, other streams) never count as skew evidence
+      salter.monitor.scopeToCallingGroup(batch.sparkSession.sparkContext)
       val salt = salter.nextSalt(awaitEvidenceMs)
       onResult(SaltedAggregation.aggregate(batch, key, spec, salt), batchId, salt)
   }
@@ -262,6 +300,7 @@ object AdaptiveReshape {
       awaitEvidenceMs: Long = 0L
   )(onResult: (DataFrame, Long, Int) => Unit): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) =>
+      salter.monitor.scopeToCallingGroup(batch.sparkSession.sparkContext)
       val salt = salter.nextSalt(awaitEvidenceMs)
       onResult(SaltedJoin.join(batch, dim, key, salt), batchId, salt)
   }

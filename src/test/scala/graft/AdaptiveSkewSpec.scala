@@ -85,10 +85,27 @@ class AdaptiveSkewSpec extends AnyFunSuite {
         // batch 0: uniform — no evidence yet, salt must stay 1
         val b0 = uniformRows(6400).collect().map(r => (r.getLong(0), r.getDouble(1)))
         in.addData(b0.toIndexedSeq); q.processAllAvailable()
-        // batch 1: skew arrives — but the only evidence is batch 0's
-        // uniform load, so the controller must still not act
+        // a concurrent FOREIGN job with genuinely skewed shuffle load:
+        // the monitor is scoped to the streaming query's job group, so
+        // this must never count as evidence (pre-scoping it would have
+        // raised the salt at the batch-1 tick)
+        spark.sparkContext.setJobGroup("foreign-skew", "foreign skewed job")
+        try skewedRows(20000).groupBy("k").agg(collect_list(col("v"))).collect()
+        finally spark.sparkContext.clearJobGroup()
+        Thread.sleep(500) // let async listener delivery land before the next tick
+        val foreignStages = spark.sparkContext.statusTracker
+          .getJobIdsForGroup("foreign-skew")
+          .flatMap(id => spark.sparkContext.statusTracker.getJobInfo(id))
+          .flatMap(_.stageIds()).toSet
+        assert(foreignStages.nonEmpty, "foreign job must have run stages")
+
+        // batch 1: skew arrives — but the only in-scope evidence is
+        // batch 0's uniform load, so the controller must still not act
         val b1 = skewedRows(20000).collect().map(r => (r.getLong(0), r.getDouble(1)))
         in.addData(b1.toIndexedSeq); q.processAllAvailable()
+        assert(
+          monitor.stageReports.keySet.intersect(foreignStages).isEmpty,
+          "foreign-group stages must be excluded from scoped evidence")
         // batch 2: batch 1's skewed stages are now visible — salt rises
         val b2 = skewedRows(4000).collect().map(r => (r.getLong(0), r.getDouble(1)))
         in.addData(b2.toIndexedSeq); q.processAllAvailable()
