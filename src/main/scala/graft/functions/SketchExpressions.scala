@@ -32,6 +32,16 @@ object SketchExpressions {
     reg.createOrReplaceTempFunction("minhash_signature", es => MinHashSignature(es.head), "built-in")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles", es => WordShingles(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "hyperplane_buckets",
+      es => HyperplaneBuckets(
+        es(0),
+        es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int],
+        es(3).eval().asInstanceOf[Int]
+      ),
+      "built-in"
+    )
   }
 
   /** Column API wrappers (require register() on the session first). */
@@ -43,6 +53,14 @@ object SketchExpressions {
     org.apache.spark.sql.functions.call_function("simhash64", words)
   def word_shingles(text: Column): Column =
     org.apache.spark.sql.functions.call_function("word_shingles", text)
+  def hyperplane_buckets(v: Column, planes: Int, dim: Int, numTables: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "hyperplane_buckets",
+      v,
+      org.apache.spark.sql.functions.lit(planes),
+      org.apache.spark.sql.functions.lit(dim),
+      org.apache.spark.sql.functions.lit(numTables)
+    )
 }
 
 /** Sequential-order dot product of two double arrays, with whole-stage
@@ -184,6 +202,57 @@ object WordShingles {
       }
       new GenericArrayData(out)
     }
+  }
+}
+
+/** All `numTables` random-hyperplane LSH bucket codes of a vector in
+  * one tight loop: bit p of table t's code is the sign of the dot
+  * product with a deterministic ±1 hyperplane. Replaces a literal
+  * expression tree of numTables × planes × dim coefficients (the
+  * declarative form costs seconds of codegen compilation alone and
+  * evaluates the coefficient branches per row).
+  */
+case class HyperplaneBuckets(child: Expression, planes: Int, dim: Int, numTables: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBuckets.compute(input.asInstanceOf[ArrayData], planes, dim, numTables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HyperplaneBuckets.compute($a, $planes, $dim, $numTables);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HyperplaneBuckets {
+  /** The kernel: statically compiled, called from both interpreted
+    * eval and generated code. The ±1 coefficient for (table t, plane
+    * p, dim d) is a fixed bit-mix — stable across JVMs and sessions.
+    */
+  def compute(v: ArrayData, planes: Int, dim: Int, numTables: Int): ArrayData = {
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var code = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        var d = 0
+        while (d < n) {
+          val bit = ((t * 40503L + p) * 1315423911L + d * 2654435761L) >>> 7 & 1L
+          s += (if (bit == 1L) v.getDouble(d) else -v.getDouble(d))
+          d += 1
+        }
+        if (s >= 0) code |= (1L << p)
+        p += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

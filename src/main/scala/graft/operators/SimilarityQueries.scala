@@ -82,28 +82,23 @@ object SimilarityQueries extends QueryModule {
       col("vec_id"),
       col("embedding").cast("array<double>").as("v")
     )
-    // table t, hyperplane p, dim d coefficient: ±1 by a fixed hash
-    def planeCoeffs(t: Int): Seq[Column] = (0 until planes).map { p =>
-      array((0 until dim).map { d =>
-        val bit = ((t * 40503L + p) * 1315423911L + d * 2654435761L) >>> 7 & 1L
-        lit(if (bit == 1L) 1.0 else -1.0)
-      }: _*)
-    }
-    def bucket(t: Int): Column = concat(
-      planeCoeffs(t).map(pc => when(dot(col("v"), pc) >= 0, "1").otherwise("0")): _*
-    )
     // cached for the consuming action (CacheScope releases it): the
     // hyperplane bucket assignment (planes × dim dot products per row)
     // is the expensive part and feeds three consumers — hot-bucket
-    // scan, query side, candidate side
+    // scan, query side, candidate side. All numTables bucket codes
+    // come from ONE native expression call per row (HyperplaneBuckets)
+    // — the equivalent literal coefficient tree (numTables × planes ×
+    // dim lit()s) costs more in codegen compilation than the scan.
     val withBuckets = graft.CacheScope.cached(e
       .withColumn("n2", dot(col("v"), col("v")))
       .select(
         col("vec_id"),
         col("v"),
         col("n2"),
-        posexplode(array((0 until numTables).map(bucket): _*))
-          .as(Seq("tbl", "bucket"))
+        posexplode(
+          graft.functions.SketchExpressions
+            .hyperplane_buckets(col("v"), planes, dim, numTables)
+        ).as(Seq("tbl", "bucket"))
       ))
     val q = withBuckets
       .filter(col("vec_id") < nQueries)

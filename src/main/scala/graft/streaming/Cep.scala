@@ -360,14 +360,59 @@ object Cep {
   /** Batch detection: each key's events processed in event-time order,
     * then pending greedy loops flushed at end-of-input (bounded data
     * has a real end).
+    *
+    * Hot-key safe: instead of flatMapGroups (which would materialize a
+    * key's FULL event history in one task's memory — a hot key with
+    * 10^8 events is an OOM, the skew shape Reshape exists for), the
+    * events are secondary-sorted (repartition by key, disk-backed
+    * sortWithinPartitions by key/time) and scanned per partition with
+    * one per-event NFA step. Working memory is the NFA's live partials
+    * (bounded by `within`), never the key's event list.
     */
   def detectBatch(events: Dataset[Event], pattern: SequencePattern): Dataset[Match] = {
     import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
     events
-      .groupByKey(_.user_id)
-      .flatMapGroups { (key: Long, rows: Iterator[Event]) =>
-        val (matches, st) = advance(pattern, key, ordered(rows), NfaState(Seq.empty, 0L))
-        (matches ++ flush(pattern, key, st)).iterator
+      .repartition(col("user_id"))
+      // Timestamp columns order by micros == (getTime, getNanos) here
+      // (Catalyst precision is micros), so this matches ordered()
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { rows =>
+        new Iterator[Match] {
+          private var buf: Iterator[Match] = Iterator.empty
+          private var curKey = 0L
+          private var open = false
+          private var st = NfaState(Seq.empty, 0L)
+          private def fill(): Unit = {
+            while (!buf.hasNext && (rows.hasNext || open)) {
+              if (rows.hasNext) {
+                val e = rows.next()
+                if (open && e.user_id == curKey) {
+                  val (m, s) = advance(pattern, curKey, Seq(e), st)
+                  st = s
+                  buf = m.iterator
+                } else {
+                  val tail = if (open) flush(pattern, curKey, st) else Nil
+                  curKey = e.user_id
+                  open = true
+                  val (m, s) =
+                    advance(pattern, curKey, Seq(e), NfaState(Seq.empty, 0L))
+                  st = s
+                  buf = (tail ++ m).iterator
+                }
+              } else {
+                // end of partition: flush the last open key
+                buf = flush(pattern, curKey, st).iterator
+                open = false
+              }
+            }
+          }
+          override def hasNext: Boolean = { fill(); buf.hasNext }
+          override def next(): Match = {
+            if (!hasNext) throw new NoSuchElementException("empty iterator")
+            buf.next()
+          }
+        }
       }
   }
 
@@ -474,6 +519,68 @@ object Cep {
             // wake when the earliest partial's within horizon passes
             val earliest = st.partials.map(_.startTs + pattern.withinMs).min
             state.setTimeoutTimestamp(math.max(earliest, wm + 1))
+          }
+          (expiredMatches ++ matches).iterator
+      }
+  }
+
+  /** Keyed state for [[detectStreamOrdered]]: the not-yet-ripe event
+    * buffer plus the NFA over the already-released prefix.
+    */
+  final case class OrderedNfaState(buffer: Seq[Event], nfa: NfaState)
+
+  /** Out-of-order streaming CEP: one stateful operator that buffers
+    * each key's events until the watermark passes them, releases them
+    * into the NFA in strict event-time order, and expires partials per
+    * `within` — the reference CepOperator's design, which buffers
+    * out-of-order elements internally and processes them on watermark
+    * (reference: flink-cep/.../operator/CepOperator.java
+    * bufferEvent/processElement + onEventTime advancing the NFA in
+    * timestamp order). Arrival order within the watermark delay no
+    * longer affects the match set; events later than the delay are
+    * dropped by the watermark like any late data.
+    *
+    * Buffered state per key is bounded by the watermark delay; NFA
+    * partials are bounded by `within` — nothing grows with the
+    * stream's length.
+    */
+  def detectStreamOrdered(
+      events: Dataset[Event],
+      pattern: SequencePattern,
+      watermarkDelay: String
+  ): Dataset[Match] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[Event], state: GroupState[OrderedNfaState]) =>
+          val st0 = state.getOption
+            .getOrElse(OrderedNfaState(Seq.empty, NfaState(Seq.empty, 0L)))
+          val wm = state.getCurrentWatermarkMs()
+          // merge new arrivals into the sort buffer; release the ripe
+          // prefix (watermark guarantees nothing earlier can arrive)
+          val sorted = (st0.buffer ++ rows)
+            .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          val (ripe, young) = sorted.partition(_.ts.getTime <= wm)
+          // expire partials whose within horizon the watermark passed
+          // (pending greedy loops / trailing negations emit)
+          val (expired, alive) =
+            st0.nfa.partials.partition(p => wm - p.startTs > pattern.withinMs)
+          val expiredMatches = flush(pattern, key, NfaState(expired, st0.nfa.nextSeq))
+          val (matches, nfa1) =
+            advance(pattern, key, ripe, NfaState(alive, st0.nfa.nextSeq))
+          if (young.isEmpty && nfa1.partials.isEmpty) state.remove()
+          else {
+            state.update(OrderedNfaState(young, nfa1))
+            // wake at whichever comes first: the earliest buffered
+            // event ripening, or the earliest partial's within expiry
+            val wakes =
+              young.headOption.map(_.ts.getTime).toSeq ++
+                (if (nfa1.partials.nonEmpty)
+                   Seq(nfa1.partials.map(_.startTs + pattern.withinMs).min)
+                 else Nil)
+            state.setTimeoutTimestamp(math.max(wakes.min, wm + 1))
           }
           (expiredMatches ++ matches).iterator
       }

@@ -436,6 +436,37 @@ class CepMediaSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("out-of-order streaming CEP equals the batch match set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // key 3 timeline: err@2, err@4 (match), click@6 kills, err@8,
+    // err@9 (match) — delivered SCRAMBLED within the watermark delay
+    val evs = Seq(
+      Event(1, ts(2), 3, "error", 0.0), Event(2, ts(4), 3, "error", 0.0),
+      Event(3, ts(6), 3, "click", 0.0), Event(4, ts(8), 3, "error", 0.0),
+      Event(5, ts(9), 3, "error", 0.0)
+    )
+    val in = MemoryStream[Event]
+    val q = Cep.detectStreamOrdered(in.toDS(), errPair, "10 minutes")
+      .writeStream.format("memory").queryName("cep_ooo_out")
+      .outputMode("append").start()
+    try {
+      in.addData(evs(1), evs(0)); q.processAllAvailable()
+      in.addData(evs(3), evs(2)); q.processAllAvailable()
+      in.addData(evs(4)); q.processAllAvailable()
+      // sentinel key pushes the watermark past everything; extra batch
+      // lets event-time timers fire
+      in.addData(Event(99, ts(600), 9, "view", 0.0)); q.processAllAvailable()
+      in.addData(Event(100, ts(605), 9, "view", 0.0)); q.processAllAvailable()
+      val got = spark.sql("SELECT key, event_ids FROM cep_ooo_out").collect()
+        .filter(_.getLong(0) == 3L).map(_.getSeq[Long](1)).toSet
+      val batch = Cep.detectBatch(evs.toDS(), errPair)
+        .collect().map(_.event_ids).toSet
+      assert(batch == Set(Seq(1L, 2L), Seq(4L, 5L)))
+      assert(got == batch, s"out-of-order stream diverged: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("media pipeline decodes deterministically per partition") {
     val docs = Engine.Tables(spark, "/root/testdata/sf0.001").documents
     val media = MediaPipeline.mediaFromDocuments(docs)

@@ -32,7 +32,12 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata is one flat file per table; our ScaleUp
+        # probe dirs are Spark-style part-file directories
+        src = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     with open(f"{outdir}/oracle_sql.json") as f:
         oracles = json.load(f)
     results = {}
