@@ -49,12 +49,12 @@ object JoinQueries extends QueryModule {
           .groupBy(col("c_custkey"))
           .agg(
             count(col("o_orderkey")).as("n_orders"),
-            round(sum(col("o_totalprice")), 4).as("spend")
+            Money.sumPrice(col("o_totalprice")).as("spend")
           )
       },
-      Some("""
+      Some(s"""
         SELECT c_custkey, count(o_orderkey) AS n_orders,
-               round(sum(o_totalprice), 4) AS spend
+               ${Money.sumPriceSql("o_totalprice")} AS spend
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
       """)
@@ -176,12 +176,12 @@ object JoinQueries extends QueryModule {
           .groupBy(col("p_brand"))
           .agg(
             count(lit(1)).as("n"),
-            round(sum(col("l_extendedprice")), 4).as("price_sum")
+            Money.sumPrice(col("l_extendedprice")).as("price_sum")
           )
       },
-      Some("""
+      Some(s"""
         SELECT p_brand, count(*) AS n,
-               round(sum(l_extendedprice), 4) AS price_sum
+               ${Money.sumPriceSql("l_extendedprice")} AS price_sum
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
       """)

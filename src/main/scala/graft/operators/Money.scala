@@ -51,12 +51,39 @@ object Money {
   def sumDistinctPriceSql(c: String): String =
     s"CAST(sum(DISTINCT ${centsSql(c)}) AS DOUBLE) / 100.0"
 
+  /** Row-level exact units: price * (1 - disc) in 1e-4 dollars. Use
+    * when a query needs the pre-aggregation value — e.g. conditional
+    * sums or num/denom ratios where both sides must stay integral
+    * until the final division. */
+  def discPriceUnits(price: Column, disc: Column): Column =
+    cents(price) * (lit(100L) - cents(disc))
+
+  def discPriceUnitsSql(price: String, disc: String): String =
+    s"${centsSql(price)} * (100 - ${centsSql(disc)})"
+
   /** sum(price * (1 - disc)) exactly (1e-4-dollar units internally). */
   def sumDiscPrice(price: Column, disc: Column): Column =
-    sum(cents(price) * (lit(100L) - cents(disc))).cast("double") / lit(10000.0)
+    sum(discPriceUnits(price, disc)).cast("double") / lit(10000.0)
 
   def sumDiscPriceSql(price: String, disc: String): String =
-    s"CAST(sum(${centsSql(price)} * (100 - ${centsSql(disc)})) AS DOUBLE) / 10000.0"
+    s"CAST(sum(${discPriceUnitsSql(price, disc)}) AS DOUBLE) / 10000.0"
+
+  /** Row-level exact units: price * quantity in cents. Quantity must
+    * be an integral-valued column (the TPC-H-ish l_quantity is);
+    * Spark's double→long cast truncates where DuckDB's rounds, but
+    * both agree on an already-integral double. */
+  def priceQtyUnits(price: Column, qty: Column): Column =
+    cents(price) * qty.cast("long")
+
+  def priceQtyUnitsSql(price: String, qty: String): String =
+    s"${centsSql(price)} * CAST($qty AS BIGINT)"
+
+  /** sum(price * quantity) exactly, returned as double dollars. */
+  def sumPriceQty(price: Column, qty: Column): Column =
+    sum(priceQtyUnits(price, qty)).cast("double") / lit(100.0)
+
+  def sumPriceQtySql(price: String, qty: String): String =
+    s"CAST(sum(${priceQtyUnitsSql(price, qty)}) AS DOUBLE) / 100.0"
 
   /** sum(price * (1 - disc) * (1 + tax)) exactly (1e-6-dollar units). */
   def sumCharge(price: Column, disc: Column, tax: Column): Column =
