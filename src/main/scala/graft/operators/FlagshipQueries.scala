@@ -25,15 +25,15 @@ object FlagshipQueries extends QueryModule {
           .filter(col("c_mktsegment") === "BUILDING")
           .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
               .as("revenue")
           )
           .orderBy(col("revenue").desc, col("l_orderkey"))
           .limit(10)
       },
-      Some("""
+      Some(s"""
         SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+               ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -55,16 +55,16 @@ object FlagshipQueries extends QueryModule {
           .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
               .as("lost_revenue"),
             count(lit(1)).as("n_items")
           )
           .orderBy(col("lost_revenue").desc, col("c_custkey"))
           .limit(20)
       },
-      Some("""
+      Some(s"""
         SELECT c_custkey, c_name, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue,
+               ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS lost_revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -140,25 +140,29 @@ object FlagshipQueries extends QueryModule {
       "q_flagship_promo_share",
       (s, dir) => {
         val t = tables(s, dir)
-        val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+        // exact integer units for BOTH ratio sides: the numerator and
+        // denominator are order-insensitive long sums, so the final
+        // double division is bit-identical across partitionings
+        val revUnits = Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
         t.lineitem
           .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(
             round(
-              sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0.0)) * 100.0 /
-                sum(rev),
+              sum(when(col("p_type").startsWith("PROMO"), revUnits).otherwise(0L))
+                .cast("double") * 100.0 /
+                sum(revUnits).cast("double"),
               4
             ).as("promo_share_pct"),
             count(lit(1)).as("n")
           )
       },
-      Some("""
+      Some(s"""
         SELECT p_brand,
-               round(sum(CASE WHEN p_type LIKE 'PROMO%'
-                         THEN l_extendedprice * (1 - l_discount)
-                         ELSE 0.0 END) * 100.0 /
-                     sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+               round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN ${Money.discPriceUnitsSql("l_extendedprice", "l_discount")}
+                         ELSE 0 END) AS DOUBLE) * 100.0 /
+                     CAST(sum(${Money.discPriceUnitsSql("l_extendedprice", "l_discount")}) AS DOUBLE), 4) AS promo_share_pct,
                count(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -271,14 +275,14 @@ object FlagshipQueries extends QueryModule {
           .filter(col("r_name") === "ASIA")
           .groupBy(col("n_name"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
               .as("revenue"),
             count(lit(1)).as("n_items")
           )
       },
-      Some("""
+      Some(s"""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -307,13 +311,13 @@ object FlagshipQueries extends QueryModule {
           .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
           .filter(cond1 || cond2 || cond3)
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
               .as("revenue"),
             count(lit(1)).as("n_items")
           )
       },
-      Some("""
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      Some(s"""
+        SELECT ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -387,10 +391,16 @@ object FlagshipQueries extends QueryModule {
       (s, dir) => {
         val t = tables(s, dir)
         // the scalar average stays in the plan as a broadcast 1-row
-        // cross join — no driver round-trip
+        // cross join — no driver round-trip. Computed from an exact
+        // long-cents sum so the comparison threshold is the same
+        // double under any partitioning (avg(double) is
+        // summation-order-dependent).
         val avgBal = t.customer
           .filter(col("c_acctbal") > 0)
-          .agg(avg(col("c_acctbal")).as("__avg"))
+          .agg(
+            (sum(Money.cents(col("c_acctbal"))).cast("double") /
+              (count(lit(1)).cast("double") * lit(100.0))).as("__avg")
+          )
         val codes = Seq("01", "13", "25", "37", "49")
         t.customer
           .withColumn("code", substring(col("c_name"), -2, 2))
@@ -405,18 +415,19 @@ object FlagshipQueries extends QueryModule {
           .groupBy(col("code"))
           .agg(
             count(lit(1)).as("numcust"),
-            round(sum(col("c_acctbal")), 4).as("totacctbal")
+            Money.sumPrice(col("c_acctbal")).as("totacctbal")
           )
       },
-      Some("""
+      Some(s"""
         SELECT substring(c_name, length(c_name) - 1, 2) AS code,
                count(*) AS numcust,
-               round(sum(c_acctbal), 4) AS totacctbal
+               ${Money.sumPriceSql("c_acctbal")} AS totacctbal
         FROM customer c
         WHERE substring(c_name, length(c_name) - 1, 2)
                 IN ('01', '13', '25', '37', '49')
-          AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0)
+          AND c_acctbal > (SELECT CAST(sum(${Money.centsSql("c_acctbal")}) AS DOUBLE)
+                                  / (CAST(count(*) AS DOUBLE) * 100.0)
+                           FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT')
@@ -477,17 +488,17 @@ object FlagshipQueries extends QueryModule {
             year(col("l_shipdate")).as("l_year")
           )
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
               .as("revenue")
           )
       },
-      Some("""
+      Some(s"""
         SELECT supp_nation, cust_nation, l_year,
-               round(sum(volume), 4) AS revenue
+               CAST(sum(volume) AS DOUBLE) / 10000.0 AS revenue
         FROM (
           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(year(l_shipdate) AS INT) AS l_year,
-                 l_extendedprice * (1 - l_discount) AS volume
+                 ${Money.discPriceUnitsSql("l_extendedprice", "l_discount")} AS volume
           FROM lineitem
           JOIN supplier ON l_suppkey = s_suppkey
           JOIN orders   ON l_orderkey = o_orderkey
@@ -513,19 +524,20 @@ object FlagshipQueries extends QueryModule {
           .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
           .agg(
-            round(
-              sum(
-                col("l_extendedprice") * (lit(1) - col("l_discount")) -
-                  col("p_retailprice") * lit(0.5) * col("l_quantity")
-              ),
-              4
-            ).as("profit")
+            // profit in exact 1e-4-dollar units: price*(1-disc) is
+            // cents*(100-disc_cents); retail*0.5*qty dollars is
+            // retail_cents*50*qty in the same units (qty is integral)
+            (sum(
+              Money.discPriceUnits(col("l_extendedprice"), col("l_discount")) -
+                Money.cents(col("p_retailprice")) * lit(50L) * col("l_quantity").cast("long")
+            ).cast("double") / lit(10000.0)).as("profit")
           )
       },
-      Some("""
+      Some(s"""
         SELECT n_name, CAST(year(l_shipdate) AS INT) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - p_retailprice * 0.5 * l_quantity), 4) AS profit
+               CAST(sum(${Money.discPriceUnitsSql("l_extendedprice", "l_discount")}
+                         - ${Money.centsSql("p_retailprice")} * 50 * CAST(l_quantity AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS profit
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -604,10 +616,10 @@ object FlagshipQueries extends QueryModule {
           .filter(col("p_brand") === "Brand#23")
           .join(partAvg, col("l_partkey") === col("pk"))
           .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
-          .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+          .agg(round(Money.sumPrice(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
       },
-      Some("""
-        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      Some(s"""
+        SELECT round(${Money.sumPriceSql("l_extendedprice")} / 7.0, 4) AS avg_yearly
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         WHERE p_brand = 'Brand#23'
@@ -682,21 +694,25 @@ object FlagshipQueries extends QueryModule {
           .filter(col("r_name") === "EUROPE")
           .groupBy(year(col("o_orderdate")).as("o_year"))
           .agg(
+            // both ratio sides as exact long units (see promo_share)
             round(
               sum(
                 when(col("supp_nation") === "NATION_5",
-                  col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)
-              ) / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+                  Money.discPriceUnits(col("l_extendedprice"), col("l_discount")))
+                  .otherwise(0L)
+              ).cast("double") /
+                sum(Money.discPriceUnits(col("l_extendedprice"), col("l_discount")))
+                  .cast("double"),
               6
             ).as("mkt_share")
           )
       },
-      Some("""
+      Some(s"""
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               round(sum(CASE WHEN n1.n_name = 'NATION_5'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+               round(CAST(sum(CASE WHEN n1.n_name = 'NATION_5'
+                              THEN ${Money.discPriceUnitsSql("l_extendedprice", "l_discount")}
+                              ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(${Money.discPriceUnitsSql("l_extendedprice", "l_discount")}) AS DOUBLE), 6) AS mkt_share
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -719,28 +735,33 @@ object FlagshipQueries extends QueryModule {
           .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
           .filter(col("n_name") === "NATION_2")
           .select(col("s_suppkey"))
+        // per-part value kept as exact long cents until AFTER the
+        // threshold comparison — the grand total and the compare are
+        // then partition-order-invariant
         val base = t.lineitem
           .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
           .groupBy(col("l_partkey"))
-          .agg(round(sum(col("l_extendedprice") * col("l_quantity")), 4).as("value"))
+          .agg(sum(Money.priceQtyUnits(col("l_extendedprice"), col("l_quantity")))
+            .as("__units"))
         val threshold = base
-          .agg((sum(col("value")) * lit(0.001)).as("__thr"))
+          .agg((sum(col("__units")).cast("double") * lit(0.001)).as("__thr"))
         base
           .crossJoin(broadcast(threshold))
-          .filter(col("value") > col("__thr"))
-          .select(col("l_partkey"), col("value"))
+          .filter(col("__units").cast("double") > col("__thr"))
+          .select(col("l_partkey"), (col("__units").cast("double") / lit(100.0)).as("value"))
       },
-      Some("""
+      Some(s"""
         WITH base AS (
-          SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 4) AS value
+          SELECT l_partkey,
+                 sum(${Money.priceQtyUnitsSql("l_extendedprice", "l_quantity")}) AS u
           FROM lineitem
           WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
                               JOIN nation ON s_nationkey = n_nationkey
                               WHERE n_name = 'NATION_2')
           GROUP BY l_partkey
         )
-        SELECT l_partkey, value FROM base
-        WHERE value > (SELECT sum(value) * 0.001 FROM base)
+        SELECT l_partkey, CAST(u AS DOUBLE) / 100.0 AS value FROM base
+        WHERE CAST(u AS DOUBLE) > (SELECT CAST(sum(u) AS DOUBLE) * 0.001 FROM base)
       """)
     ),
     // Q15 analog — top supplier(s): revenue per supplier over one
@@ -756,7 +777,7 @@ object FlagshipQueries extends QueryModule {
           )
           .groupBy(col("l_suppkey"))
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
               .as("total_revenue")
           )
         val mx = rev.agg(max(col("total_revenue")).as("__mx"))
@@ -766,10 +787,10 @@ object FlagshipQueries extends QueryModule {
           .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       },
-      Some("""
+      Some(s"""
         WITH rev AS (
           SELECT l_suppkey,
-                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+                 ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate <  TIMESTAMP '1996-04-01'
