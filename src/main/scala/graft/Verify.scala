@@ -4,12 +4,12 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val outDir = args(1)
-    // optional: further args name specific queries (dev iteration)
-    val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  def main(args: Array[String]): Unit =
+    run(args(0), args(1), only = args.drop(2).toSet,
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+
+  /** `only` non-empty restricts to named queries (dev iteration). */
+  def run(sfDir: String, outDir: String, only: Set[String], cpus: String): Unit = {
     val spark = Engine.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,7 +28,16 @@ object Verify {
           .parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed: $e")
+        e.getStackTrace.take(5).foreach(f => System.err.println(s"[verify]   at $f"))
+        // remove any previous run's dump: a stale result under this
+        // name would let the compare silently pass on old data
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1,0 +1,36 @@
+package graft
+
+/** Repeatable sf1 correctness gate.
+  *
+  * The small-SF oracle runs cannot show partitioning/AQE-dependent
+  * drift (double summation order, skew-split plan changes); the 10×
+  * key-shifted probe can — it caught the flagship money-sum drift.
+  * This main makes that probe a one-command, committable gate:
+  *
+  *   1. ScaleUp  — /root/testdata/sf0.1 → sf1Dir (10× key-shifted,
+  *      near-dup-preserving; skipped if the probe already exists)
+  *   2. Verify   — every SparkEntry.queries entry over the probe
+  *   3. tools/check.py --json — DuckDB compare, written to
+  *      CORRECTNESS_sf1.json at the repo root for commit
+  *
+  * Usage: runMain graft.VerifySf1 [srcDir] [sf1Dir] [outDir] [jsonOut]
+  * Exits nonzero if any oracle-checked query fails.
+  */
+object VerifySf1 {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sf1 = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val out = args.lift(2).getOrElse("/tmp/verify_sf1")
+    val json = args.lift(3).getOrElse("CORRECTNESS_sf1.json")
+    if (!new java.io.File(s"$sf1/lineitem.parquet").exists())
+      ScaleUp.main(Array(src, sf1))
+    else
+      println(s"[verify-sf1] reusing existing probe at $sf1")
+    Verify.run(sf1, out, only = Set.empty,
+      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    val rc = new ProcessBuilder(
+      "python3", "tools/check.py", sf1, out, "--json", json)
+      .inheritIO().start().waitFor()
+    sys.exit(rc)
+  }
+}

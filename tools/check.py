@@ -1,12 +1,17 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's correctness gate (dev tool only).
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--json OUT.json]
 
 Loads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over <sfDir>'s
 tables, and compares: columns sorted by name, rows sorted by all
 columns, exact value equality (what a hash compare would see).
+
+--json OUT.json additionally writes a driver-style result map
+(name -> rows_match/schema_match/hash_match/spark_rows/oracle_rows/err)
+so repeatable gates (graft.VerifySf1) can commit the evidence.
+Exit code is 1 if any oracle-checked query fails.
 """
 import sys, json, glob, os
 import duckdb
@@ -30,6 +35,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is one flat file per table; our ScaleUp
@@ -41,6 +49,12 @@ def main():
     with open(f"{outdir}/oracle_sql.json") as f:
         oracles = json.load(f)
     results = {}
+    jout = {}
+    def record(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        jout[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                      "hash_match": hash_match, "spark_rows": spark_rows,
+                      "oracle_rows": oracle_rows, "err": err}
     for name in sorted(os.listdir(outdir)):
         path = os.path.join(outdir, name)
         if not os.path.isdir(path):
@@ -48,11 +62,13 @@ def main():
         got = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={len(got)}"
+            record(name, spark_rows=len(got), err="no_oracle")
             continue
         try:
             exp = con.sql(oracles[name]).df()
         except Exception as e:
             results[name] = f"ORACLE_ERROR {type(e).__name__}: {e}"
+            record(name, spark_rows=len(got), err=f"oracle_error: {type(e).__name__}")
             continue
         # Raw-type gate first: the driver hashes *raw* values, so a DuckDB
         # HUGEINT (count_if) or DOUBLE (ceil/floor) vs a Spark BIGINT fails
@@ -70,13 +86,19 @@ def main():
                  and fam(gsorted[c].dtype) != fam(esorted[c].dtype)]
         if tdiff:
             results[name] = f"TYPE_MISMATCH {tdiff}"
+            record(name, rows_match=len(got) == len(exp), schema_match=False,
+                   hash_match=False, spark_rows=len(got), oracle_rows=len(exp))
             continue
         g, e = normalize(got), normalize(exp)
         if list(g.columns) != list(e.columns):
             results[name] = f"SCHEMA_MISMATCH spark={list(g.columns)} oracle={list(e.columns)}"
+            record(name, rows_match=len(g) == len(e), schema_match=False,
+                   hash_match=False, spark_rows=len(g), oracle_rows=len(e))
             continue
         if len(g) != len(e):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(g)} oracle={len(e)}"
+            record(name, rows_match=False, schema_match=True, hash_match=False,
+                   spark_rows=len(g), oracle_rows=len(e))
             continue
         neq = []
         for c in g.columns:
@@ -90,13 +112,30 @@ def main():
                 neq.append((c, [(int(i), a.iloc[i], b.iloc[i]) for i in bad]))
         if neq:
             results[name] = f"VALUE_MISMATCH {neq}"
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(g), oracle_rows=len(e))
         else:
             results[name] = f"OK rows={len(g)}"
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(g), oracle_rows=len(e))
+    # an oracle whose query produced no dump (the builder failed and
+    # cleaned up) must fail loudly, not vanish from the report
+    for name in sorted(set(oracles) - set(results)):
+        results[name] = "MISSING_OUTPUT query produced no parquet dump"
+        record(name, rows_match=False, schema_match=False, hash_match=False,
+               err="missing_output")
     npass = sum(1 for v in results.values() if v.startswith("OK"))
+    nfail = 0
     for k, v in results.items():
         flag = "PASS" if v.startswith("OK") else ("INFO" if v.startswith("ROWS_ONLY") else "FAIL")
+        nfail += flag == "FAIL"
         print(f"[{flag}] {k}: {v[:400]}")
     print(f"== {npass}/{len([v for v in results.values() if not v.startswith('ROWS_ONLY')])} oracle-checked queries pass")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(jout, f, indent=1, sort_keys=True)
+        print(f"== wrote {json_out}")
+    sys.exit(1 if nfail else 0)
 
 if __name__ == "__main__":
     main()
