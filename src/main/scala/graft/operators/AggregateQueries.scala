@@ -253,13 +253,13 @@ object AggregateQueries extends QueryModule {
       "q_agg_grouping_sets",
       (s, dir) => {
         tables(s, dir).orders.createOrReplaceTempView("orders_gs")
-        // the long-cents total (Money.sumPriceSql) parses identically
-        // in Spark SQL and DuckDB — one snippet serves both sides
+        // same long-cents arithmetic on both sides; only the integer
+        // division spelling differs (Spark `div` vs DuckDB `//`)
         s.sql(s"""
           SELECT coalesce(o_orderstatus, 'ALL') AS status,
                  coalesce(o_orderpriority, 'ALL') AS prio,
                  count(*) AS n,
-                 ${Money.sumPriceSql("o_totalprice")} AS total
+                 ${Money.sumPriceSqlSpark("o_totalprice")} AS total
           FROM orders_gs
           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """)

@@ -149,9 +149,10 @@ object FlagshipQueries extends QueryModule {
           .groupBy(col("p_brand"))
           .agg(
             round(
-              sum(when(col("p_type").startsWith("PROMO"), revUnits).otherwise(0L))
-                .cast("double") * 100.0 /
-                sum(revUnits).cast("double"),
+              Money.sumWideUnits(
+                when(col("p_type").startsWith("PROMO"), revUnits).otherwise(0L)
+              ) * 100.0 /
+                Money.sumWideUnits(revUnits),
               4
             ).as("promo_share_pct"),
             count(lit(1)).as("n")
@@ -159,10 +160,11 @@ object FlagshipQueries extends QueryModule {
       },
       Some(s"""
         SELECT p_brand,
-               round(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-                         THEN ${Money.discPriceUnitsSql("l_extendedprice", "l_discount")}
-                         ELSE 0 END) AS DOUBLE) * 100.0 /
-                     CAST(sum(${Money.discPriceUnitsSql("l_extendedprice", "l_discount")}) AS DOUBLE), 4) AS promo_share_pct,
+               round(${Money.sumWideUnitsSql(
+                 s"CASE WHEN p_type LIKE 'PROMO%' THEN ${Money
+                   .discPriceUnitsSql("l_extendedprice", "l_discount")} ELSE 0 END")} * 100.0 /
+                     ${Money.sumWideUnitsSql(
+                       Money.discPriceUnitsSql("l_extendedprice", "l_discount"))}, 4) AS promo_share_pct,
                count(*) AS n
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
@@ -526,7 +528,10 @@ object FlagshipQueries extends QueryModule {
           .agg(
             // profit in exact 1e-4-dollar units: price*(1-disc) is
             // cents*(100-disc_cents); retail*0.5*qty dollars is
-            // retail_cents*50*qty in the same units (qty is integral)
+            // retail_cents*50*qty in the same units (qty is integral).
+            // Signed units, so this stays a single long sum (the wide
+            // split needs non-negative units); |units| <= ~2e11/row
+            // with the p_name filter keeps groups exact past sf10k.
             (sum(
               Money.discPriceUnits(col("l_extendedprice"), col("l_discount")) -
                 Money.cents(col("p_retailprice")) * lit(50L) * col("l_quantity").cast("long")
@@ -696,23 +701,24 @@ object FlagshipQueries extends QueryModule {
           .agg(
             // both ratio sides as exact long units (see promo_share)
             round(
-              sum(
+              Money.sumWideUnits(
                 when(col("supp_nation") === "NATION_5",
                   Money.discPriceUnits(col("l_extendedprice"), col("l_discount")))
                   .otherwise(0L)
-              ).cast("double") /
-                sum(Money.discPriceUnits(col("l_extendedprice"), col("l_discount")))
-                  .cast("double"),
+              ) /
+                Money.sumWideUnits(
+                  Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))),
               6
             ).as("mkt_share")
           )
       },
       Some(s"""
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-               round(CAST(sum(CASE WHEN n1.n_name = 'NATION_5'
-                              THEN ${Money.discPriceUnitsSql("l_extendedprice", "l_discount")}
-                              ELSE 0 END) AS DOUBLE)
-                     / CAST(sum(${Money.discPriceUnitsSql("l_extendedprice", "l_discount")}) AS DOUBLE), 6) AS mkt_share
+               round(${Money.sumWideUnitsSql(
+                 s"CASE WHEN n1.n_name = 'NATION_5' THEN ${Money
+                   .discPriceUnitsSql("l_extendedprice", "l_discount")} ELSE 0 END")}
+                     / ${Money.sumWideUnitsSql(
+                       Money.discPriceUnitsSql("l_extendedprice", "l_discount"))}, 6) AS mkt_share
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -744,7 +750,7 @@ object FlagshipQueries extends QueryModule {
           .agg(sum(Money.priceQtyUnits(col("l_extendedprice"), col("l_quantity")))
             .as("__units"))
         val threshold = base
-          .agg((sum(col("__units")).cast("double") * lit(0.001)).as("__thr"))
+          .agg((Money.sumWideUnits(col("__units")) * lit(0.001)).as("__thr"))
         base
           .crossJoin(broadcast(threshold))
           .filter(col("__units").cast("double") > col("__thr"))
@@ -761,7 +767,7 @@ object FlagshipQueries extends QueryModule {
           GROUP BY l_partkey
         )
         SELECT l_partkey, CAST(u AS DOUBLE) / 100.0 AS value FROM base
-        WHERE CAST(u AS DOUBLE) > (SELECT CAST(sum(u) AS DOUBLE) * 0.001 FROM base)
+        WHERE CAST(u AS DOUBLE) > (SELECT ${Money.sumWideUnitsSql("u")} * 0.001 FROM base)
       """)
     ),
     // Q15 analog — top supplier(s): revenue per supplier over one
