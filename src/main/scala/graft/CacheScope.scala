@@ -23,6 +23,16 @@ object CacheScope {
 
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
 
+  private val depth: ThreadLocal[Integer] = ThreadLocal.withInitial(() => 0)
+
+  /** True while the calling thread is inside a [[scoped]] block —
+    * i.e. someone has taken responsibility for releasing the caches
+    * registered via [[cached]]. Operators whose correctness depends on
+    * a cache surviving until the consuming action (DistributedRank)
+    * assert this instead of silently leaking for bare callers.
+    */
+  def isActive: Boolean = depth.get() > 0
+
   /** Persist `ds` (default storage level) and track the handle for the
     * enclosing [[scoped]] block to release.
     */
@@ -46,7 +56,14 @@ object CacheScope {
   /** Run the consuming action, then release every cache it registered
     * — the materialize-then-unpersist lifecycle.
     */
-  def scoped[T](body: => T): T =
+  def scoped[T](body: => T): T = {
+    depth.set(depth.get() + 1)
     try body
-    finally releaseAll()
+    finally {
+      depth.set(depth.get() - 1)
+      // only the outermost scope releases — a nested scope must not
+      // pull caches out from under its enclosing action
+      if (depth.get() == 0) releaseAll()
+    }
+  }
 }

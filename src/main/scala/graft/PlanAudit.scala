@@ -64,7 +64,9 @@ object PlanAudit {
 
     var failures = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
+      // scoped: query builders may register caches (sketch tables,
+      // DistributedRank's range partitioning) even at plan time
+      try CacheScope.scoped {
         val df = fn(spark, dir)
         val plan = df.queryExecution.executedPlan.toString
         val formatted = org.apache.spark.sql.execution.ExplainMode
@@ -120,7 +122,8 @@ object PlanAudit {
               f"broadcast=$broadcast%-5s filterPushdown=$pushed"
           )
         }
-      } catch {
+      }
+      catch {
         case e: Throwable =>
           failures += 1
           println(s"[AUDIT-ERROR] $name: ${e.getMessage}")

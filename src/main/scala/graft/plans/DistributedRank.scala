@@ -26,9 +26,18 @@ object DistributedRank {
     * `keys`, total row count). The input is cached for the lifetime of
     * the consuming action (graft.CacheScope) because the partition
     * boundaries sampled by the range partitioner must be identical
-    * between the offset-count pass and the ranking pass.
+    * between the offset-count pass and the ranking pass — the cache
+    * inherently outlives this method, so the caller MUST run the
+    * consuming action inside `CacheScope.scoped { ... }` (asserted
+    * below; the alternative is a silent session-lifetime leak).
     */
   def globalRank(df: DataFrame, rankCol: String, keys: Column*): (DataFrame, Long) = {
+    require(
+      graft.CacheScope.isActive,
+      "DistributedRank.globalRank pins a range-partitioned cache until the " +
+        "consuming action runs; wrap the action in graft.CacheScope.scoped { ... } " +
+        "so the cache is released deterministically"
+    )
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
     val parted = graft.CacheScope.cached(

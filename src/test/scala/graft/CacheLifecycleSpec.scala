@@ -34,6 +34,40 @@ class CacheLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("bare globalRank is refused; scoped globalRank releases its cache") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i * 7 % 1000, i)).toDF("k", "uniq")
+    // a bare call would pin the range-partitioned input until session
+    // end (the two rank passes need identical partitioner boundaries),
+    // so the contract is asserted, not silently leaked
+    val e = intercept[IllegalArgumentException] {
+      plans.DistributedRank.globalRank(df, "r", col("k"), col("uniq"))
+    }
+    assert(e.getMessage.contains("CacheScope.scoped"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CacheScope.scoped {
+      val (ranked, n) = plans.DistributedRank.globalRank(df, "r", col("k"), col("uniq"))
+      assert(n == 1000L)
+      assert(ranked.agg(max(col("r")), countDistinct(col("r"))).as[(Long, Long)]
+        .head() == ((1000L, 1000L)))
+    }
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
+  test("nested scopes: inner exit must not release the outer scope's caches") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CacheScope.scoped {
+      val outer = CacheScope.cached(Seq(1, 2, 3).toDS())
+      outer.count()
+      CacheScope.scoped { CacheScope.cached(Seq(4).toDS()).count() }
+      // outer cache still live after the inner scope closed
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
+    }
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("caches are live inside the scope and released even on failure") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet

@@ -22,11 +22,15 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
-      val df = fn(spark, dir)
-      assert(df.columns.nonEmpty)
-      // count() exercises the full plan; most queries must be non-empty
-      val n = df.count()
-      assert(n >= 0)
+      // scoped like every consuming surface: releases operator-internal
+      // caches per query instead of accreting them across 139 tests
+      CacheScope.scoped {
+        val df = fn(spark, dir)
+        assert(df.columns.nonEmpty)
+        // count() exercises the full plan; most queries must be non-empty
+        val n = df.count()
+        assert(n >= 0)
+      }
     }
   }
 
