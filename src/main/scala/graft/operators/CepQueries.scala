@@ -347,6 +347,48 @@ object CepQueries extends QueryModule {
         FROM o
         WHERE event_type = 'error' AND (nxt IS NULL OR nxt <> 'click')
       """)
+    ),
+    // Non-deterministic relaxed successor: followedByAny (reference
+    // Pattern.followedByAny, flink-cep/.../pattern/Pattern.java:322).
+    // EVERY purchase within the horizon of a signup forks its own
+    // match — plain followedBy would bind only the first. The oracle
+    // is the full pair join, which is exactly the all-successor-
+    // choices semantics.
+    QueryDef(
+      "q_cep_followed_by_any",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        val pattern = Cep.SequencePattern(
+          steps = Seq(
+            Cep.Step("signup", _.event_type == "signup"),
+            Cep.Step("purchase", _.event_type == "purchase", anyMatch = true)
+          ),
+          withinMs = 30L * 60 * 1000,
+          strict = false
+        )
+        Cep
+          .detectBatch(events, pattern)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("signup_id"),
+            element_at(col("event_ids"), 2).as("purchase_id")
+          )
+      },
+      Some("""
+        SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+        FROM events s
+        JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+          AND (p.ts > s.ts OR (p.ts = s.ts AND p.event_id > s.event_id))
+          -- ms-boundary horizon == the NFA's getTime subtraction
+          AND date_diff('millisecond', s.ts, p.ts) <= 1800000
+        WHERE s.event_type = 'signup'
+      """)
     )
   )
 }

@@ -73,7 +73,16 @@ object Cep {
         * the reference's rule that a pattern cannot END with
         * notFollowedBy unless a within() bounds it.
         */
-      negated: Boolean = false
+      negated: Boolean = false,
+      /** Non-deterministic relaxed successor (Pattern.followedByAny,
+        * reference flink-libraries/flink-cep/.../pattern/Pattern.java:
+        * 322): after this step consumes a candidate, the partial ALSO
+        * stays behind waiting at the step, so EVERY later candidate
+        * within the horizon forks its own match — where plain
+        * followedBy advances on the first candidate only. The NFA
+        * ignore-edge becomes a self-loop that survives a take.
+        */
+      anyMatch: Boolean = false
   ) {
     require(times >= 1)
     require(times == 1 || (!optional && !oneOrMore),
@@ -83,6 +92,10 @@ object Cep {
     require(until.isEmpty || oneOrMore, "until only applies to oneOrMore loops")
     require(!negated || (times == 1 && timesMax == 0 && !optional && !oneOrMore),
       "a negated step consumes nothing and cannot be quantified")
+    require(!anyMatch || (times == 1 && timesMax == 0 && !optional &&
+      !oneOrMore && !negated),
+      "followedByAny applies to plain single steps (quantify with " +
+        "oneOrMore/times instead of combining them with anyMatch)")
   }
 
   sealed trait SkipStrategy
@@ -104,6 +117,10 @@ object Cep {
     require(steps.nonEmpty)
     require(!steps.head.negated,
       "a pattern cannot start with a negation (nothing precedes it)")
+    require(!steps.head.anyMatch,
+      "followedByAny describes the edge INTO a step; the first step has none")
+    require(!strict || !steps.exists(_.anyMatch),
+      "followedByAny is relaxed contiguity; it cannot appear in a strict (next) pattern")
     require(!steps.iterator.sliding(2).withPartial(false)
       .exists(w => w.head.negated && w(1).negated),
       "two adjacent negated steps are ambiguous — merge the predicates")
@@ -228,6 +245,11 @@ object Cep {
             if (closure(i + 1, false).exists(_._1 == n))
               emits += Emit(p.startSeq, s, Match(key, p.startTs, ts, ids))
             if (i + 1 < n) succ += next
+            // followedByAny: the take did not consume the ignore edge —
+            // keep a branch pinned AT this step (epsilon moves already
+            // applied) so every later candidate forks its own match
+            if (steps(i).anyMatch)
+              succ += p.copy(stepIdx = i, inLoop = false)
           }
         }
       }

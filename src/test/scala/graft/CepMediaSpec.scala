@@ -203,6 +203,67 @@ class CepMediaSpec extends AnyFunSuite {
     assert(matches2.map(_.event_ids) == Seq(Seq(1L, 2L)))
   }
 
+  test("NFA followedByAny forks a match per successor candidate") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    val events = Seq(
+      ev(1, 0, "signup"), ev(2, 2, "click"), ev(3, 5, "purchase"),
+      ev(4, 10, "purchase"), ev(5, 50, "purchase") // 50min: outside within
+    )
+    def pat(any: Boolean) = Cep.SequencePattern(
+      Seq(
+        Cep.Step("s", _.event_type == "signup"),
+        Cep.Step("p", _.event_type == "purchase", anyMatch = any)
+      ),
+      withinMs = 30L * 60 * 1000,
+      strict = false
+    )
+    // plain followedBy: first candidate only
+    val (fb, _) = Cep.advance(pat(any = false), 1L, events, Cep.NfaState(Seq.empty, 0L))
+    assert(fb.map(_.event_ids) == Seq(Seq(1L, 3L)))
+    // followedByAny: every in-horizon candidate; the 50-minute one is
+    // excluded by within-expiry of the stay-behind branch
+    val (fba, st) = Cep.advance(pat(any = true), 1L, events, Cep.NfaState(Seq.empty, 0L))
+    assert(fba.map(_.event_ids) == Seq(Seq(1L, 3L), Seq(1L, 4L)))
+    assert(st.partials.isEmpty) // nothing survives past the horizon
+  }
+
+  test("NFA followedByAny under SkipToNext collapses to one match per start") {
+    def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
+    val events = Seq(
+      ev(1, 0, "signup"), ev(2, 1, "signup"),
+      ev(3, 5, "purchase"), ev(4, 10, "purchase")
+    )
+    val pat = Cep.SequencePattern(
+      Seq(
+        Cep.Step("s", _.event_type == "signup"),
+        Cep.Step("p", _.event_type == "purchase", anyMatch = true)
+      ),
+      withinMs = 30L * 60 * 1000,
+      strict = false,
+      skip = Cep.SkipToNext
+    )
+    val (ms, _) = Cep.advance(pat, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    // both signups match their FIRST purchase; the anyMatch fork for
+    // purchase 4 is pruned by the skip strategy (one match per start)
+    assert(ms.map(_.event_ids).toSet == Set(Seq(1L, 3L), Seq(2L, 3L)))
+  }
+
+  test("followedByAny cannot combine with strict contiguity or quantifiers") {
+    intercept[IllegalArgumentException] {
+      Cep.SequencePattern(
+        Seq(Cep.Step("a", _ => true), Cep.Step("b", _ => true, anyMatch = true)),
+        withinMs = 1000L, strict = true)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.Step("b", _ => true, anyMatch = true, oneOrMore = true)
+    }
+    intercept[IllegalArgumentException] {
+      Cep.SequencePattern(
+        Seq(Cep.Step("a", _ => true, anyMatch = true)),
+        withinMs = 1000L, strict = false)
+    }
+  }
+
   test("NFA skip strategies prune overlapping matches") {
     def ev(id: Long, m: Int, t: String) = Event(id, ts(m), 1, t, 0.0)
     def pat(skip: Cep.SkipStrategy) = Cep.SequencePattern(
