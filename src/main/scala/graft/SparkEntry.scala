@@ -24,7 +24,8 @@ object SparkEntry {
     operators.ChangelogQueries,
     operators.FlagshipQueries,
     operators.CollectionQueries,
-    operators.EvictorQueries
+    operators.EvictorQueries,
+    operators.PipelineQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

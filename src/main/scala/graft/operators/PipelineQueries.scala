@@ -1,0 +1,292 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * runs between raw crawl and tokenizer: deterministic sampling (the
+  * reproducible replacement for rand()-based subsampling), domain
+  * mixing, sequence packing, PII scrubbing, intra-document repetition
+  * scoring, a Bloom-prefiltered dedup against a reference corpus, and
+  * a distributed global shuffle.
+  *
+  * Determinism is the design center: every "random" choice derives
+  * from an arithmetic hash of the row's key, so a 100 TB run is
+  * reproducible bit-for-bit across retries, re-partitionings and
+  * cluster sizes — and each operator gets an exact DuckDB oracle
+  * instead of a statistical one.
+  */
+object PipelineQueries extends QueryModule {
+
+  /** Multiplicative-mix pseudo-random bucket of a BIGINT key, kept in
+    * pure int64 arithmetic both engines evaluate identically (the
+    * pre-reduction mod keeps every intermediate < 2^52, so no overflow
+    * on either side at any SF).
+    */
+  private val MixP = 1000003L
+  private def mix(key: Column): Column =
+    pmod(pmod(key, lit(MixP)) * lit(2654435761L) + lit(12345L), lit(MixP))
+
+  /** Same mix in DuckDB SQL over a key expression. */
+  private def mixSql(key: String): String =
+    s"((($key) % 1000003) * 2654435761 + 12345) % 1000003"
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  def defs: Seq[QueryDef] = Seq(
+    // Deterministic Bernoulli sampling: keep ~20% of documents by a
+    // hash of the key. Scan-local (no shuffle, no state, no rand()
+    // nondeterminism across retries) — the only sampling shape that is
+    // exactly reproducible on a 1000-executor re-run.
+    QueryDef(
+      "q_sample_bernoulli",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.documents
+          .withColumn("bucket", mix(col("doc_id")) % 5)
+          .filter(col("bucket") === 0)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE ${mixSql("doc_id")} % 5 = 0
+      """)
+    ),
+    // Stratified (domain-mixing) sampling: per-language keep rates —
+    // downsample the dominant language, keep the tails. Rates are a
+    // tiny CASE map evaluated per row; still scan-local.
+    QueryDef(
+      "q_sample_stratified",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val bucket = mix(col("doc_id")) % 100
+        val rate = when(col("lang") === "en", lit(10L)).otherwise(lit(30L))
+        t.documents
+          .withColumn("bucket", bucket)
+          .filter(col("bucket") < rate)
+          .select(col("doc_id"), col("lang"), col("bucket"))
+      },
+      Some(s"""
+        SELECT doc_id, lang, ${mixSql("doc_id")} % 100 AS bucket
+        FROM documents
+        WHERE ${mixSql("doc_id")} % 100 <
+              CASE WHEN lang = 'en' THEN 10 ELSE 30 END
+      """)
+    ),
+    // Deterministic reservoir: exactly k docs per stratum, chosen by
+    // hash order. One ranking shuffle partitioned BY STRATUM — each
+    // stratum's top-k runs parallel and spill-safe (this is top-k per
+    // group, not a global sort).
+    QueryDef(
+      "q_sample_reservoir",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val w = Window.partitionBy(col("lang")).orderBy(col("m"), col("doc_id"))
+        t.documents
+          .withColumn("m", mix(col("doc_id")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("lang"), col("doc_id"), col("rn"))
+      },
+      Some(s"""
+        SELECT lang, doc_id, rn FROM (
+          SELECT lang, doc_id,
+                 CAST(row_number() OVER (PARTITION BY lang
+                      ORDER BY ${mixSql("doc_id")}, doc_id) AS INT) AS rn
+          FROM documents)
+        WHERE rn <= 20
+      """)
+    ),
+    // Distributed global shuffle: the pre-training order randomization.
+    // A naive ORDER BY hash is a partitionless sort (single-task at the
+    // rank step if expressed as OVER ()); DistributedRank instead
+    // range-partitions on the hash, ranks locally, and offsets by
+    // broadcast partition counts — every stage parallel.
+    QueryDef(
+      "q_shuffle_global",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val keyed = t.documents
+          .withColumn("m", mix(col("doc_id")))
+          .select(col("doc_id"), col("m"))
+        val (ranked, _) =
+          graft.plans.DistributedRank.globalRank(keyed, "pos", col("m"), col("doc_id"))
+        ranked.select(col("doc_id"), col("m"), col("pos").cast("long").as("pos"))
+      },
+      Some(s"""
+        SELECT doc_id, m,
+               CAST(row_number() OVER (ORDER BY m, doc_id) AS BIGINT) AS pos
+        FROM (SELECT doc_id, ${mixSql("doc_id")} AS m FROM documents)
+      """)
+    ),
+    // Sequence packing: greedy contiguous fill of token-budget windows
+    // (2048-token analog at corpus scale; 512 here). Packing is per
+    // source shard — the window partitions by `source`, so no global
+    // single-task sort exists and shards pack independently, exactly
+    // how a sharded corpus prep runs.
+    QueryDef(
+      "q_pack_sequences",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val base = t.documents.select(
+          col("doc_id"),
+          col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")
+        )
+        val w = Window
+          .partitionBy(col("source"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn(
+            "seq_id",
+            floor((col("cum") - col("n_tokens")) / lit(512L)).cast("long")
+          )
+          .groupBy(col("source"), col("seq_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("seq_tokens")
+          )
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), packed AS (
+          SELECT source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM base
+        )
+        SELECT source, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+               count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+        FROM packed GROUP BY 1, 2
+      """)
+    ),
+    // PII scrubbing: regex redaction of emails and phone numbers. The
+    // corpus carries no PII, so each row gets a synthesized contact
+    // suffix (derived from its key — deterministic) and the scrub must
+    // remove exactly that. Pure per-row regex, scan-local; the regexes
+    // are RE2-safe (no backreferences) so both engines agree.
+    QueryDef(
+      "q_pii_scrub",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val synth = concat(
+          substring(col("text"), 1, 40),
+          lit(" contact u"),
+          col("doc_id").cast("string"),
+          lit("@ex"),
+          pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit(".com or call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")
+        )
+        t.documents.select(
+          col("doc_id"),
+          regexp_count(synth, lit(EmailRe)).cast("int").as("n_emails"),
+          regexp_count(synth, lit(PhoneRe)).cast("int").as("n_phones"),
+          regexp_replace(
+            regexp_replace(synth, EmailRe, "[EMAIL]"),
+            PhoneRe,
+            "[PHONE]"
+          ).as("scrubbed")
+        )
+      },
+      Some(s"""
+        WITH f AS (
+          SELECT doc_id,
+                 substring(text, 1, 40) || ' contact u' || CAST(doc_id AS VARCHAR)
+                 || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.com or call +1-555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(synth, '$EmailRe')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(synth, '$PhoneRe')) AS INT) AS n_phones,
+               regexp_replace(regexp_replace(synth, '$EmailRe', '[EMAIL]', 'g'),
+                              '$PhoneRe', '[PHONE]', 'g') AS scrubbed
+        FROM f
+      """)
+    ),
+    // Intra-document repetition: duplicate-token ratio and the hottest
+    // single-token frequency — the classic "remove boilerplate /
+    // degenerate generations" quality gate. Per-row expression tree
+    // (docs are bounded, the distinct×filter scan is O(u·n) per row),
+    // zero shuffle.
+    QueryDef(
+      "q_text_repetition",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = split(col("text"), " ")
+        val dupRatio = round(
+          lit(1.0) - size(array_distinct(words)).cast("double") / size(words),
+          6
+        )
+        t.documents.select(
+          col("doc_id"),
+          size(words).as("n_tokens"),
+          dupRatio.as("dup_ratio"),
+          array_max(
+            transform(array_distinct(words), w => size(filter(words, x => x === w)))
+          ).as("top_tok_freq"),
+          (dupRatio >= 0.6).as("repetitive")
+        )
+      },
+      Some("""
+        WITH f AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        SELECT doc_id,
+               CAST(len(l) AS INT) AS n_tokens,
+               round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6)
+                 AS dup_ratio,
+               CAST(list_max(list_transform(list_distinct(l),
+                    w -> len(list_filter(l, x -> x = w)))) AS INT) AS top_tok_freq,
+               round(1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l), 6) >= 0.6
+                 AS repetitive
+        FROM f
+      """)
+    ),
+    // Dedup against a reference corpus via Bloom prefilter + exact
+    // confirm. The filter is built distributed on the "already seen"
+    // side (OR-merged bitset; driver holds only the final bits) and
+    // ships to every task: definite non-members pass with zero shuffle,
+    // and only the tiny might-contain remainder pays the exact
+    // anti-join. False positives cannot leak — the confirm join makes
+    // the result exact, so the oracle is a plain NOT EXISTS.
+    QueryDef(
+      "q_dedup_bloom_prefilter",
+      (s, dir) => {
+        graft.functions.BloomExpressions.register(s)
+        val t = tables(s, dir)
+        val ref = t.documents
+          .filter(pmod(col("doc_id"), lit(7L)) === 0)
+          .select(col("text"))
+        val bloom =
+          ref.stat.bloomFilter("text", math.max(ref.count(), 1L), 0.03)
+        val batch = t.documents.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+        val flagged = batch.withColumn(
+          "__maybe",
+          graft.functions.BloomExpressions.bloom_might_contain(col("text"), bloom)
+        )
+        val definiteNew = flagged.filter(!col("__maybe"))
+        val confirmedNew = flagged
+          .filter(col("__maybe"))
+          .join(ref, Seq("text"), "left_anti")
+        definiteNew
+          .unionByName(confirmedNew)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id % 7 != 0
+          AND NOT EXISTS (SELECT 1 FROM documents r
+                          WHERE r.doc_id % 7 = 0 AND r.text = d.text)
+      """)
+    )
+  )
+}
