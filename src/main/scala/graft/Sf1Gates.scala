@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale gates that only mean something on the sf1 probe:
+  *
+  *  1. Sketch recall — the 4 `no_oracle` probabilistic operators
+  *     (MinHash-LSH, SimHash, hyperplane-LSH ANN, IVF ANN) carry
+  *     recall specs at small SF; these re-prove the same thresholds at
+  *     10× volume, where bucket occupancy, hot-bucket guards and AQE
+  *     layouts actually differ. A sketch whose recall collapses only
+  *     at volume is exactly the failure the small-SF specs can't see.
+  *  2. Skew split — asserts AQE's OptimizeSkewedJoin actually fires
+  *     (`skew=true` in the final adaptive plan) on the probe's
+  *     hot-key layout, with the split thresholds scaled to the probe's
+  *     partition sizes the same way a 100 TB deployment scales them to
+  *     its own. The salted/AQE answers were always oracle-checked for
+  *     value-identity; this pins the *mechanism* at data volume.
+  *
+  * Returned results are printed and folded into VerifySf1's exit code;
+  * the committed SCALECHECK_sf1.json records them per round.
+  */
+object Sf1Gates {
+
+  final case class Gate(name: String, pass: Boolean, detail: String)
+
+  def run(spark: SparkSession, dir: String, only: Set[String] = Set.empty): Seq[Gate] = {
+    val all = Seq[(String, () => Gate)](
+      "minhash_lsh_recall_sf1" -> (() => minhashRecall(spark, dir)),
+      "simhash_sanity_sf1" -> (() => simhashSanity(spark, dir)),
+      "ann_lsh_recall_sf1" -> (() => annLshRecall(spark, dir)),
+      "ann_ivf_recall_sf1" -> (() => annIvfRecall(spark, dir)),
+      "aqe_skew_split_sf1" -> (() => skewSplit(spark, dir))
+    )
+    all.collect { case (n, g) if only.isEmpty || only(n) => g() }
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+    df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** MinHash-LSH vs exact Jaccard at sf1: candidates are verified with
+    * the same exact-Jaccard predicate, so false positives are
+    * impossible; the gate is banding recall. 16 bands × 4 rows at the
+    * J≥0.8 cut gives per-pair miss ≈ 2e-4 at the threshold and ~1e-6
+    * at the planted J≥0.9 — demand ≥ 0.995 overall.
+    */
+  private def minhashRecall(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      val exact = pairs(SparkEntry.queries("q_dedup_jaccard")(spark, dir), "d1", "d2")
+      val lsh = pairs(SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir), "d1", "d2")
+      val fp = lsh -- exact
+      val recall =
+        if (exact.isEmpty) 1.0 else (lsh & exact).size.toDouble / exact.size
+      Gate(
+        "minhash_lsh_recall_sf1",
+        fp.isEmpty && recall >= 0.995,
+        f"exact=${exact.size} lsh=${lsh.size} recall=$recall%.6f falsePos=${fp.size}"
+      )
+    }
+
+  private def simhashSanity(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      val rows = SparkEntry.queries("q_dedup_simhash")(spark, dir).collect()
+      val ordered = rows.forall(r => r.getLong(0) < r.getLong(1))
+      val hamming = rows.forall(r => r.getInt(2) <= 3)
+      Gate(
+        "simhash_sanity_sf1",
+        rows.nonEmpty && ordered && hamming,
+        s"pairs=${rows.length} ordered=$ordered hammingCutoff=$hamming"
+      )
+    }
+
+  private def annRecall(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      query: String,
+      threshold: Double
+  ): Gate =
+    CacheScope.scoped {
+      val brute =
+        pairs(SparkEntry.queries("q_ann_brute_force")(spark, dir), "q_id", "cand_id")
+      val approx = pairs(SparkEntry.queries(query)(spark, dir), "q_id", "cand_id")
+      val recall =
+        if (brute.isEmpty) 1.0 else (approx & brute).size.toDouble / brute.size
+      Gate(
+        name,
+        approx.nonEmpty && recall >= threshold,
+        f"brute=${brute.size} approx=${approx.size} recall=$recall%.4f (>= $threshold)"
+      )
+    }
+
+  /** Same thresholds the small-SF DedupSimilaritySpec proves: the
+    * random-embedding corpus bounds achievable bucketing recall; the
+    * gate is that 10× volume does not degrade it.
+    */
+  private def annLshRecall(spark: SparkSession, dir: String): Gate =
+    annRecall(spark, dir, "ann_lsh_recall_sf1", "q_ann_lsh", 0.2)
+
+  private def annIvfRecall(spark: SparkSession, dir: String): Gate =
+    annRecall(spark, dir, "ann_ivf_recall_sf1", "q_ann_ivf", 0.25)
+
+  /** Build the q_skew_join hot-key shape on the probe's events table
+    * and assert the executed adaptive plan contains a skew=true
+    * sort-merge join. Thresholds are scaled to the probe volume (the
+    * 256 MB default is sized for production partitions; the probe's
+    * hot partition is tens of MB) and broadcast is disabled so the
+    * join shuffles — at 100 TB neither side of a fact-fact join
+    * broadcasts, which is precisely when skew splitting matters.
+    *
+    * The dim side is MATERIALIZED to parquet first: OptimizeSkewedJoin
+    * only matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)), so an
+    * on-the-fly `distinct()` dim (HashAggregate above the stage on the
+    * dim side) silently disables the split — a real operational rule
+    * at scale: keep dim sides of skew-prone joins materialized tables,
+    * or pre-salt (q_skew_salted_join covers the engine-side fallback).
+    */
+  private def skewSplit(spark: SparkSession, dir: String): Gate = {
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.files.maxPartitionBytes"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // thresholds scaled to the probe's MEASURED compressed shuffle
+      // bytes (hot partition ≈ 180 KB vs ≈ 35 KB median — lz4 crushes
+      // the constant-key rows), standing in for the 256 MB-class
+      // defaults a production deployment keeps
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val events = Engine.Tables(spark, dir).events
+      // the split regroups MAPPER ranges of the skewed reduce
+      // partition: a single-mapper scan (the whole 7 MB probe file is
+      // one row group = one effective split) is unsplittable no matter
+      // how skewed. Materialize the keyed fact as a 16-file table so
+      // the probe gets the many-mapper shape a real fact table always
+      // has.
+      val factPath = s"$dir/__skew_gate_fact.parquet"
+      events
+        .withColumn(
+          "skew_key",
+          when(col("event_id") % 4 =!= 0, lit(0L)).otherwise(col("user_id"))
+        )
+        .repartition(16)
+        .write.mode("overwrite").parquet(factPath)
+      val keyed = spark.read.parquet(factPath)
+      val dimPath = s"$dir/__skew_gate_dim.parquet"
+      keyed
+        .select(col("skew_key"))
+        .distinct()
+        .withColumn("cohort", pmod(col("skew_key"), lit(5)))
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = spark.read.parquet(dimPath)
+      val joined = keyed
+        .join(dim, "skew_key")
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      val rows = joined.collect() // materialize: AQE finalizes the plan
+      val plan = joined.queryExecution.executedPlan.toString
+      if (sys.env.contains("GRAFT_SKEW_GATE_DEBUG")) println(plan)
+      val split = plan.contains("skew=true")
+      Gate(
+        "aqe_skew_split_sf1",
+        split && rows.nonEmpty,
+        s"rows=${rows.length} skewMarker=$split"
+      )
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

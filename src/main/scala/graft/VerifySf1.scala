@@ -12,9 +12,11 @@ package graft
   *   2. Verify   — every SparkEntry.queries entry over the probe
   *   3. tools/check.py --json — DuckDB compare, written to
   *      CORRECTNESS_sf1.json at the repo root for commit
+  *   4. Sf1Gates — sketch recall at 10× volume + the AQE skew-split
+  *      mechanism assertion, written to SCALECHECK_sf1.json
   *
   * Usage: runMain graft.VerifySf1 [srcDir] [sf1Dir] [outDir] [jsonOut]
-  * Exits nonzero if any oracle-checked query fails.
+  * Exits nonzero if any oracle-checked query or scale gate fails.
   */
 object VerifySf1 {
   def main(args: Array[String]): Unit = {
@@ -31,6 +33,21 @@ object VerifySf1 {
     val rc = new ProcessBuilder(
       "python3", "tools/check.py", sf1, out, "--json", json)
       .inheritIO().start().waitFor()
-    sys.exit(rc)
+
+    val spark = Engine.session(
+      "graft-sf1-gates",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+    spark.sparkContext.setLogLevel("WARN")
+    val gates =
+      try Sf1Gates.run(spark, sf1)
+      finally spark.stop()
+    gates.foreach(g =>
+      println(s"[sf1-gate] ${if (g.pass) "PASS" else "FAIL"} ${g.name}: ${g.detail}"))
+    val gateJson = gates
+      .map(g => s"""  "${g.name}": {"pass": ${g.pass}, "detail": "${g.detail}"}""")
+      .mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALECHECK_sf1.json"), gateJson)
+    sys.exit(if (rc != 0 || gates.exists(!_.pass)) 1 else 0)
   }
 }

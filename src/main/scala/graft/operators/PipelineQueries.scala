@@ -287,6 +287,92 @@ object PipelineQueries extends QueryModule {
           AND NOT EXISTS (SELECT 1 FROM documents r
                           WHERE r.doc_id % 7 = 0 AND r.text = d.text)
       """)
+    ),
+    // Train/eval decontamination: flag training documents sharing
+    // 3-gram shingles with a benchmark set — the n-gram-overlap
+    // decontamination every LLM corpus runs before training. Shape is
+    // an inverted-index join (explode shingles, equi-join on the
+    // shingle, re-aggregate per doc): both sides stay distributed, the
+    // benchmark side is deduped before the join, and AQE picks
+    // broadcast when the benchmark index is small.
+    QueryDef(
+      "q_decontaminate",
+      (s, dir) => {
+        graft.functions.SketchExpressions.register(s)
+        val t = tables(s, dir)
+        val sh = t.documents
+          .select(
+            col("doc_id"),
+            graft.functions.SketchExpressions.word_shingles(col("text")).as("shingles")
+          )
+          .filter(size(col("shingles")) > 0)
+        val bench = sh
+          .filter(pmod(col("doc_id"), lit(13L)) === 0)
+          .select(explode(col("shingles")).as("sh"))
+          .distinct()
+        val train = sh
+          .filter(pmod(col("doc_id"), lit(13L)) =!= 0)
+          .select(
+            col("doc_id"),
+            size(col("shingles")).as("sz"),
+            explode(col("shingles")).as("sh")
+          )
+        val ratio = round(col("n_shared").cast("double") / col("sz"), 6)
+        train
+          .join(bench, "sh")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared"), first(col("sz")).as("sz"))
+          .select(
+            col("doc_id"),
+            col("n_shared"),
+            ratio.as("overlap_ratio"),
+            (ratio >= 0.5).as("contaminated")
+          )
+      },
+      Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(words[i:i+2], ' ')
+                                for i in range(1, len(words) - 1)]) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        ), bench AS (
+          SELECT DISTINCT unnest(shingles) AS sh FROM sh
+          WHERE doc_id % 13 = 0 AND len(shingles) > 0
+        ), train AS (
+          SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS sh FROM sh
+          WHERE doc_id % 13 != 0 AND len(shingles) > 0
+        )
+        SELECT doc_id, count(*) AS n_shared,
+               round(count(*) * 1.0 / any_value(sz), 6) AS overlap_ratio,
+               round(count(*) * 1.0 / any_value(sz), 6) >= 0.5 AS contaminated
+        FROM train JOIN bench USING (sh)
+        GROUP BY doc_id
+      """)
+    ),
+    // Epoch upsampling (domain-weighted mixture): rare domains repeat
+    // more epochs per training pass. A per-row explode of a tiny
+    // sequence — scan-local fan-out, no shuffle, the standard way to
+    // materialize mixture weights without a nondeterministic sampler.
+    QueryDef(
+      "q_sample_upsample",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val epochs = when(col("lang") === "en", lit(1))
+          .when(col("lang") === "de", lit(2))
+          .otherwise(lit(3))
+        t.documents.select(
+          col("doc_id"),
+          col("lang"),
+          explode(sequence(lit(1), epochs)).as("epoch")
+        )
+      },
+      Some("""
+        SELECT doc_id, lang,
+               CAST(unnest(generate_series(1,
+                    CASE WHEN lang = 'en' THEN 1
+                         WHEN lang = 'de' THEN 2 ELSE 3 END)) AS INT) AS epoch
+        FROM documents
+      """)
     )
   )
 }
