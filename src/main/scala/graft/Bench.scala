@@ -45,6 +45,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // K repeats per query IN THE SAME JVM; per-query min is the reported
+    // number. Min-of-N is the standard defense against noisy-neighbor /
+    // burst-throttled environments: external interference only ever adds
+    // time, so the minimum is the best estimator of the code's true cost.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val spark = Engine.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,7 +62,7 @@ object Bench {
       .queries("q_agg_pricing_summary")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
-    val results = headline.map { name =>
+    def runOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // scoped: operator-internal caches are released per query, so the
@@ -70,14 +75,29 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results
+    // Interleave rounds (all queries once, then again) rather than
+    // back-to-back repeats of one query, so a transient throttling window
+    // cannot inflate all K samples of the same query.
+    val samples: Map[String, Seq[Double]] = {
+      val rounds = (1 to repeats).map(_ => headline.map(n => n -> runOnce(n)))
+      headline.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val mins = headline.map(n => n -> samples(n).min)
+    val qs = mins
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val meds = headline
+      .map(n => "\"" + n + f"""\":${median(samples(n))}%.3f""")
+      .mkString("{", ",", "}")
+    val total = mins.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

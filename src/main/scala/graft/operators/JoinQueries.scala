@@ -354,6 +354,48 @@ object JoinQueries extends QueryModule {
           ON p.user_id = s.user_id AND p.ts >= s.ts
       """)
     ),
+    // LEFT OUTER as-of through the native operator: purchases with no
+    // signup at-or-before keep the left row with a null signup_value —
+    // the reference's isLeftOuterJoin temporal-join mode
+    // (TemporalRowTimeJoinOperator.java:88,134). DuckDB: ASOF LEFT JOIN.
+    QueryDef(
+      "q_join_asof_outer",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val purchases = t.events
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val signups = t.events
+          .filter(col("event_type") === "signup")
+          .select(
+            col("user_id").as("s_user"),
+            col("ts").as("s_ts"),
+            col("value").as("signup_value")
+          )
+        graft.plans.AsOfJoinNative
+          .asof(
+            purchases,
+            signups,
+            col("user_id"),
+            col("s_user"),
+            col("ts"),
+            col("s_ts"),
+            joinType = "left_outer"
+          )
+          .select(
+            col("event_id"),
+            col("value").as("p_value"),
+            col("signup_value")
+          )
+      },
+      Some("""
+        SELECT p.event_id AS event_id, p.value AS p_value,
+               s.value AS signup_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+      """)
+    ),
     // Bucketed co-located join (§2.10 partitioning primitives): both
     // sides written bucketed+sorted on the join key, so the sort-merge
     // join reads bucket-aligned files with NO exchange — the plan a

@@ -56,8 +56,18 @@ object AsOfJoinNative {
     )
 
   /** User-facing entry: as-of join `left` to `right` (latest right row
-    * per key with rightTime <= leftTime; inner). Right columns must
+    * per key with rightTime <= leftTime). `joinType` "inner" drops
+    * unmatched left rows; "left"/"left_outer" keeps them with null
+    * right columns — the reference's isLeftOuterJoin mode
+    * (TemporalRowTimeJoinOperator.java:88,134). Right columns must
     * not collide with left's.
+    *
+    * The outer-ness rides on the JOIN TYPE of the marker join, not on
+    * the marker: Join(LeftOuter).output marks right attributes nullable
+    * at ANALYSIS time, so downstream projections bind null-checked
+    * references. (Flipping nullability later, inside the optimizer
+    * rewrite, is too late — consumers have already captured
+    * non-nullable refs and would read nulls as 0.)
     */
   def asof(
       left: DataFrame,
@@ -65,12 +75,17 @@ object AsOfJoinNative {
       leftKey: Column,
       rightKey: Column,
       leftTime: Column,
-      rightTime: Column
+      rightTime: Column,
+      joinType: String = "inner"
   ): DataFrame = {
     register(left.sparkSession)
-    left
-      .crossJoin(right)
-      .where(call_function("asof_marker", leftKey, rightKey, leftTime, rightTime))
+    val marker = call_function("asof_marker", leftKey, rightKey, leftTime, rightTime)
+    joinType.toLowerCase.replace("_outer", "") match {
+      case "inner" => left.crossJoin(right).where(marker)
+      case "left"  => left.join(right, marker, "left_outer")
+      case other   => throw new IllegalArgumentException(
+        s"as-of joinType must be inner or left/left_outer, got $other")
+    }
   }
 
   /** Logical node produced by the rewrite. */
@@ -80,9 +95,12 @@ object AsOfJoinNative {
       leftKey: Expression,
       rightKey: Expression,
       leftTime: Expression,
-      rightTime: Expression
+      rightTime: Expression,
+      leftOuter: Boolean = false
   ) extends BinaryNode {
-    override def output: Seq[Attribute] = left.output ++ right.output
+    override def output: Seq[Attribute] =
+      if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+      else left.output ++ right.output
     override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): LogicalPlan =
       copy(left = l, right = r)
   }
@@ -93,19 +111,36 @@ object AsOfJoinNative {
   object RewriteAsOfMarker extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       // the main optimizer may have folded the filter into the join
-      // condition (cross → inner) before user rules run — match both
-      case j @ Join(l, r, _, Some(cond), _) =>
-        rewrite(l, r, cond).getOrElse(j)
+      // condition (cross → inner) before user rules run — match both.
+      // A LeftOuter marker join is the left-outer as-of entry.
+      case j @ Join(l, r, jt, Some(cond), _) =>
+        val outer = jt == org.apache.spark.sql.catalyst.plans.LeftOuter
+        rewrite(l, r, cond, outer).getOrElse(j)
       case f @ Filter(cond, Join(l, r, _, None, _)) =>
-        rewrite(f.child.asInstanceOf[Join].left, f.child.asInstanceOf[Join].right, cond)
+        rewrite(f.child.asInstanceOf[Join].left, f.child.asInstanceOf[Join].right, cond,
+          leftOuter = false)
           .getOrElse(f)
     }
 
-    private def rewrite(l: LogicalPlan, r: LogicalPlan, cond: Expression): Option[LogicalPlan] = {
+    private def rewrite(
+        l: LogicalPlan,
+        r: LogicalPlan,
+        cond: Expression,
+        leftOuter: Boolean): Option[LogicalPlan] = {
       val (markers, rest) = splitConjuncts(cond).partition(_.isInstanceOf[AsOfMarker])
       markers match {
         case Seq(m: AsOfMarker) =>
-          val asOf = AsOfJoinPlan(l, r, m.leftKey, m.rightKey, m.leftTime, m.rightTime)
+          // extra conjuncts in an OUTER join condition would change which
+          // rows match (not which rows survive) — our entry point never
+          // produces that shape, and silently treating it as a post-filter
+          // would be wrong, so fail loudly if it ever appears
+          if (leftOuter && rest.nonEmpty) {
+            throw new IllegalStateException(
+              "as-of left-outer marker join must carry the marker as its only condition; " +
+                s"found extra conjuncts: $rest")
+          }
+          val asOf =
+            AsOfJoinPlan(l, r, m.leftKey, m.rightKey, m.leftTime, m.rightTime, leftOuter)
           Some(
             if (rest.isEmpty) asOf
             else Filter(rest.reduce(org.apache.spark.sql.catalyst.expressions.And), asOf)
@@ -123,23 +158,28 @@ object AsOfJoinNative {
 
   object AsOfStrategy extends org.apache.spark.sql.execution.SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      case AsOfJoinPlan(l, r, lk, rk, lt, rt, outer) =>
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, outer) :: Nil
       case _ => Nil
     }
   }
 
-  /** Sort-merge as-of exec. */
+  /** Sort-merge as-of exec. Inner or left-outer (unmatched left rows
+    * emitted with null right columns).
+    */
   case class AsOfJoinExec(
       left: SparkPlan,
       right: SparkPlan,
       leftKey: Expression,
       rightKey: Expression,
       leftTime: Expression,
-      rightTime: Expression
+      rightTime: Expression,
+      leftOuter: Boolean = false
   ) extends BinaryExecNode {
 
-    override def output: Seq[Attribute] = left.output ++ right.output
+    override def output: Seq[Attribute] =
+      if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+      else left.output ++ right.output
     override def outputPartitioning: Partitioning = left.outputPartitioning
 
     override def requiredChildDistribution: Seq[Distribution] = Seq(
@@ -162,9 +202,13 @@ object AsOfJoinNative {
       val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
       val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
       val outSchema = output
+      val outer = leftOuter
+      val rightWidth = right.output.size
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val proj = UnsafeProjection.create(outSchema, outSchema)
         val joined = new JoinedRow()
+        val nullRight: InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rightWidth)
         val rBuf = rIter.buffered
         // last right row (copied) whose (key,time) <= current left
         var held: InternalRow = null
@@ -189,6 +233,7 @@ object AsOfJoinNative {
           val matches = held != null && heldKey != null &&
             keyOrd.compare(heldKey.asInstanceOf[AnyRef], k.asInstanceOf[AnyRef]) == 0
           if (matches) Iterator.single(proj(joined(lRow, held)))
+          else if (outer) Iterator.single(proj(joined(lRow, nullRight)))
           else Iterator.empty
         }
       }
