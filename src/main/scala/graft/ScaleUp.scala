@@ -26,6 +26,16 @@ object ScaleUp {
   /** Larger than any key the driver generates at sf<=1. */
   val KeyOffset: Long = 1000000000L
 
+  /** Id shift for planted ANN near-neighbors — disjoint from every
+    * replica range (replicas top out below 10 * KeyOffset).
+    */
+  val PlantOffset: Long = 20000000000L
+
+  /** How many ANN query vectors get a planted near-duplicate. Matches
+    * the nQueries=10 the q_ann_* queries use.
+    */
+  val PlantedQueries: Int = 10
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
@@ -87,9 +97,27 @@ object ScaleUp {
 
     // embeddings: shift ids and nudge the first coordinate per replica
     // so vectors are distinct (exact ties would make top-k rank
-    // assignments engine-dependent).
+    // assignments engine-dependent). Additionally PLANT a known
+    // near-duplicate for each ANN query vector (vec_id < PlantedQueries):
+    // an ε-rotated copy at vec_id + PlantOffset whose cosine to the
+    // original is ~1-1e-7 — far above anything a random corpus produces
+    // — so the sf1 ANN gates can assert REAL recall (the planted copy
+    // must appear at rank 1) instead of a corpus-dependent floor.
+    val embBase = read("embeddings")
+    val planted = embBase
+      .filter(col("vec_id") < PlantedQueries)
+      .withColumn("vec_id", col("vec_id") + lit(PlantOffset))
+      .withColumn(
+        "embedding",
+        // per-coordinate relative scaling <= 5e-4 — a tiny deterministic
+        // rotation, not a pure rescale (which cosine would ignore)
+        expr(
+          "transform(embedding, (x, i) -> " +
+            "CAST(x * (1.0 + 0.0005 * sin(CAST(i AS DOUBLE))) AS FLOAT))"
+        )
+      )
     write(
-      replicate(read("embeddings"), Seq("vec_id"))
+      replicate(embBase, Seq("vec_id"))
         .withColumn(
           "embedding",
           expr(
@@ -97,7 +125,8 @@ object ScaleUp {
               "CAST(x + CASE WHEN i = 0 THEN __rep * 0.0001 ELSE 0.0 END AS FLOAT))"
           )
         )
-        .drop("__rep"),
+        .drop("__rep")
+        .unionByName(planted),
       "embeddings"
     )
 

@@ -31,6 +31,7 @@ object Sf1Gates {
       "simhash_sanity_sf1" -> (() => simhashSanity(spark, dir)),
       "ann_lsh_recall_sf1" -> (() => annLshRecall(spark, dir)),
       "ann_ivf_recall_sf1" -> (() => annIvfRecall(spark, dir)),
+      "ann_planted_recall_sf1" -> (() => plantedRecall(spark, dir)),
       "aqe_skew_split_sf1" -> (() => skewSplit(spark, dir))
     )
     all.collect { case (n, g) if only.isEmpty || only(n) => g() }
@@ -100,6 +101,31 @@ object Sf1Gates {
 
   private def annIvfRecall(spark: SparkSession, dir: String): Gate =
     annRecall(spark, dir, "ann_ivf_recall_sf1", "q_ann_ivf", 0.25)
+
+  /** REAL recall on planted pairs: ScaleUp injects an ε-rotated copy of
+    * each ANN query vector at vec_id + PlantOffset with cosine ~1 — an
+    * unambiguous rank-1 neighbor no random corpus provides. Brute force
+    * must find every planted pair (it is exact — recall 1.0 validates
+    * the fixture itself); LSH and IVF must each retrieve >= 0.9. This is
+    * the assertion the corpus-floor gates above (0.2/0.25) cannot make.
+    */
+  private def plantedRecall(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      val expected = (0L until ScaleUp.PlantedQueries.toLong)
+        .map(q => (q, q + ScaleUp.PlantOffset))
+        .toSet
+      def hits(query: String): Int =
+        (pairs(SparkEntry.queries(query)(spark, dir), "q_id", "cand_id") & expected).size
+      val brute = hits("q_ann_brute_force")
+      val lsh = hits("q_ann_lsh")
+      val ivf = hits("q_ann_ivf")
+      val need = math.ceil(expected.size * 0.9).toInt
+      Gate(
+        "ann_planted_recall_sf1",
+        brute == expected.size && lsh >= need && ivf >= need,
+        s"planted=${expected.size} brute=$brute lsh=$lsh ivf=$ivf (brute=all, lsh/ivf>=$need)"
+      )
+    }
 
   /** Build the q_skew_join hot-key shape on the probe's events table
     * and assert the executed adaptive plan contains a skew=true

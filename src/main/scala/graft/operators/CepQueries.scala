@@ -389,6 +389,61 @@ object CepQueries extends QueryModule {
           AND date_diff('millisecond', s.ts, p.ts) <= 1800000
         WHERE s.event_type = 'signup'
       """)
+    ),
+    // Pattern.consecutive (reference Pattern.java:437): a greedy
+    // one-or-more loop whose contiguity is pinned STRICT inside an
+    // otherwise RELAXED pattern — any unconsumed event closes the loop.
+    // A single consecutive greedy loop therefore emits exactly the
+    // MAXIMAL uninterrupted error runs per user (SkipPastLastEvent
+    // discards the suffix partials that share the run). Contrast: the
+    // same loop without `consecutive` bridges across gaps and collapses
+    // each user's whole error history into one match (CepContiguitySpec
+    // proves all three modes side by side).
+    QueryDef(
+      "q_cep_consecutive",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        val pattern = Cep.SequencePattern(
+          steps = Seq(
+            Cep.Step("errs", _.event_type == "error",
+              oneOrMore = true, greedy = true, consecutive = true)
+          ),
+          // provably inert (see q_cep_error_burst): runs are unbounded
+          withinMs = Long.MaxValue,
+          strict = false,
+          skip = Cep.SkipPastLastEvent
+        )
+        Cep
+          .detectBatch(events, pattern)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("first_err"),
+            element_at(col("event_ids"), -1).as("last_err"),
+            size(col("event_ids")).cast("long").as("n_errors")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        err AS (
+          SELECT user_id, event_id, rn,
+                 rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM o WHERE event_type = 'error'
+        )
+        SELECT user_id,
+               arg_min(event_id, rn) AS first_err,
+               arg_max(event_id, rn) AS last_err,
+               CAST(count(*) AS BIGINT) AS n_errors
+        FROM err GROUP BY user_id, grp
+      """)
     )
   )
 }

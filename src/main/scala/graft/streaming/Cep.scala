@@ -82,7 +82,24 @@ object Cep {
         * followedBy advances on the first candidate only. The NFA
         * ignore-edge becomes a self-loop that survives a take.
         */
-      anyMatch: Boolean = false
+      anyMatch: Boolean = false,
+      /** Loop contiguity pinned STRICT (Pattern.consecutive, reference
+        * flink-libraries/flink-cep/.../pattern/Pattern.java:437): once
+        * a oneOrMore loop has consumed an element, ANY event the loop
+        * does not consume closes the loop permanently — where the
+        * default relaxed loop skips non-matching events and keeps
+        * accepting later matching ones. Suppresses the loop's
+        * ignore-edge.
+        */
+      consecutive: Boolean = false,
+      /** Non-deterministic loop contiguity (Pattern.allowCombinations,
+        * reference Pattern.java:477): between loop iterations a
+        * MATCHING event may also be skipped — the partial forks into
+        * take and not-take branches, so every order-preserving
+        * combination of loop elements sharing the first one emits. The
+        * loop's ignore-edge also accepts matching events.
+        */
+      combinations: Boolean = false
   ) {
     require(times >= 1)
     require(times == 1 || (!optional && !oneOrMore),
@@ -96,6 +113,15 @@ object Cep {
       !oneOrMore && !negated),
       "followedByAny applies to plain single steps (quantify with " +
         "oneOrMore/times instead of combining them with anyMatch)")
+    require(!consecutive || oneOrMore,
+      "consecutive() pins loop contiguity — it applies to oneOrMore steps")
+    require(!combinations || oneOrMore,
+      "allowCombinations() relaxes loop contiguity — it applies to oneOrMore steps")
+    require(!(consecutive && combinations),
+      "consecutive and allowCombinations are opposite contiguity modes")
+    require(!(combinations && greedy),
+      "a greedy loop consumes maximally; combining it with allowCombinations " +
+        "is contradictory")
   }
 
   sealed trait SkipStrategy
@@ -235,6 +261,12 @@ object Cep {
             val looping =
               p.copy(stepIdx = i, inLoop = true, lastTs = ts, lastSeq = s, eventIds = ids)
             succ += looping
+            // allowCombinations: between iterations the loop may also
+            // SKIP this matching event and take a later one — keep a
+            // not-take branch so every combination sharing the loop's
+            // first element forks its own match
+            if (steps(i).combinations && p.inLoop && i == p.stepIdx)
+              succ += p
             // reluctant loop that can already exit to the accept state
             // emits at this length too
             if (!steps(i).greedy && closure(i, true).exists(_._1 == n))
@@ -316,10 +348,12 @@ object Cep {
             retirementEmit(p).foreach(emitsB += _)
           } else {
             // relaxed: keep waiting; an until-hit permanently closes an
-            // open loop — a terminal greedy loop emits its maximal match,
-            // a mid-pattern loop continues from the exit position
+            // open loop — as does ANY unconsumed event when the loop is
+            // `consecutive` (strict between iterations) — a terminal
+            // greedy loop emits its maximal match, a mid-pattern loop
+            // continues from the exit position
             if (p.inLoop && p.stepIdx < n && steps(p.stepIdx).oneOrMore
-              && untilHit(p.stepIdx, e)) {
+              && (untilHit(p.stepIdx, e) || steps(p.stepIdx).consecutive)) {
               if (p.stepIdx + 1 == n) retirementEmit(p).foreach(emitsB += _)
               else nextPartials += p.copy(stepIdx = p.stepIdx + 1, inLoop = false)
             } else nextPartials += p
