@@ -193,6 +193,46 @@ object DedupQueries extends QueryModule {
                     sqrt(list_inner_product(a.v, a.v) *
                          list_inner_product(b.v, b.v)), 6) >= 0.35
       """)
+    ),
+    // Dedup-cluster canonicalization — the step every corpus dedup
+    // actually ships: near-dup PAIRS alone don't dedup; transitive
+    // closure groups them into clusters and one canonical doc (min id)
+    // survives per cluster. Pairs → Iterations.connectedComponents
+    // (min-label propagation, localCheckpoint loop, fully distributed)
+    // → keep = (doc_id == component). Oracle: DuckDB recursive CTE
+    // computing min-reachable-id over the same exact-Jaccard edges.
+    // At 100 TB the edge set comes from the MinHash-LSH candidates
+    // (same shape, probabilistic recall); the exact-Jaccard edges here
+    // keep the composite oracle-checkable end to end.
+    QueryDef(
+      "q_dedup_clusters",
+      (s, dir) => {
+        val pairs = jaccardPairs(tables(s, dir), 0.8)
+        val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        graft.plans.Iterations
+          .connectedComponents(edges)
+          .select(
+            col("vertex").as("doc_id"),
+            col("component").as("canonical_id"),
+            (col("vertex") === col("component")).as("keep")
+          )
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS ($jaccardOracle),
+        edges AS (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL
+          SELECT d2 AS src, d1 AS dst FROM pairs
+        ),
+        reach(vertex, node) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.vertex, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT vertex AS doc_id, min(node) AS canonical_id,
+               (vertex = min(node)) AS keep
+        FROM reach GROUP BY vertex
+      """)
     )
   )
 }
