@@ -444,6 +444,108 @@ object CepQueries extends QueryModule {
                CAST(count(*) AS BIGINT) AS n_errors
         FROM err GROUP BY user_id, grp
       """)
+    ),
+    // The SAME double-error pattern expressed as SQL MATCH_RECOGNIZE
+    // text through graft.streaming.MatchRecognize (reference SQL
+    // surface: StreamExecMatch.java:90) — proves a MATCH_RECOGNIZE
+    // query migrates as text and produces the identical oracle-green
+    // result. SKIP TO NEXT ROW == NO_SKIP here: a two-step
+    // deterministic pattern yields at most one match per start row.
+    QueryDef(
+      "q_cep_sql_double_error",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatch(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (E1 E2)
+              WITHIN INTERVAL '30' MINUTE
+              DEFINE E1 AS event_type = 'error',
+                     E2 AS event_type = 'error'
+            )
+          """)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("m1"),
+            element_at(col("event_ids"), 2).as("m2")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, ts, event_type,
+                 lag(event_id) OVER w AS p_id,
+                 lag(event_type) OVER w AS p_type,
+                 lag(ts) OVER w AS p_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, p_id AS m1, event_id AS m2
+        FROM o
+        WHERE event_type = 'error' AND p_type = 'error'
+          AND ts - p_ts <= INTERVAL 30 MINUTE
+      """)
+    ),
+    // Error burst through the SQL front-end: greedy one-or-more (SQL
+    // regex +) with the standard AFTER MATCH SKIP PAST LAST ROW —
+    // text-for-text the reference's MATCH_RECOGNIZE burst query, same
+    // islands oracle as q_cep_error_burst.
+    QueryDef(
+      "q_cep_sql_error_burst",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatch(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (E+ R)
+              DEFINE E AS event_type = 'error',
+                     R AS event_type <> 'error'
+            )
+          """)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("first_err"),
+            (size(col("event_ids")) - 1).cast("long").as("n_errors"),
+            element_at(col("event_ids"), -1).as("recovery_id")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        err AS (
+          SELECT user_id, event_id, rn,
+                 rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM o WHERE event_type = 'error'
+        ),
+        runs AS (
+          SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern,
+                 CAST(count(*) AS BIGINT) AS n_errors
+          FROM err GROUP BY user_id, grp
+        )
+        SELECT r.user_id, f.event_id AS first_err, r.n_errors,
+               nx.event_id AS recovery_id
+        FROM runs r
+        JOIN o f  ON f.user_id = r.user_id AND f.rn = r.srn
+        JOIN o nx ON nx.user_id = r.user_id AND nx.rn = r.ern + 1
+      """)
     )
   )
 }

@@ -1,0 +1,245 @@
+package graft.streaming
+
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, InterpretedPredicate}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL MATCH_RECOGNIZE front-end over the [[Cep]] NFA — the textual
+  * entry point the reference exposes through its planner (reference:
+  * flink-table-planner-blink/.../exec/stream/StreamExecMatch.java:90,
+  * MATCH_RECOGNIZE operators FlinkSqlOperatorTable.java:1147-1151).
+  * The Scala Pattern API ([[Cep.SequencePattern]]) covers the
+  * semantics; this parses the SQL surface into it so a MATCH_RECOGNIZE
+  * query migrates as text.
+  *
+  * Supported subset (each maps 1:1 onto a SequencePattern feature):
+  *
+  * {{{
+  * MATCH_RECOGNIZE (
+  *   PARTITION BY user_id
+  *   ORDER BY ts
+  *   [AFTER MATCH SKIP TO NEXT ROW | AFTER MATCH SKIP PAST LAST ROW]
+  *   PATTERN ( A B+ C? D{2} E{1,3} [B+? reluctant] )
+  *   [WITHIN INTERVAL 'n' SECOND|MINUTE|HOUR|DAY]
+  *   DEFINE A AS <sql predicate>, B AS <sql predicate> ...
+  * )
+  * }}}
+  *
+  *  - Row-pattern variables quantified `+` (one-or-more, greedy as in
+  *    SQL regex; `+?` reluctant), `?` (optional), `{n}` / `{n,m}`
+  *    (times). Variables without a DEFINE default to TRUE (any row) —
+  *    the SQL-standard rule.
+  *  - Contiguity is strict (MATCH_RECOGNIZE is a regex over adjacent
+  *    rows once partitioned and ordered).
+  *  - AFTER MATCH SKIP PAST LAST ROW is the SQL default; SKIP TO NEXT
+  *    ROW maps to [[Cep.SkipToNext]].
+  *  - DEFINE predicates are per-row conditions over the event columns,
+  *    compiled by Spark's own SQL parser + analyzer (so type coercion,
+  *    function library and null semantics are exactly Spark SQL's) and
+  *    evaluated as an interpreted Catalyst predicate per event.
+  *    PREV/NEXT/FIRST/LAST navigation and MEASURES aggregates are out
+  *    of scope — the Scala API's richer combinators cover those shapes.
+  *
+  * Output is the NFA's match relation (key, start_ts, end_ts,
+  * event_ids) — ONE ROW PER MATCH semantics with the matched row ids,
+  * from which MEASURES-style projections are ordinary selects.
+  */
+object MatchRecognize {
+
+  /** The Event row-type the NFA runs over, as Catalyst attributes. */
+  private val eventAttrs: Seq[AttributeReference] = Seq(
+    AttributeReference("event_id", LongType)(),
+    AttributeReference("ts", TimestampType)(),
+    AttributeReference("user_id", LongType)(),
+    AttributeReference("event_type", StringType)(),
+    AttributeReference("value", DoubleType)()
+  )
+
+  /** A DEFINE predicate: Spark-parsed, analyzer-coerced, interpreted
+    * per event. The bound Catalyst expression serializes into task
+    * closures; the predicate instance is rebuilt lazily per executor.
+    */
+  private final class SqlPredicate(bound: Expression)
+      extends (Event => Boolean) with Serializable {
+    @transient private lazy val pred = InterpretedPredicate(bound)
+    @transient private lazy val row = new GenericInternalRow(5)
+    override def apply(e: Event): Boolean = {
+      row.update(0, e.event_id)
+      row.update(1, if (e.ts == null) null else DateTimeUtils.fromJavaTimestamp(e.ts))
+      row.update(2, e.user_id)
+      row.update(3, UTF8String.fromString(e.event_type))
+      row.update(4, e.value)
+      pred.eval(row.asInstanceOf[InternalRow])
+    }
+  }
+
+  /** Compile one DEFINE condition: parse → resolve + coerce against
+    * the Event schema through the real analyzer (a LocalRelation
+    * carrier plan) → bind ordinals.
+    */
+  def compilePredicate(spark: SparkSession, sql: String): Event => Boolean = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    parsed.foreach {
+      case u: UnresolvedAttribute
+        if !eventAttrs.exists(_.name.equalsIgnoreCase(u.name)) =>
+        throw new IllegalArgumentException(
+          s"DEFINE references unknown column '${u.name}' " +
+            s"(event columns: ${eventAttrs.map(_.name).mkString(", ")})")
+      case _ => ()
+    }
+    val carrier = Filter(parsed, LocalRelation(eventAttrs))
+    val analyzed = spark.sessionState.analyzer.execute(carrier)
+    spark.sessionState.analyzer.checkAnalysis(analyzed)
+    val cond = analyzed.collectFirst { case Filter(c, _) => c }.getOrElse(
+      throw new IllegalStateException(s"predicate did not analyze to a filter: $sql"))
+    val bound =
+      BindReferences.bindReference(cond, eventAttrs.asInstanceOf[Seq[Attribute]])
+    new SqlPredicate(bound)
+  }
+
+  // ---- text parsing ---------------------------------------------------
+
+  /** Extract the balanced-paren body following the keyword. */
+  private def balancedBody(sql: String, keyword: String): String = {
+    val upper = sql.toUpperCase
+    val at = upper.indexOf(keyword.toUpperCase)
+    require(at >= 0, s"$keyword not found")
+    val open = sql.indexOf('(', at + keyword.length)
+    require(open >= 0, s"$keyword must be followed by (...)")
+    var depth = 0
+    var i = open
+    while (i < sql.length) {
+      sql(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return sql.substring(open + 1, i)
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parentheses after $keyword")
+  }
+
+  /** Split on top-level commas (ignores commas inside parens/quotes). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var inQuote = false
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case ',' if !inQuote && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val quantified = raw"(?s)([A-Za-z_][A-Za-z_0-9]*)(\{\s*\d+\s*(?:,\s*\d+\s*)?\}|\+\??|\*|\?)?".r
+
+  private val withinRe =
+    raw"(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)".r
+
+  private val skipRe =
+    raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW)".r
+
+  private val partitionRe = raw"(?is)PARTITION\s+BY\s+([A-Za-z_][A-Za-z_0-9]*)".r
+  private val orderRe = raw"(?is)ORDER\s+BY\s+([A-Za-z_][A-Za-z_0-9]*)".r
+
+  /** Parse MATCH_RECOGNIZE text into a [[Cep.SequencePattern]]. */
+  def parse(spark: SparkSession, sql: String): Cep.SequencePattern = {
+    val body = balancedBody(sql, "MATCH_RECOGNIZE")
+
+    partitionRe.findFirstMatchIn(body).foreach { m =>
+      require(m.group(1).equalsIgnoreCase("user_id"),
+        s"this engine keys MATCH_RECOGNIZE by user_id; got PARTITION BY ${m.group(1)}")
+    }
+    orderRe.findFirstMatchIn(body).foreach { m =>
+      require(m.group(1).equalsIgnoreCase("ts"),
+        s"this engine orders MATCH_RECOGNIZE by ts; got ORDER BY ${m.group(1)}")
+    }
+
+    val skip = skipRe.findFirstMatchIn(body) match {
+      case Some(m) if m.group(1).toUpperCase.startsWith("TO") => Cep.SkipToNext
+      case _ => Cep.SkipPastLastEvent // SQL default: SKIP PAST LAST ROW
+    }
+
+    val withinMs = withinRe.findFirstMatchIn(body) match {
+      case Some(m) =>
+        val n = m.group(1).toLong
+        m.group(2).toUpperCase match {
+          case "SECOND" => n * 1000L
+          case "MINUTE" => n * 60000L
+          case "HOUR" => n * 3600000L
+          case "DAY" => n * 86400000L
+        }
+      case None => Long.MaxValue // unbounded — matches the Scala API's inert bound
+    }
+
+    // DEFINE var AS predicate, ...  (terminates at end of body or the
+    // next clause keyword — DEFINE is last in our subset)
+    val defineAt = raw"(?is)\bDEFINE\b".r.findFirstMatchIn(body)
+    val defines: Map[String, Event => Boolean] = defineAt match {
+      case Some(m) =>
+        splitTopLevel(body.substring(m.end)).map { item =>
+          val asSplit = raw"(?is)\s+AS\s+".r.findFirstMatchIn(item).getOrElse(
+            throw new IllegalArgumentException(s"DEFINE item missing AS: $item"))
+          val name = item.substring(0, asSplit.start).trim
+          val pred = compilePredicate(spark, item.substring(asSplit.end).trim)
+          name.toUpperCase -> pred
+        }.toMap
+      case None => Map.empty
+    }
+
+    val patBody = balancedBody(body, "PATTERN")
+    val steps = splitPattern(patBody).map { case (name, quant) =>
+      // SQL-standard rule: an undefined variable matches any row
+      val pred = defines.getOrElse(name.toUpperCase, (_: Event) => true)
+      quant match {
+        case None => Cep.Step(name, pred)
+        case Some("?") => Cep.Step(name, pred, optional = true)
+        case Some("+") => Cep.Step(name, pred, oneOrMore = true, greedy = true)
+        case Some("+?") => Cep.Step(name, pred, oneOrMore = true, greedy = false)
+        case Some("*") =>
+          Cep.Step(name, pred, oneOrMore = true, greedy = true, optional = true)
+        case Some(braces) =>
+          val nums = raw"\d+".r.findAllIn(braces).map(_.toInt).toSeq
+          nums match {
+            case Seq(n) => Cep.Step(name, pred, times = n)
+            case Seq(n, mx) => Cep.Step(name, pred, times = n, timesMax = mx)
+            case _ => throw new IllegalArgumentException(s"bad quantifier $braces")
+          }
+      }
+    }
+    Cep.SequencePattern(steps, withinMs, strict = true, skip = skip)
+  }
+
+  /** Tokenize the PATTERN body into (variable, quantifier) pairs. */
+  private def splitPattern(patBody: String): Seq[(String, Option[String])] =
+    quantified.findAllMatchIn(patBody)
+      .filter(m => m.group(1) != null && m.group(1).nonEmpty)
+      .map(m => (m.group(1), Option(m.group(2)).map(_.replaceAll("\\s", ""))))
+      .toSeq
+
+  /** Run a MATCH_RECOGNIZE text over a batch of events. */
+  def detectBatch(events: Dataset[Event], sql: String): Dataset[Cep.Match] =
+    Cep.detectBatch(events, parse(events.sparkSession, sql))
+
+  /** Streaming form — same parse, the NFA's keyed-state path. */
+  def detectStream(events: Dataset[Event], sql: String): Dataset[Cep.Match] =
+    Cep.detectStream(events, parse(events.sparkSession, sql))
+}

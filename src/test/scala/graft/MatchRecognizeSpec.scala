@@ -1,0 +1,146 @@
+package graft
+
+import graft.streaming.{Cep, MatchRecognize}
+import graft.streaming.StreamingOps.Event
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL MATCH_RECOGNIZE front-end: the parsed pattern must behave
+  * exactly like the hand-built Scala SequencePattern, and DEFINE
+  * predicates must follow Spark SQL semantics (coercion, functions,
+  * null handling) because they ARE Spark-compiled expressions.
+  */
+class MatchRecognizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+  private def ev(id: Long, m: Int, t: String, v: Double = 0.0) =
+    Event(id, ts(m), 1, t, v)
+
+  private def run(sql: String, events: Seq[Event]): Seq[Seq[Long]] = {
+    val p = MatchRecognize.parse(spark, sql)
+    val (m, st) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    (m ++ Cep.flush(p, 1L, st)).map(_.event_ids)
+  }
+
+  test("two-step pattern with WITHIN equals the Scala API") {
+    val sql = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B) WITHIN INTERVAL '30' MINUTE
+      DEFINE A AS event_type = 'error', B AS event_type = 'error')"""
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 5, "error"), ev(3, 10, "click"),
+      ev(4, 20, "error"), ev(5, 60, "error"), ev(6, 65, "error"))
+    assert(run(sql, events) == Seq(Seq(1L, 2L), Seq(5L, 6L)))
+  }
+
+  test("greedy + with SKIP PAST LAST ROW: maximal runs, non-overlapping") {
+    val sql = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      PATTERN (E+ R)
+      DEFINE E AS event_type = 'error', R AS event_type <> 'error')"""
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 1, "error"), ev(3, 2, "view"),
+      ev(4, 3, "error"), ev(5, 4, "view"))
+    assert(run(sql, events) == Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)))
+  }
+
+  test("reluctant +?, optional ?, times {n} and {n,m} quantifiers") {
+    val rel = """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (E+? R)
+      DEFINE E AS event_type = 'error', R AS event_type = 'view')"""
+    // reluctant: E run then view — shortest completion per start
+    assert(run(rel, Seq(ev(1, 0, "error"), ev(2, 1, "error"), ev(3, 2, "view")))
+      == Seq(Seq(1L, 2L, 3L), Seq(2L, 3L)))
+    val opt = """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (S P? B)
+      DEFINE S AS event_type = 'signup', P AS event_type = 'promo',
+             B AS event_type = 'purchase')"""
+    assert(run(opt, Seq(ev(1, 0, "signup"), ev(2, 1, "purchase")))
+      == Seq(Seq(1L, 2L)))
+    assert(run(opt, Seq(ev(1, 0, "signup"), ev(2, 1, "promo"), ev(3, 2, "purchase")))
+      == Seq(Seq(1L, 2L, 3L)))
+    val times = """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (E{2})
+      DEFINE E AS event_type = 'error')"""
+    assert(run(times, Seq(ev(1, 0, "error"), ev(2, 1, "error"),
+      ev(3, 2, "error"), ev(4, 3, "error")))
+      == Seq(Seq(1L, 2L), Seq(3L, 4L)))
+    val range = """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (E{1,2} R)
+      DEFINE E AS event_type = 'error', R AS event_type = 'view')"""
+    // from e1: {e1,e2,view} (2 errors) and the 1-error branch can't
+    // reach view strictly; from e2: {e2,view}
+    assert(run(range, Seq(ev(1, 0, "error"), ev(2, 1, "error"), ev(3, 2, "view"))).toSet
+      == Set(Seq(1L, 2L, 3L), Seq(2L, 3L)))
+  }
+
+  test("DEFINE is real Spark SQL: coercion, functions, undefined var = any row") {
+    val sql = """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (BIGV ANYROW)
+      DEFINE BIGV AS value > 100 AND upper(event_type) LIKE 'P%')"""
+    // value > 100: int literal coerced against double column; ANYROW
+    // has no DEFINE -> matches any row (SQL-standard rule)
+    val events = Seq(
+      ev(1, 0, "purchase", 150.5), ev(2, 1, "view", 999.0),
+      ev(3, 2, "purchase", 50.0), ev(4, 3, "view", 1.0))
+    assert(run(sql, events) == Seq(Seq(1L, 2L)))
+  }
+
+  test("zero-or-more * spans none or many") {
+    val sql = """MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (S E* B)
+      DEFINE S AS event_type = 'signup', E AS event_type = 'error',
+             B AS event_type = 'purchase')"""
+    assert(run(sql, Seq(ev(1, 0, "signup"), ev(2, 1, "purchase")))
+      == Seq(Seq(1L, 2L)))
+    assert(run(sql, Seq(ev(1, 0, "signup"), ev(2, 1, "error"),
+      ev(3, 2, "error"), ev(4, 3, "purchase")))
+      == Seq(Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("parse errors are loud: unknown column, bad partition key") {
+    val badCol = intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts PATTERN (A)
+        DEFINE A AS no_such_col = 1)""")
+    }
+    assert(badCol.getMessage.contains("no_such_col"))
+    val badKey = intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, """MATCH_RECOGNIZE (
+        PARTITION BY other_key ORDER BY ts PATTERN (A)
+        DEFINE A AS value > 0)""")
+    }
+    assert(badKey.getMessage.contains("other_key"))
+  }
+
+  test("distributed path: SQL text equals the Scala API on real data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // sf0.01: the smallest SF with actual double-error sequences
+    val events = Engine.Tables(spark, "/root/testdata/sf0.01").events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    val viaSql = MatchRecognize.detectBatch(events, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (E1 E2) WITHIN INTERVAL '30' MINUTE
+        DEFINE E1 AS event_type = 'error', E2 AS event_type = 'error')""")
+      .select(col("key"), col("event_ids")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val viaApi = Cep.detectBatch(events, Cep.SequencePattern(
+      Seq(Cep.Step("e1", _.event_type == "error"),
+        Cep.Step("e2", _.event_type == "error")),
+      withinMs = 30L * 60 * 1000, strict = true, skip = Cep.SkipToNext))
+      .select(col("key"), col("event_ids")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(viaSql == viaApi)
+    assert(viaSql.nonEmpty)
+  }
+}
