@@ -840,6 +840,146 @@ object FlagshipQueries extends QueryModule {
           HAVING sum(l_quantity) > 90
         )
       """)
+    ),
+    // TPC-DS Q27/Q36 shape — ROLLUP over a multi-join star: revenue
+    // and average quantity by nation x market segment with subtotal
+    // and grand-total rows (Expand node over the joined fact). The
+    // dims broadcast; the rollup's Expand multiplies rows AFTER the
+    // pre-aggregation, so at 100 TB the shuffle carries group cells,
+    // not fact rows.
+    QueryDef(
+      "q_flagship_ds_rollup",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
+              .as("revenue"),
+            round(avg(col("l_quantity")), 4).as("avg_qty")
+          )
+          .select(
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            col("gid"), col("n"), col("revenue"), col("avg_qty")
+          )
+      },
+      Some(s"""
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+               count(*) AS n,
+               ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS revenue,
+               round(avg(l_quantity), 4) AS avg_qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, c_mktsegment)
+      """)
+    ),
+    // TPC-DS Q71/Q76 shape — multi-channel UNION ALL aggregate: three
+    // derived sales channels from the same fact, unioned with a
+    // channel tag, aggregated per channel x brand. The union is
+    // scan-parallel (no shuffle until the final group-by on tiny
+    // (channel, brand) keys) and the part dim broadcasts.
+    QueryDef(
+      "q_flagship_ds_channels",
+      (s, dir) => {
+        val t = tables(s, dir)
+        def channel(tag: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(
+            lit(tag).as("channel"),
+            col("l_partkey"),
+            col("l_extendedprice"),
+            col("l_discount")
+          )
+        val unioned = channel("returned", t.lineitem.filter(col("l_returnflag") === "R"))
+          .unionByName(channel("fulfilled",
+            t.lineitem.filter(col("l_returnflag") =!= "R" && col("l_linestatus") === "F")))
+          .unionByName(channel("open",
+            t.lineitem.filter(col("l_returnflag") =!= "R" && col("l_linestatus") =!= "F")))
+        unioned
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("channel"), col("p_brand"))
+          .agg(
+            count(lit(1)).as("n"),
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
+              .as("revenue")
+          )
+      },
+      Some(s"""
+        WITH channels AS (
+          SELECT 'returned' AS channel, l_partkey, l_extendedprice, l_discount
+          FROM lineitem WHERE l_returnflag = 'R'
+          UNION ALL
+          SELECT 'fulfilled', l_partkey, l_extendedprice, l_discount
+          FROM lineitem WHERE l_returnflag <> 'R' AND l_linestatus = 'F'
+          UNION ALL
+          SELECT 'open', l_partkey, l_extendedprice, l_discount
+          FROM lineitem WHERE l_returnflag <> 'R' AND l_linestatus <> 'F'
+        )
+        SELECT channel, p_brand, count(*) AS n,
+               ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS revenue
+        FROM channels JOIN part ON l_partkey = p_partkey
+        GROUP BY channel, p_brand
+      """)
+    ),
+    // TPC-DS Q67-ish shape — OVER-window share-of-total on an
+    // aggregate: part revenue within its brand, each part's share of
+    // the brand total and brand-local rank, top 3 per brand. The
+    // window partitions by brand over the ALREADY-AGGREGATED relation
+    // (one row per part), so the window state at 100 TB is per-brand
+    // group cells, not fact rows.
+    QueryDef(
+      "q_flagship_ds_share",
+      (s, dir) => {
+        val t = tables(s, dir)
+        // the share's numerator/denominator stay INTEGER-VALUED doubles
+        // (1e-4-dollar units): the window sum is then order-independent
+        // and both engines divide identical operands — no fp-summation
+        // drift through the round(6). (Past ~2^53 total units per brand
+        // — far beyond these SFs — the two-pass groupBy+sumWideUnits
+        // join is the exact alternative.)
+        val perPart = t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_partkey"))
+          .agg(
+            Money.sumWideUnits(
+              Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
+            ).as("units")
+          )
+        val w = Window.partitionBy(col("p_brand"))
+        val rankW = w.orderBy(col("units").desc, col("p_partkey"))
+        perPart
+          .withColumn("brand_total", sum(col("units")).over(w))
+          .withColumn("share", round(col("units") / col("brand_total"), 6))
+          .withColumn("rnk", row_number().over(rankW).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("p_brand"), col("p_partkey"),
+            (col("units") / 10000.0).as("revenue"), col("share"), col("rnk"))
+      },
+      Some(s"""
+        WITH per_part AS (
+          SELECT p_brand, p_partkey,
+                 ${Money.sumWideUnitsSql(
+        Money.discPriceUnitsSql("l_extendedprice", "l_discount"))} AS units
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand, p_partkey
+        )
+        SELECT p_brand, p_partkey, units / 10000.0 AS revenue, share, rnk FROM (
+          SELECT p_brand, p_partkey, units,
+                 round(units / sum(units) OVER (PARTITION BY p_brand), 6) AS share,
+                 CAST(row_number() OVER (PARTITION BY p_brand
+                      ORDER BY units DESC, p_partkey) AS BIGINT) AS rnk
+          FROM per_part)
+        WHERE rnk <= 3
+      """)
     )
   )
 }
