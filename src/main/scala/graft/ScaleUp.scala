@@ -26,10 +26,16 @@ object ScaleUp {
   /** Larger than any key the driver generates at sf<=1. */
   val KeyOffset: Long = 1000000000L
 
-  /** Id shift for planted ANN near-neighbors — disjoint from every
-    * replica range (replicas top out below 10 * KeyOffset).
+  /** Id shift for planted ANN near-neighbors. Sits BETWEEN the base id
+    * range (< ~1e7) and the first replica shift (KeyOffset = 1e9):
+    * replicas are themselves rounded-cosine-1.000000 neighbors of
+    * their original (the +1e-4 first-coordinate nudge is a ~1e-5
+    * radian rotation), so the deterministic rank tie-break
+    * (cos DESC, cand_id ASC) decides among the near-dup clique — the
+    * planted id must sort BEFORE the replica ids or it can never
+    * enter top-k regardless of how near it is.
     */
-  val PlantOffset: Long = 20000000000L
+  val PlantOffset: Long = 500000000L
 
   /** How many ANN query vectors get a planted near-duplicate. Matches
     * the nQueries=10 the q_ann_* queries use.
@@ -109,11 +115,14 @@ object ScaleUp {
       .withColumn("vec_id", col("vec_id") + lit(PlantOffset))
       .withColumn(
         "embedding",
-        // per-coordinate relative scaling <= 5e-4 — a tiny deterministic
-        // rotation, not a pure rescale (which cosine would ignore)
+        // per-coordinate relative scaling <= 1e-5 — a deterministic
+        // rotation (pure rescale would be cosine-invariant) SMALLER
+        // than the replica nudge, so the planted copy is the true
+        // nearest neighbor; 1e-5 relative still survives fp32's
+        // ~1.2e-7 relative resolution
         expr(
           "transform(embedding, (x, i) -> " +
-            "CAST(x * (1.0 + 0.0005 * sin(CAST(i AS DOUBLE))) AS FLOAT))"
+            "CAST(x * (1.0 + 0.00001 * sin(CAST(i AS DOUBLE))) AS FLOAT))"
         )
       )
     write(

@@ -16,23 +16,32 @@ package graft
   *      mechanism assertion, written to SCALECHECK_sf1.json
   *
   * Usage: runMain graft.VerifySf1 [srcDir] [sf1Dir] [outDir] [jsonOut]
+  *                                [--gates-only] [--rescale]
+  * `--rescale` forces probe regeneration (after a ScaleUp fixture
+  * change); `--gates-only` skips the Verify+DuckDB phase and re-runs
+  * just the scale gates (iteration path — the committed
+  * CORRECTNESS_sf1.json stays whatever the last full run wrote).
   * Exits nonzero if any oracle-checked query or scale gate fails.
   */
 object VerifySf1 {
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val sf1 = args.lift(1).getOrElse("/tmp/graft_sf1")
-    val out = args.lift(2).getOrElse("/tmp/verify_sf1")
-    val json = args.lift(3).getOrElse("CORRECTNESS_sf1.json")
-    if (!new java.io.File(s"$sf1/lineitem.parquet").exists())
+    val flags = args.filter(_.startsWith("--")).toSet
+    val pos = args.filterNot(_.startsWith("--"))
+    val src = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val sf1 = pos.lift(1).getOrElse("/tmp/graft_sf1")
+    val out = pos.lift(2).getOrElse("/tmp/verify_sf1")
+    val json = pos.lift(3).getOrElse("CORRECTNESS_sf1.json")
+    if (flags("--rescale") || !new java.io.File(s"$sf1/lineitem.parquet").exists())
       ScaleUp.main(Array(src, sf1))
     else
       println(s"[verify-sf1] reusing existing probe at $sf1")
-    Verify.run(sf1, out, only = Set.empty,
-      cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
-    val rc = new ProcessBuilder(
-      "python3", "tools/check.py", sf1, out, "--json", json)
-      .inheritIO().start().waitFor()
+    val rc = if (flags("--gates-only")) 0 else {
+      Verify.run(sf1, out, only = Set.empty,
+        cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      new ProcessBuilder(
+        "python3", "tools/check.py", sf1, out, "--json", json)
+        .inheritIO().start().waitFor()
+    }
 
     val spark = Engine.session(
       "graft-sf1-gates",

@@ -980,6 +980,47 @@ object FlagshipQueries extends QueryModule {
           FROM per_part)
         WHERE rnk <= 3
       """)
+    ),
+    // TPC-DS Q31-ish shape — period-over-period ratio on an aggregate:
+    // revenue per nation x order-year, each year's ratio to the
+    // previous year via lag() over the aggregated relation (the
+    // self-join-on-consecutive-periods shape, expressed as the window
+    // Catalyst turns it into). Ratio numerator/denominator are exact
+    // integer-valued cent totals, so both engines divide identical
+    // operands.
+    QueryDef(
+      "q_flagship_ds_yoy",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val perYear = t.orders
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(Money.sumWideUnits(Money.cents(col("o_totalprice"))).as("units"))
+        val w = Window.partitionBy(col("n_name")).orderBy(col("yr"))
+        perYear
+          .withColumn("prev_units", lag(col("units"), 1).over(w))
+          .select(
+            col("n_name"),
+            col("yr"),
+            (col("units") / 100.0).as("revenue"),
+            round(col("units") / col("prev_units"), 6).as("yoy")
+          )
+      },
+      Some(s"""
+        WITH per_year AS (
+          SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 ${Money.sumWideUnitsSql(Money.centsSql("o_totalprice"))} AS units
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+        )
+        SELECT n_name, yr, units / 100.0 AS revenue,
+               round(units / lag(units, 1) OVER (PARTITION BY n_name ORDER BY yr), 6)
+                 AS yoy
+        FROM per_year
+      """)
     )
   )
 }

@@ -120,6 +120,30 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(badKey.getMessage.contains("other_key"))
   }
 
+  test("streaming path: SQL text carries partials across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = graft.streaming.MatchRecognize
+      .detectStream(in.toDS(), """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (E1 E2) WITHIN INTERVAL '30' MINUTE
+        DEFINE E1 AS event_type = 'error', E2 AS event_type = 'error')""")
+      .writeStream.format("memory").queryName("mr_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1, ts(0), 7, "error", 0.0)) // partial only
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM mr_out").count() == 0)
+      in.addData(Event(2, ts(5), 7, "error", 0.0)) // completes across batches
+      q.processAllAvailable()
+      val m = spark.sql("SELECT event_ids FROM mr_out").collect()
+      assert(m.length == 1 && m(0).getSeq[Long](0) == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("distributed path: SQL text equals the Scala API on real data") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
