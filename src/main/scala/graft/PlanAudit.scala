@@ -54,12 +54,12 @@ object PlanAudit {
       "q_subquery_scalar"
     )
     // Plans with no parquet scan at all (inline VALUES, JDBC/Derby,
-    // SequenceFile via RDD bridge, the iterations driver loop whose
-    // final plan is the accumulated in-memory frontier) — exempt from
-    // scan/codegen checks.
+    // SequenceFile via RDD bridge, the iterations driver loops whose
+    // final plan is a localCheckpoint of the converged frontier/labels)
+    // — exempt from scan/codegen checks.
     val nonParquet = Set(
       "q_values_inline", "q_source_jdbc_roundtrip", "q_source_sequencefile_roundtrip",
-      "q_iterations_reachability"
+      "q_iterations_reachability", "q_dedup_clusters"
     )
 
     var failures = 0
