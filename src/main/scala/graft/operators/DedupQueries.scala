@@ -218,8 +218,8 @@ object DedupQueries extends QueryModule {
           )
       },
       Some(s"""
-        WITH RECURSIVE pairs AS ($jaccardOracle),
-        edges AS (
+        WITH RECURSIVE pairs AS MATERIALIZED ($jaccardOracle),
+        edges AS MATERIALIZED (
           SELECT d1 AS src, d2 AS dst FROM pairs
           UNION ALL
           SELECT d2 AS src, d1 AS dst FROM pairs
