@@ -233,8 +233,141 @@ object DedupQueries extends QueryModule {
                (vertex = min(node)) AS keep
         FROM reach GROUP BY vertex
       """)
+    ),
+    // Span-level dedup (the C4 / RefinedWeb shape): chunk every
+    // document into fixed 20-word spans, keep only each span's first
+    // occurrence corpus-wide ((doc_id, span_idx)-minimal), and
+    // reassemble the surviving spans in document order. Scale design:
+    // the keep/drop decision is a groupBy(span) min-struct aggregate —
+    // map-side partials collapse a hot boilerplate span to one row per
+    // mapper, unlike a row_number() window which would funnel every
+    // occurrence of the hot span into a single task — followed by a
+    // span-equi join back (AQE splits it if a span is genuinely hot).
+    // Reassembly is one groupBy(doc_id) of sorted kept structs.
+    QueryDef(
+      "q_dedup_spans",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val k = SpanWords
+        val spans = t.documents
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(
+            col("doc_id"),
+            posexplode(
+              transform(
+                sequence(
+                  lit(0),
+                  ceil(size(col("w")) / lit(k.toDouble)).cast("int") - 1
+                ),
+                i => array_join(slice(col("w"), i * k + 1, lit(k)), " ")
+              )
+            ).as(Seq("span_idx", "span"))
+          )
+        val firsts = spans
+          .groupBy(col("span"))
+          .agg(min(struct(col("doc_id"), col("span_idx"))).as("first_occ"))
+        spans
+          .join(firsts, Seq("span"))
+          .withColumn(
+            "keep",
+            col("doc_id") === col("first_occ.doc_id") &&
+              col("span_idx") === col("first_occ.span_idx")
+          )
+          .groupBy(col("doc_id"))
+          .agg(
+            count(when(col("keep"), 1)).as("spans_kept"),
+            count(when(!col("keep"), 1)).as("spans_dropped"),
+            coalesce(
+              array_join(
+                transform(
+                  array_sort(
+                    collect_list(
+                      when(
+                        col("keep"),
+                        struct(col("span_idx").as("i"), col("span").as("s"))
+                      )
+                    )
+                  ),
+                  x => x.getField("s")
+                ),
+                " "
+              ),
+              lit("")
+            ).as("text_dedup")
+          )
+      },
+      Some(s"""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        spans AS (
+          SELECT doc_id, u.i AS span_idx, u.s AS span FROM (
+            SELECT doc_id,
+                   unnest([{'i': i, 's': array_to_string(w[(i*$SpanWords+1):(i*$SpanWords+$SpanWords)], ' ')}
+                           for i in range(0, cast(ceil(len(w)/$SpanWords.0) AS BIGINT))]) AS u
+            FROM words)
+        ),
+        marked AS (
+          SELECT doc_id, span_idx, span,
+                 row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1 AS keep
+          FROM spans
+        )
+        SELECT doc_id,
+               count(*) FILTER (WHERE keep) AS spans_kept,
+               count(*) FILTER (WHERE NOT keep) AS spans_dropped,
+               coalesce(array_to_string(list(span ORDER BY span_idx) FILTER (WHERE keep), ' '), '') AS text_dedup
+        FROM marked GROUP BY doc_id
+      """)
+    ),
+    // Boilerplate-span census: the per-span view of the same chunking —
+    // spans recurring across >= 2 distinct documents, with occurrence
+    // and document counts. On a real crawl this is the navigation/
+    // cookie-banner detector whose output feeds a frequency-threshold
+    // strip; here the recurring spans are the planted near-duplicates.
+    // One groupBy(span) with map-side partials; count(DISTINCT doc_id)
+    // expands per-key, not per-corpus.
+    QueryDef(
+      "q_boilerplate_spans",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val k = SpanWords
+        t.documents
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(
+            col("doc_id"),
+            explode(
+              transform(
+                sequence(
+                  lit(0),
+                  ceil(size(col("w")) / lit(k.toDouble)).cast("int") - 1
+                ),
+                i => array_join(slice(col("w"), i * k + 1, lit(k)), " ")
+              )
+            ).as("span")
+          )
+          .groupBy(col("span"))
+          .agg(
+            count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("first_doc")
+          )
+          .filter(col("n_docs") >= 2)
+      },
+      Some(s"""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        spans AS (
+          SELECT doc_id,
+                 unnest([array_to_string(w[(i*$SpanWords+1):(i*$SpanWords+$SpanWords)], ' ')
+                         for i in range(0, cast(ceil(len(w)/$SpanWords.0) AS BIGINT))]) AS span
+          FROM words
+        )
+        SELECT span, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+      """)
     )
   )
+
+  /** Span width (words) for q_dedup_spans / q_boilerplate_spans. */
+  private val SpanWords = 20
 }
 
 /** MinHash + banded LSH. The signature is the native
