@@ -12,6 +12,12 @@ columns, exact value equality (what a hash compare would see).
 (name -> rows_match/schema_match/hash_match/spark_rows/oracle_rows/err)
 so repeatable gates (graft.VerifySf1) can commit the evidence.
 Exit code is 1 if any oracle-checked query fails.
+
+--only a,b,c restricts the compare to the named queries (skips both
+the dump scan and the missing-output sweep for everything else); with
+--json, existing entries for OTHER queries in OUT.json are preserved
+(read-modify-write merge) so an incremental re-check of a few queries
+extends prior evidence instead of clobbering it.
 """
 import sys, json, glob, os
 import duckdb
@@ -38,6 +44,9 @@ def main():
     json_out = None
     if "--json" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json") + 1]
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is one flat file per table; our ScaleUp
@@ -57,7 +66,7 @@ def main():
                       "oracle_rows": oracle_rows, "err": err}
     for name in sorted(os.listdir(outdir)):
         path = os.path.join(outdir, name)
-        if not os.path.isdir(path):
+        if not os.path.isdir(path) or (only is not None and name not in only):
             continue
         got = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
         if name not in oracles:
@@ -120,7 +129,8 @@ def main():
                    spark_rows=len(g), oracle_rows=len(e))
     # an oracle whose query produced no dump (the builder failed and
     # cleaned up) must fail loudly, not vanish from the report
-    for name in sorted(set(oracles) - set(results)):
+    for name in sorted((set(oracles) if only is None else set(only) & set(oracles))
+                       - set(results)):
         results[name] = "MISSING_OUTPUT query produced no parquet dump"
         record(name, rows_match=False, schema_match=False, hash_match=False,
                err="missing_output")
@@ -132,6 +142,11 @@ def main():
         print(f"[{flag}] {k}: {v[:400]}")
     print(f"== {npass}/{len([v for v in results.values() if not v.startswith('ROWS_ONLY')])} oracle-checked queries pass")
     if json_out:
+        if only is not None and os.path.exists(json_out):
+            with open(json_out) as f:
+                prior = json.load(f)
+            prior.update(jout)
+            jout = prior
         with open(json_out, "w") as f:
             json.dump(jout, f, indent=1, sort_keys=True)
         print(f"== wrote {json_out}")
