@@ -373,6 +373,124 @@ object PipelineQueries extends QueryModule {
                          WHEN lang = 'de' THEN 2 ELSE 3 END)) AS INT) AS epoch
         FROM documents
       """)
+    ),
+    // End-to-end corpus-prep funnel: the composite every real pipeline
+    // ships — language allowlist → quality threshold → repetition
+    // filter → exact dedup, with per-stage survivor accounting (the
+    // "funnel report" that tells you which filter ate your corpus).
+    // The dedup stage keys on the document's first 20-word span (the
+    // prefix-dedup proxy crawl pipelines use: it catches exact copies
+    // AND same-head-different-tail rewraps, and the key is O(1) per
+    // doc instead of hashing the whole body).
+    // One pass computes all per-row stage flags (scan-local), the dedup
+    // winner is a groupBy(content_hash) min + left join back (the only
+    // shuffle), and the report is a single aggregate row exploded into
+    // one row per stage — no driver-side loop, no repeated scans of the
+    // corpus per stage.
+    QueryDef(
+      "q_corpus_funnel",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = split(col("text"), " ")
+        val nWords = size(words).cast("double")
+        val nUniq = size(array_distinct(words)).cast("double")
+        val nStop = size(
+          filter(words, w => w.isin("the", "a", "of", "and"))
+        ).cast("double")
+        // stage predicates are the SAME expressions as q_text_quality /
+        // q_text_repetition — the funnel composes, it doesn't redefine
+        val quality = round(
+          lit(0.4) * least(nWords / lit(50.0), lit(1.0)) +
+            lit(0.4) * (nUniq / nWords) + lit(0.2) * (nStop / nWords),
+          6)
+        val dupRatio = round(lit(1.0) - nUniq / size(words), 6)
+        val flagged = t.documents
+          .select(
+            col("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 20), " ")
+              .as("dedup_key"),
+            col("lang").isin("en", "de", "fr").as("f_lang"),
+            (quality >= 0.35).as("f_quality"),
+            (dupRatio < 0.6).as("f_rep")
+          )
+          .withColumn("s1", col("f_lang"))
+          .withColumn("s2", col("f_lang") && col("f_quality"))
+          .withColumn("s3", col("f_lang") && col("f_quality") && col("f_rep"))
+        val winners = flagged
+          .filter(col("s3"))
+          .groupBy(col("dedup_key"))
+          .agg(min(col("doc_id")).as("keeper"))
+        val agg = flagged
+          .join(winners, Seq("dedup_key"), "left")
+          .withColumn("s4", col("s3") && col("doc_id") === col("keeper"))
+          .agg(
+            count(lit(1)).as("n0"),
+            count(when(col("s1"), 1)).as("n1"),
+            count(when(col("s2"), 1)).as("n2"),
+            count(when(col("s3"), 1)).as("n3"),
+            count(when(col("s4"), 1)).as("n4")
+          )
+        agg
+          .select(
+            explode(
+              array(
+                struct(lit(1).as("stage"), lit("lang_allowlist").as("filter_name"),
+                  col("n0").as("docs_in"), col("n1").as("docs_out")),
+                struct(lit(2).as("stage"), lit("quality").as("filter_name"),
+                  col("n1").as("docs_in"), col("n2").as("docs_out")),
+                struct(lit(3).as("stage"), lit("repetition").as("filter_name"),
+                  col("n2").as("docs_in"), col("n3").as("docs_out")),
+                struct(lit(4).as("stage"), lit("head_dedup").as("filter_name"),
+                  col("n3").as("docs_in"), col("n4").as("docs_out"))
+              )
+            ).as("r")
+          )
+          .select(
+            col("r.stage").as("stage"),
+            col("r.filter_name").as("filter_name"),
+            col("r.docs_in").as("docs_in"),
+            col("r.docs_out").as("docs_out"),
+            (col("r.docs_in") - col("r.docs_out")).as("docs_dropped")
+          )
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 array_to_string(string_split(text, ' ')[1:20], ' ') AS dedup_key,
+                 lang IN ('en', 'de', 'fr') AS f_lang,
+                 round(0.4 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+                       + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                       + 0.2 * (CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and')) AS DOUBLE)
+                                / CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) >= 0.35
+                   AS f_quality,
+                 round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')), 6) < 0.6 AS f_rep
+          FROM documents
+        ),
+        st AS (
+          SELECT doc_id, dedup_key, f_lang AS s1,
+                 f_lang AND f_quality AS s2,
+                 f_lang AND f_quality AND f_rep AS s3
+          FROM f
+        ),
+        w AS (SELECT dedup_key, min(doc_id) AS keeper
+              FROM st WHERE s3 GROUP BY 1),
+        m AS (SELECT st.*, s3 AND st.doc_id = w.keeper AS s4
+              FROM st LEFT JOIN w USING (dedup_key)),
+        c AS (SELECT count(*) AS n0,
+                     count(*) FILTER (WHERE s1) AS n1,
+                     count(*) FILTER (WHERE s2) AS n2,
+                     count(*) FILTER (WHERE s3) AS n3,
+                     count(*) FILTER (WHERE s4) AS n4
+              FROM m)
+        SELECT 1 AS stage, 'lang_allowlist' AS filter_name,
+               n0 AS docs_in, n1 AS docs_out, n0 - n1 AS docs_dropped FROM c
+        UNION ALL SELECT 2, 'quality', n1, n2, n1 - n2 FROM c
+        UNION ALL SELECT 3, 'repetition', n2, n3, n2 - n3 FROM c
+        UNION ALL SELECT 4, 'head_dedup', n3, n4, n3 - n4 FROM c
+      """)
     )
   )
 }
