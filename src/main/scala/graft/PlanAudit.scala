@@ -26,8 +26,9 @@ object PlanAudit {
     val crossAllowed = Set(
       "q_join_static_contains", "q_join_cross", "q_ann_brute_force", "q_ann_lsh",
       "q_flagship_idle_customers", "q_ann_ivf",
-      // 1-row broadcast scalar subqueries (threshold / max)
-      "q_flagship_important_stock", "q_flagship_top_supplier"
+      // 1-row broadcast scalar subqueries (threshold / max / corpus total)
+      "q_flagship_important_stock", "q_flagship_top_supplier",
+      "q_text_unigram_logprob"
     )
     // Queries whose predicates MUST reach the parquet scan — every
     // selective filter over a base-table column. A regression here

@@ -340,6 +340,58 @@ object TextQueries extends QueryModule {
         )
         WHERE rn = 1 AND length(text) >= 200 AND len(string_split(text, ' ')) >= 30
       """)
+    ),
+    // Unigram log-prob scoring (the CCNet-style perplexity-proxy
+    // filter): build the corpus unigram distribution, score each doc by
+    // its mean negative log-likelihood, keep low-perplexity docs. Two
+    // aggregations end-to-end: vocab build (map-side partials absorb
+    // Zipf skew — the hottest word collapses per-mapper), then a
+    // word-equi join back (vocab is Zipf-bounded: broadcast here, hash
+    // join at 100 TB with AQE) + the 1-row corpus total broadcast, then
+    // one groupBy(doc). No per-doc vocabulary lookup tables on the
+    // driver. round(·,4) before the verdict so both engines threshold
+    // the identical value (fp summation order differs).
+    QueryDef(
+      "q_text_unigram_logprob",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = t.documents.select(
+          col("doc_id"),
+          explode(split(col("text"), " ")).as("word")
+        )
+        val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+        val total = vocab.agg(sum(col("c")).as("n"))
+        words
+          .join(vocab, Seq("word"))
+          .crossJoin(broadcast(total))
+          .select(
+            col("doc_id"),
+            -log(col("c").cast("double") / col("n").cast("double"))
+          )
+          .toDF("doc_id", "nll")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll")
+          )
+          .withColumn("keep", col("avg_nll") < 3.41)
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        vocab AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+        tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab),
+        scored AS (
+          SELECT w.doc_id,
+                 -ln(CAST(vocab.c AS DOUBLE) / (SELECT n FROM tot)) AS nll
+          FROM w JOIN vocab USING (word)
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               round(sum(nll) / count(*), 4) AS avg_nll,
+               round(sum(nll) / count(*), 4) < 3.41 AS keep
+        FROM scored GROUP BY doc_id
+      """)
     )
   )
 }
