@@ -546,6 +546,71 @@ object CepQueries extends QueryModule {
         JOIN o f  ON f.user_id = r.user_id AND f.rn = r.srn
         JOIN o nx ON nx.user_id = r.user_id AND nx.rn = r.ern + 1
       """)
+    ),
+    // The burst pattern with a MEASURES clause: per-variable FIRST /
+    // COUNT / AVG / MIN over the loop variable plus LAST over the
+    // recovery row — computed from the NFA's per-step labels
+    // (Match.step_names) as collection expressions, one event_id join
+    // + one per-match groupBy (MatchRecognize.withMeasures). AVG is
+    // rounded to 4dp on both sides (fp summation order).
+    QueryDef(
+      "q_cep_sql_measures",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatchWithMeasures(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              MEASURES FIRST(E.event_id) AS first_err,
+                       COUNT(E.*) AS n_errors,
+                       AVG(E.value) AS avg_err_value,
+                       MIN(E.value) AS min_err_value,
+                       LAST(R.event_id) AS recovery_id
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (E+ R)
+              DEFINE E AS event_type = 'error',
+                     R AS event_type <> 'error'
+            )
+          """)
+          .select(
+            col("key").as("user_id"),
+            col("first_err"),
+            col("n_errors"),
+            round(col("avg_err_value"), 4).as("avg_err_value"),
+            col("min_err_value"),
+            col("recovery_id")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        err AS (
+          SELECT user_id, event_id, value, rn,
+                 rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM o WHERE event_type = 'error'
+        ),
+        runs AS (
+          SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern,
+                 CAST(count(*) AS BIGINT) AS n_errors,
+                 round(avg(value), 4) AS avg_err_value,
+                 min(value) AS min_err_value
+          FROM err GROUP BY user_id, grp
+        )
+        SELECT r.user_id, f.event_id AS first_err, r.n_errors,
+               r.avg_err_value, r.min_err_value,
+               nx.event_id AS recovery_id
+        FROM runs r
+        JOIN o f  ON f.user_id = r.user_id AND f.rn = r.srn
+        JOIN o nx ON nx.user_id = r.user_id AND nx.rn = r.ern + 1
+      """)
     )
   )
 }

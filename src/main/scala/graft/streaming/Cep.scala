@@ -173,10 +173,12 @@ object Cep {
       lastTs: Long,
       startSeq: Long,
       lastSeq: Long,
-      eventIds: Seq[Long]
+      eventIds: Seq[Long],
+      labels: Seq[String]
   )
   final case class NfaState(partials: Seq[PartialMatch], nextSeq: Long)
-  final case class Match(key: Long, start_ts: Long, end_ts: Long, event_ids: Seq[Long])
+  final case class Match(key: Long, start_ts: Long, end_ts: Long, event_ids: Seq[Long],
+      step_names: Seq[String])
 
   private final case class Emit(startSeq: Long, lastSeq: Long, m: Match)
 
@@ -219,7 +221,7 @@ object Cep {
     // its maximal match now; reluctant loops already emitted per length
     def retirementEmit(p: PartialMatch): Option[Emit] =
       if (p.inLoop && p.stepIdx < n && steps(p.stepIdx).greedy && completable(p))
-        Some(Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds)))
+        Some(Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds, p.labels)))
       else None
 
     def negationPending(p: PartialMatch): Boolean =
@@ -231,7 +233,7 @@ object Cep {
     // consumed event
     def negationExpiryEmit(p: PartialMatch): Option[Emit] =
       if (negationPending(p) && closure(p.stepIdx + 1, false).exists(_._1 == n))
-        Some(Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds)))
+        Some(Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds, p.labels)))
       else None
 
     /** Try to consume `e` from partial `p`. Returns (consumed,
@@ -257,9 +259,11 @@ object Cep {
           !(steps(i).oneOrMore && untilHit(i, e))) {
           consumed = true
           val ids = p.eventIds :+ e.event_id
+          val labs = p.labels :+ steps(i).name
           if (steps(i).oneOrMore) {
             val looping =
-              p.copy(stepIdx = i, inLoop = true, lastTs = ts, lastSeq = s, eventIds = ids)
+              p.copy(stepIdx = i, inLoop = true, lastTs = ts, lastSeq = s,
+                eventIds = ids, labels = labs)
             succ += looping
             // allowCombinations: between iterations the loop may also
             // SKIP this matching event and take a later one — keep a
@@ -270,12 +274,13 @@ object Cep {
             // reluctant loop that can already exit to the accept state
             // emits at this length too
             if (!steps(i).greedy && closure(i, true).exists(_._1 == n))
-              emits += Emit(p.startSeq, s, Match(key, p.startTs, ts, ids))
+              emits += Emit(p.startSeq, s, Match(key, p.startTs, ts, ids, labs))
           } else {
             val next =
-              p.copy(stepIdx = i + 1, inLoop = false, lastTs = ts, lastSeq = s, eventIds = ids)
+              p.copy(stepIdx = i + 1, inLoop = false, lastTs = ts, lastSeq = s,
+                eventIds = ids, labels = labs)
             if (closure(i + 1, false).exists(_._1 == n))
-              emits += Emit(p.startSeq, s, Match(key, p.startTs, ts, ids))
+              emits += Emit(p.startSeq, s, Match(key, p.startTs, ts, ids, labs))
             if (i + 1 < n) succ += next
             // followedByAny: the take did not consume the ignore edge —
             // keep a branch pinned AT this step (epsilon moves already
@@ -317,7 +322,7 @@ object Cep {
             // continuation (error notNext(x) next(b): b checks the very
             // event that cleared the notNext).
             if (closure(i + 1, false).exists(_._1 == n))
-              emitsB += Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds))
+              emitsB += Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds, p.labels))
             if (i + 1 < n) {
               val p2 = p.copy(stepIdx = i + 1)
               val (consumed2, succ2, emits2) = consume(p2, e, ts, s)
@@ -362,7 +367,7 @@ object Cep {
       }
 
       // can this event start a new partial?
-      val fresh = PartialMatch(0, inLoop = false, ts, ts, s, s, Seq.empty)
+      val fresh = PartialMatch(0, inLoop = false, ts, ts, s, s, Seq.empty, Seq.empty)
       val (startedHere, freshSucc, freshEmits) = consume(fresh, e, ts, s)
       emitsB ++= freshEmits
       var pending = nextPartials.result()
@@ -499,7 +504,7 @@ object Cep {
           && completableFrom(p.stepIdx, p.inLoop)) ||
         (p.stepIdx < n && steps(p.stepIdx).negated
           && completableFrom(p.stepIdx + 1, false)))
-      .map(p => Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds)))
+      .map(p => Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds, p.labels)))
       .sortBy(em => (em.startSeq, em.lastSeq))
     pattern.skip match {
       case NoSkip => emits.map(_.m)

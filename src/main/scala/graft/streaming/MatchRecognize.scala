@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.streaming.StreamingOps.Event
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, InterpretedPredicate}
@@ -43,8 +44,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    compiled by Spark's own SQL parser + analyzer (so type coercion,
   *    function library and null semantics are exactly Spark SQL's) and
   *    evaluated as an interpreted Catalyst predicate per event.
-  *    PREV/NEXT/FIRST/LAST navigation and MEASURES aggregates are out
-  *    of scope — the Scala API's richer combinators cover those shapes.
+  *    PREV/NEXT navigation inside DEFINE is out of scope — the Scala
+  *    API's richer combinators cover those shapes.
+  *  - MEASURES: FIRST/LAST/COUNT/SUM/AVG/MIN/MAX over `VAR.column`
+  *    (see [[parseMeasures]]/[[withMeasures]]): the NFA emits the
+  *    per-step label of every matched row (`Match.step_names`), and
+  *    each measure compiles to a collection expression over the
+  *    label-filtered, row-ordered match — no second pattern pass.
   *
   * Output is the NFA's match relation (key, start_ts, end_ts,
   * event_ids) — ONE ROW PER MATCH semantics with the matched row ids,
@@ -242,4 +248,122 @@ object MatchRecognize {
   /** Streaming form — same parse, the NFA's keyed-state path. */
   def detectStream(events: Dataset[Event], sql: String): Dataset[Cep.Match] =
     Cep.detectStream(events, parse(events.sparkSession, sql))
+
+  // ---- MEASURES -------------------------------------------------------
+
+  /** One MEASURES item: FUNC(VAR.col) AS alias. */
+  final case class Measure(func: String, variable: String, column: String,
+      alias: String)
+
+  private val measureItemRe =
+    raw"(?is)^(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\.(\*|[A-Za-z_][A-Za-z_0-9]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z_0-9]*)$$".r
+
+  /** Parse the MEASURES clause (empty if absent). Subset: FIRST / LAST
+    * / COUNT / SUM / AVG / MIN / MAX over `VAR.column` (COUNT also
+    * takes `VAR.*`) — the SQL-standard running/final distinction
+    * collapses because graft emits ONE ROW PER MATCH, where every
+    * measure is final (reference semantics: StreamExecMatch.java
+    * MEASURES on the match relation).
+    */
+  def parseMeasures(sql: String): Seq[Measure] = {
+    val body = balancedBody(sql, "MATCH_RECOGNIZE")
+    val at = raw"(?is)\bMEASURES\b".r.findFirstMatchIn(body) match {
+      case Some(m) => m.end
+      case None => return Seq.empty
+    }
+    val end = raw"(?is)\b(AFTER\s+MATCH|PATTERN|ONE\s+ROW|WITHIN)\b".r
+      .findFirstMatchIn(body.substring(at))
+      .map(_.start + at)
+      .getOrElse(body.length)
+    splitTopLevel(body.substring(at, end)).map { item =>
+      measureItemRe.findFirstMatchIn(item) match {
+        case Some(m) =>
+          Measure(m.group(1).toUpperCase, m.group(2).toUpperCase,
+            m.group(3).toLowerCase, m.group(4))
+        case None => throw new IllegalArgumentException(
+          s"unsupported MEASURES item (subset is FUNC(VAR.col) AS alias): $item")
+      }
+    }
+  }
+
+  /** Compute MEASURES over a match relation: one equi join of the
+    * exploded (event_id, step_name) pairs back to the events, one
+    * groupBy per match collecting the row-ordered (pos, label, fields)
+    * structs, then each measure is a pure collection expression over
+    * that array — FIRST/LAST by position, COUNT/SUM/AVG/MIN/MAX over
+    * the variable's rows. No driver state; the shuffle keys are
+    * event_id (join) and the match id (re-group), both well-spread.
+    */
+  def withMeasures(
+      matches: DataFrame,
+      events: DataFrame,
+      measures: Seq[Measure]
+  ): DataFrame = {
+    import org.apache.spark.sql.Column
+    require(measures.nonEmpty, "MEASURES clause is empty")
+    val m = matches.withColumn("__mid", monotonically_increasing_id())
+    val ex = m
+      .select(
+        col("__mid"), col("key"), col("start_ts"), col("end_ts"),
+        posexplode(arrays_zip(col("event_ids"), col("step_names")))
+          .as(Seq("__pos", "__z"))
+      )
+      .select(
+        col("__mid"), col("key"), col("start_ts"), col("end_ts"),
+        col("__pos"),
+        col("__z.event_ids").as("__eid"),
+        col("__z.step_names").as("__lab")
+      )
+    val ev = events.select(
+      col("event_id").as("__eid"),
+      col("ts").as("__ts"),
+      col("event_type").as("__etype"),
+      col("value").as("__value")
+    )
+    val grouped = ex
+      .join(ev, Seq("__eid"))
+      .groupBy(col("__mid"), col("key"), col("start_ts"), col("end_ts"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("__pos"), col("__lab"), col("__eid"), col("__ts"),
+          col("__etype"), col("__value")
+        ))).as("__arr")
+      )
+    def fieldOf(x: Column, c: String): Column = c match {
+      case "event_id" => x.getField("__eid")
+      case "ts" => x.getField("__ts")
+      case "event_type" => x.getField("__etype")
+      case "value" => x.getField("__value")
+      case other => throw new IllegalArgumentException(
+        s"unknown event column in MEASURES: $other")
+    }
+    val cols = measures.map { ms =>
+      val rows = filter(col("__arr"), x => x.getField("__lab") === ms.variable)
+      def vals = transform(rows, x => fieldOf(x, ms.column))
+      def nums = transform(rows, x => fieldOf(x, ms.column).cast("double"))
+      val c = ms.func match {
+        case "FIRST" => element_at(vals, 1)
+        case "LAST" => element_at(vals, -1)
+        case "COUNT" => size(rows).cast("long")
+        case "SUM" => aggregate(nums, lit(0.0), (acc, x) => acc + x)
+        case "AVG" =>
+          aggregate(nums, lit(0.0), (acc, x) => acc + x) / size(rows)
+        case "MIN" => array_min(vals)
+        case "MAX" => array_max(vals)
+      }
+      c.as(ms.alias)
+    }
+    grouped.select(
+      col("key") +: col("start_ts") +: col("end_ts") +: cols: _*)
+  }
+
+  /** Run a MATCH_RECOGNIZE text with a MEASURES clause over a batch of
+    * events: one row per match with (key, start_ts, end_ts) plus the
+    * measure columns.
+    */
+  def detectBatchWithMeasures(events: Dataset[Event], sql: String): DataFrame =
+    withMeasures(
+      detectBatch(events, sql).toDF(),
+      events.toDF(),
+      parseMeasures(sql))
 }

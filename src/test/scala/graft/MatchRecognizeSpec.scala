@@ -167,4 +167,62 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(viaSql == viaApi)
     assert(viaSql.nonEmpty)
   }
+
+  test("MEASURES: per-variable FIRST/LAST/COUNT/SUM/AVG/MIN/MAX on a known burst") {
+    import spark.implicits._
+    // user 9: error(2.0) error(4.0) error(6.0) ok(9.0) — one E+ R match
+    val events = Seq(
+      Event(1, ts(0), 9, "error", 2.0),
+      Event(2, ts(1), 9, "error", 4.0),
+      Event(3, ts(2), 9, "error", 6.0),
+      Event(4, ts(3), 9, "ok", 9.0)
+    ).toDS()
+    val out = MatchRecognize.detectBatchWithMeasures(events, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(E.value) AS fv, LAST(E.value) AS lv,
+                 COUNT(E.*) AS ne, SUM(E.value) AS sv, AVG(E.value) AS av,
+                 MIN(E.value) AS mn, MAX(E.value) AS mx,
+                 FIRST(R.event_id) AS rid
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (E+ R)
+        DEFINE E AS event_type = 'error', R AS event_type <> 'error')""")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("fv") == 2.0 && r.getAs[Double]("lv") == 6.0)
+    assert(r.getAs[Long]("ne") == 3L)
+    assert(r.getAs[Double]("sv") == 12.0 && r.getAs[Double]("av") == 4.0)
+    assert(r.getAs[Double]("mn") == 2.0 && r.getAs[Double]("mx") == 6.0)
+    assert(r.getAs[Long]("rid") == 4L)
+  }
+
+  test("MEASURES: unsupported items are rejected, absent clause is empty") {
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parseMeasures(
+        "MATCH_RECOGNIZE (MEASURES PREV(A.value) AS x PATTERN (A))")
+    }
+    assert(MatchRecognize.parseMeasures(
+      "MATCH_RECOGNIZE (PATTERN (A) DEFINE A AS value > 0)").isEmpty)
+  }
+
+  test("step_names label every matched row with its pattern variable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val events = Engine.Tables(spark, "/root/testdata/sf0.001").events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+    val ms = MatchRecognize.detectBatch(events, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (E+ R)
+        DEFINE E AS event_type = 'error', R AS event_type <> 'error')""")
+      .select(col("event_ids"), col("step_names")).collect()
+    assert(ms.nonEmpty)
+    ms.foreach { r =>
+      val ids = r.getSeq[Long](0)
+      val labs = r.getSeq[String](1)
+      assert(ids.length == labs.length)
+      assert(labs.init.forall(_ == "E") && labs.last == "R")
+    }
+  }
 }
