@@ -611,6 +611,64 @@ object CepQueries extends QueryModule {
         JOIN o f  ON f.user_id = r.user_id AND f.rn = r.srn
         JOIN o nx ON nx.user_id = r.user_id AND nx.rn = r.ern + 1
       """)
+    ),
+    // ALL ROWS PER MATCH output mode on the double-error pattern: one
+    // row per matched input row with CLASSIFIER() (the NFA step label)
+    // and per-partition MATCH_NUMBER(). SKIP TO NEXT ROW makes
+    // (start_ts, first event) unique per match, so the numbering and
+    // the oracle's row_number agree deterministically.
+    QueryDef(
+      "q_cep_sql_all_rows",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatchAllRows(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (E1 E2)
+              WITHIN INTERVAL '30' MINUTE
+              DEFINE E1 AS event_type = 'error',
+                     E2 AS event_type = 'error'
+            )
+          """)
+          .select(
+            col("key").as("user_id"),
+            col("match_no"),
+            col("row_in_match"),
+            col("event_id"),
+            col("classifier")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER w AS rn,
+                 lag(event_id) OVER w AS p_id,
+                 lag(event_type) OVER w AS p_type,
+                 lag(ts) OVER w AS p_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        m AS (
+          SELECT user_id, p_id AS m1, event_id AS m2,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                      ORDER BY rn) AS BIGINT) AS match_no
+          FROM o
+          WHERE event_type = 'error' AND p_type = 'error'
+            AND ts - p_ts <= INTERVAL 30 MINUTE
+        )
+        SELECT user_id, match_no,
+               CAST(u.r AS BIGINT) AS row_in_match,
+               CASE u.r WHEN 1 THEN m1 ELSE m2 END AS event_id,
+               CASE u.r WHEN 1 THEN 'E1' ELSE 'E2' END AS classifier
+        FROM m, unnest([1, 2]) AS u(r)
+      """)
     )
   )
 }

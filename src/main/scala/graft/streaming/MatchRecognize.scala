@@ -366,4 +366,36 @@ object MatchRecognize {
       detectBatch(events, sql).toDF(),
       events.toDF(),
       parseMeasures(sql))
+
+  /** ALL ROWS PER MATCH output mode (SQL-standard counterpart of the
+    * default ONE ROW PER MATCH): one output row per MATCHED INPUT ROW,
+    * carrying CLASSIFIER() (the row's pattern variable — the NFA's
+    * step label) and MATCH_NUMBER() (1-based per partition, in match
+    * order). match_number is a per-key window (keys are the partition
+    * column — well spread; no global ordering exists, matching the
+    * standard's per-partition numbering).
+    */
+  def detectBatchAllRows(events: Dataset[Event], sql: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = detectBatch(events, sql).toDF()
+    val w = Window
+      .partitionBy(col("key"))
+      .orderBy(
+        col("start_ts"), element_at(col("event_ids"), 1),
+        col("end_ts"), element_at(col("event_ids"), -1))
+    m.withColumn("match_no", row_number().over(w).cast("long"))
+      .select(
+        col("key"),
+        col("match_no"),
+        posexplode(arrays_zip(col("event_ids"), col("step_names")))
+          .as(Seq("__pos", "__z"))
+      )
+      .select(
+        col("key"),
+        col("match_no"),
+        (col("__pos") + 1).cast("long").as("row_in_match"),
+        col("__z.event_ids").as("event_id"),
+        col("__z.step_names").as("classifier")
+      )
+  }
 }
