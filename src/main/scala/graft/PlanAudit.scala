@@ -28,7 +28,7 @@ object PlanAudit {
       "q_flagship_idle_customers", "q_ann_ivf",
       // 1-row broadcast scalar subqueries (threshold / max / corpus total)
       "q_flagship_important_stock", "q_flagship_top_supplier",
-      "q_text_unigram_logprob"
+      "q_text_unigram_logprob", "q_corpus_card"
     )
     // Queries whose predicates MUST reach the parquet scan — every
     // selective filter over a base-table column. A regression here

@@ -491,6 +491,54 @@ object PipelineQueries extends QueryModule {
         UNION ALL SELECT 3, 'repetition', n2, n3, n2 - n3 FROM c
         UNION ALL SELECT 4, 'head_dedup', n3, n4, n3 - n4 FROM c
       """)
+    ),
+    // Corpus card: the per-(source, lang) mixture report a training run
+    // starts from — document/token counts, exact token-length
+    // percentiles, and each cell's share of the corpus token budget.
+    // One groupBy over the scan (map-side partials) plus a 1-row
+    // broadcast corpus total; the percentile state is per-group, never
+    // corpus-wide.
+    QueryDef(
+      "q_corpus_card",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val base = t.documents.select(
+          col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")
+        )
+        val grouped = base
+          .groupBy(col("source"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens"),
+            round(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+            round(expr("percentile(n_tokens, 0.95)"), 4).as("p95_tokens")
+          )
+        val total = base.agg(sum(col("n_tokens")).as("corpus_tokens"))
+        grouped
+          .crossJoin(broadcast(total))
+          .withColumn("token_share",
+            round(col("tokens") / col("corpus_tokens"), 6))
+          .drop("corpus_tokens")
+      },
+      Some("""
+        WITH b AS (
+          SELECT source, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        g AS (
+          SELECT source, lang, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                 round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+                 round(quantile_cont(n_tokens, 0.95), 4) AS p95_tokens
+          FROM b GROUP BY 1, 2
+        ),
+        t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS ct FROM b)
+        SELECT source, lang, n_docs, tokens, p50_tokens, p95_tokens,
+               round(tokens / (SELECT ct FROM t), 6) AS token_share
+        FROM g
+      """)
     )
   )
 }
