@@ -1021,6 +1021,39 @@ object FlagshipQueries extends QueryModule {
                  AS yoy
         FROM per_year
       """)
+    ),
+    // TPC-DS Q88-ish shape — multi-band census in ONE scan: eight
+    // conditional counts over disjoint quantity bands (each also
+    // discount-bounded), emitted as one row. The alternative — eight
+    // filtered subqueries — scans the fact table eight times; here the
+    // bands are conditional aggregates inside a single hash-agg, so at
+    // 100 TB the fact is read once and each band is a map-side partial.
+    QueryDef(
+      "q_flagship_ds_bands",
+      (s, dir) => {
+        val t = tables(s, dir)
+        def band(lo: Int, hi: Int) = count(
+          when(col("l_quantity") >= lo && col("l_quantity") < hi &&
+            col("l_discount") <= 0.05, 1))
+        t.lineitem.agg(
+          band(1, 7).as("b1"), band(7, 13).as("b2"),
+          band(13, 19).as("b3"), band(19, 25).as("b4"),
+          band(25, 31).as("b5"), band(31, 37).as("b6"),
+          band(37, 43).as("b7"), band(43, 51).as("b8")
+        )
+      },
+      Some("""
+        SELECT
+          count(*) FILTER (WHERE l_quantity >= 1  AND l_quantity < 7  AND l_discount <= 0.05) AS b1,
+          count(*) FILTER (WHERE l_quantity >= 7  AND l_quantity < 13 AND l_discount <= 0.05) AS b2,
+          count(*) FILTER (WHERE l_quantity >= 13 AND l_quantity < 19 AND l_discount <= 0.05) AS b3,
+          count(*) FILTER (WHERE l_quantity >= 19 AND l_quantity < 25 AND l_discount <= 0.05) AS b4,
+          count(*) FILTER (WHERE l_quantity >= 25 AND l_quantity < 31 AND l_discount <= 0.05) AS b5,
+          count(*) FILTER (WHERE l_quantity >= 31 AND l_quantity < 37 AND l_discount <= 0.05) AS b6,
+          count(*) FILTER (WHERE l_quantity >= 37 AND l_quantity < 43 AND l_discount <= 0.05) AS b7,
+          count(*) FILTER (WHERE l_quantity >= 43 AND l_quantity < 51 AND l_discount <= 0.05) AS b8
+        FROM lineitem
+      """)
     )
   )
 }
