@@ -36,6 +36,37 @@ object PipelineQueries extends QueryModule {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PhoneRe = "\\+1-555-[0-9]{4}"
 
+  /** The funnel's per-row stage flags over a documents relation
+    * (doc_id, text, lang): language allowlist, quality threshold,
+    * repetition filter, plus the head-span dedup key. Every expression
+    * is scan-local (no shuffle, no state), so the same method drives
+    * the batch funnel (q_corpus_funnel) AND a streaming ingest — the
+    * stage predicates are the SAME as q_text_quality /
+    * q_text_repetition; the funnel composes, it doesn't redefine.
+    */
+  def corpusFlags(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words).cast("double")
+    val nUniq = size(array_distinct(words)).cast("double")
+    val nStop = size(
+      filter(words, w => w.isin("the", "a", "of", "and"))
+    ).cast("double")
+    val quality = round(
+      lit(0.4) * least(nWords / lit(50.0), lit(1.0)) +
+        lit(0.4) * (nUniq / nWords) + lit(0.2) * (nStop / nWords),
+      6)
+    val dupRatio = round(lit(1.0) - nUniq / size(words), 6)
+    docs
+      .withColumn("dedup_key",
+        array_join(slice(split(col("text"), " "), 1, 20), " "))
+      .withColumn("f_lang", col("lang").isin("en", "de", "fr"))
+      .withColumn("f_quality", quality >= 0.35)
+      .withColumn("f_rep", dupRatio < 0.6)
+      .withColumn("s1", col("f_lang"))
+      .withColumn("s2", col("f_lang") && col("f_quality"))
+      .withColumn("s3", col("f_lang") && col("f_quality") && col("f_rep"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Deterministic Bernoulli sampling: keep ~20% of documents by a
     // hash of the key. Scan-local (no shuffle, no state, no rand()
@@ -391,31 +422,7 @@ object PipelineQueries extends QueryModule {
       "q_corpus_funnel",
       (s, dir) => {
         val t = tables(s, dir)
-        val words = split(col("text"), " ")
-        val nWords = size(words).cast("double")
-        val nUniq = size(array_distinct(words)).cast("double")
-        val nStop = size(
-          filter(words, w => w.isin("the", "a", "of", "and"))
-        ).cast("double")
-        // stage predicates are the SAME expressions as q_text_quality /
-        // q_text_repetition — the funnel composes, it doesn't redefine
-        val quality = round(
-          lit(0.4) * least(nWords / lit(50.0), lit(1.0)) +
-            lit(0.4) * (nUniq / nWords) + lit(0.2) * (nStop / nWords),
-          6)
-        val dupRatio = round(lit(1.0) - nUniq / size(words), 6)
-        val flagged = t.documents
-          .select(
-            col("doc_id"),
-            array_join(slice(split(col("text"), " "), 1, 20), " ")
-              .as("dedup_key"),
-            col("lang").isin("en", "de", "fr").as("f_lang"),
-            (quality >= 0.35).as("f_quality"),
-            (dupRatio < 0.6).as("f_rep")
-          )
-          .withColumn("s1", col("f_lang"))
-          .withColumn("s2", col("f_lang") && col("f_quality"))
-          .withColumn("s3", col("f_lang") && col("f_quality") && col("f_rep"))
+        val flagged = corpusFlags(t.documents)
         val winners = flagged
           .filter(col("s3"))
           .groupBy(col("dedup_key"))
