@@ -111,19 +111,39 @@ object MatchRecognize {
 
   // ---- text parsing ---------------------------------------------------
 
-  /** Extract the balanced-paren body following the keyword. */
+  /** Index of the first occurrence of `keyword` as a whole word outside
+    * single-quoted literals, or -1. Word-boundary matching keeps an
+    * identifier like `pattern_count` from being mistaken for the
+    * PATTERN clause; the quote-parity check keeps a string literal
+    * containing the keyword from misdirecting the clause scan.
+    */
+  private def keywordAt(sql: String, keyword: String): Int = {
+    val re = raw"(?is)\b${java.util.regex.Pattern.quote(keyword)}\b".r
+    re.findAllMatchIn(sql)
+      .map(_.start)
+      .find(at => sql.substring(0, at).count(_ == '\'') % 2 == 0)
+      .getOrElse(-1)
+  }
+
+  /** Extract the balanced-paren body following the keyword. Paren
+    * counting is quote-aware, so a DEFINE string literal containing
+    * `(` or `)` cannot truncate or unbalance the extracted body.
+    */
   private def balancedBody(sql: String, keyword: String): String = {
-    val upper = sql.toUpperCase
-    val at = upper.indexOf(keyword.toUpperCase)
+    val at = keywordAt(sql, keyword)
     require(at >= 0, s"$keyword not found")
-    val open = sql.indexOf('(', at + keyword.length)
-    require(open >= 0, s"$keyword must be followed by (...)")
+    var open = at + keyword.length
+    while (open < sql.length && sql(open).isWhitespace) open += 1
+    require(open < sql.length && sql(open) == '(',
+      s"$keyword must be followed by (...)")
     var depth = 0
     var i = open
+    var inQuote = false
     while (i < sql.length) {
       sql(i) match {
-        case '(' => depth += 1
-        case ')' =>
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote =>
           depth -= 1
           if (depth == 0) return sql.substring(open + 1, i)
         case _ => ()
@@ -198,10 +218,13 @@ object MatchRecognize {
 
     // DEFINE var AS predicate, ...  (terminates at end of body or the
     // next clause keyword — DEFINE is last in our subset)
-    val defineAt = raw"(?is)\bDEFINE\b".r.findFirstMatchIn(body)
+    val defineAt = keywordAt(body, "DEFINE") match {
+      case -1 => None
+      case at => Some(at + "DEFINE".length)
+    }
     val defines: Map[String, Event => Boolean] = defineAt match {
-      case Some(m) =>
-        splitTopLevel(body.substring(m.end)).map { item =>
+      case Some(end) =>
+        splitTopLevel(body.substring(end)).map { item =>
           val asSplit = raw"(?is)\s+AS\s+".r.findFirstMatchIn(item).getOrElse(
             throw new IllegalArgumentException(s"DEFINE item missing AS: $item"))
           val name = item.substring(0, asSplit.start).trim
@@ -213,20 +236,24 @@ object MatchRecognize {
 
     val patBody = balancedBody(body, "PATTERN")
     val steps = splitPattern(patBody).map { case (name, quant) =>
+      // SQL identifiers are case-insensitive: labels normalize to upper
+      // case so DEFINE lookup, MEASURES filtering and CLASSIFIER output
+      // agree regardless of how the query writes the variable
+      val uname = name.toUpperCase
       // SQL-standard rule: an undefined variable matches any row
-      val pred = defines.getOrElse(name.toUpperCase, (_: Event) => true)
+      val pred = defines.getOrElse(uname, (_: Event) => true)
       quant match {
-        case None => Cep.Step(name, pred)
-        case Some("?") => Cep.Step(name, pred, optional = true)
-        case Some("+") => Cep.Step(name, pred, oneOrMore = true, greedy = true)
-        case Some("+?") => Cep.Step(name, pred, oneOrMore = true, greedy = false)
+        case None => Cep.Step(uname, pred)
+        case Some("?") => Cep.Step(uname, pred, optional = true)
+        case Some("+") => Cep.Step(uname, pred, oneOrMore = true, greedy = true)
+        case Some("+?") => Cep.Step(uname, pred, oneOrMore = true, greedy = false)
         case Some("*") =>
-          Cep.Step(name, pred, oneOrMore = true, greedy = true, optional = true)
+          Cep.Step(uname, pred, oneOrMore = true, greedy = true, optional = true)
         case Some(braces) =>
           val nums = raw"\d+".r.findAllIn(braces).map(_.toInt).toSeq
           nums match {
-            case Seq(n) => Cep.Step(name, pred, times = n)
-            case Seq(n, mx) => Cep.Step(name, pred, times = n, timesMax = mx)
+            case Seq(n) => Cep.Step(uname, pred, times = n)
+            case Seq(n, mx) => Cep.Step(uname, pred, times = n, timesMax = mx)
             case _ => throw new IllegalArgumentException(s"bad quantifier $braces")
           }
       }
@@ -234,12 +261,32 @@ object MatchRecognize {
     Cep.SequencePattern(steps, withinMs, strict = true, skip = skip)
   }
 
-  /** Tokenize the PATTERN body into (variable, quantifier) pairs. */
-  private def splitPattern(patBody: String): Seq[(String, Option[String])] =
-    quantified.findAllMatchIn(patBody)
+  /** Tokenize the PATTERN body into (variable, quantifier) pairs.
+    * The tokens must cover the ENTIRE body (whitespace excepted):
+    * syntax outside the supported subset — alternation `A | B`,
+    * grouping `( )`, PERMUTE, reluctant star `*?`, open-ended `{n,}` —
+    * is rejected loudly rather than silently reinterpreted (an
+    * uncovered `|` would otherwise turn alternation into
+    * concatenation, a different query with no error).
+    */
+  private def splitPattern(patBody: String): Seq[(String, Option[String])] = {
+    val ms = quantified.findAllMatchIn(patBody)
       .filter(m => m.group(1) != null && m.group(1).nonEmpty)
-      .map(m => (m.group(1), Option(m.group(2)).map(_.replaceAll("\\s", ""))))
       .toSeq
+    val covered = new Array[Boolean](patBody.length)
+    ms.foreach(m => java.util.Arrays.fill(covered, m.start, m.end, true))
+    val leftover = patBody.zipWithIndex
+      .map { case (c, i) => if (covered(i)) ' ' else c }
+      .mkString.trim
+    if (leftover.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unsupported PATTERN syntax '$leftover' in: $patBody — supported " +
+          "subset is sequences of VAR[+ | +? | * | ? | {n} | {n,m}] " +
+          "(no alternation '|', grouping '()', PERMUTE, reluctant '*?', " +
+          "or open-ended '{n,}')")
+    require(ms.nonEmpty, "PATTERN body is empty")
+    ms.map(m => (m.group(1), Option(m.group(2)).map(_.replaceAll("\\s", ""))))
+  }
 
   /** Run a MATCH_RECOGNIZE text over a batch of events. */
   def detectBatch(events: Dataset[Event], sql: String): Dataset[Cep.Match] =
@@ -345,9 +392,14 @@ object MatchRecognize {
         case "FIRST" => element_at(vals, 1)
         case "LAST" => element_at(vals, -1)
         case "COUNT" => size(rows).cast("long")
-        case "SUM" => aggregate(nums, lit(0.0), (acc, x) => acc + x)
+        // SQL aggregate semantics: SUM/AVG over zero rows (a variable
+        // that matched nothing, e.g. optional) is NULL, not 0 — the
+        // non-null fold seed must not leak out for empty arrays
+        case "SUM" =>
+          when(size(rows) > 0, aggregate(nums, lit(0.0), (acc, x) => acc + x))
         case "AVG" =>
-          aggregate(nums, lit(0.0), (acc, x) => acc + x) / size(rows)
+          when(size(rows) > 0,
+            aggregate(nums, lit(0.0), (acc, x) => acc + x) / size(rows))
         case "MIN" => array_min(vals)
         case "MAX" => array_max(vals)
       }

@@ -205,6 +205,100 @@ class MatchRecognizeSpec extends AnyFunSuite {
       "MATCH_RECOGNIZE (PATTERN (A) DEFINE A AS value > 0)").isEmpty)
   }
 
+  test("unsupported PATTERN syntax is rejected loudly, not reinterpreted") {
+    def bad(pattern: String): String = intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, s"""MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        PATTERN ($pattern)
+        DEFINE A AS event_type = 'a', B AS event_type = 'b')""")
+    }.getMessage
+    // alternation must not silently become concatenation
+    assert(bad("A | B").contains("|"))
+    // reluctant star must not silently become greedy star
+    assert(bad("B*?").contains("?"))
+    // PERMUTE's parens must not silently become a 3-step sequence
+    assert(bad("PERMUTE(A,B)").contains("("))
+    // open-ended {n,} must not silently lose its quantifier
+    assert(bad("A{2,}").contains("{2,}"))
+    // grouping is not in the SQL-subset (the Scala API's Group covers it)
+    assert(bad("(A B)+").contains("("))
+  }
+
+  test("quote-aware clause extraction: literals with parens and keywords") {
+    // a DEFINE literal containing ')' must not truncate the body, and
+    // one containing the word PATTERN must not misdirect the clause scan
+    val sql = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B)
+      DEFINE A AS event_type = ':-)' , B AS event_type <> 'PATTERN (X)')"""
+    val events = Seq(ev(1, 0, ":-)"), ev(2, 1, "ok"))
+    assert(run(sql, events) == Seq(Seq(1L, 2L)))
+  }
+
+  test("keyword inside an identifier does not misdirect the PATTERN scan") {
+    import spark.implicits._
+    // MEASURES alias `pattern_count` contains the word PATTERN — the
+    // clause scan must find the real PATTERN clause, not the alias
+    val events = Seq(
+      Event(1, ts(0), 3, "error", 1.0),
+      Event(2, ts(1), 3, "error", 2.0),
+      Event(3, ts(2), 3, "ok", 9.0)).toDS()
+    val out = MatchRecognize.detectBatchWithMeasures(events, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(E.*) AS pattern_count, SUM(E.value) AS s
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (E+ R)
+        DEFINE E AS event_type = 'error', R AS event_type <> 'error')""")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("pattern_count") == 2L)
+    assert(out.head.getAs[Double]("s") == 3.0)
+  }
+
+  test("lowercase pattern variables: MEASURES and CLASSIFIER still resolve") {
+    import spark.implicits._
+    // identifiers are case-insensitive in SQL: labels normalize to
+    // upper case so measures over `e`/`r` see the matched rows
+    val events = Seq(
+      Event(1, ts(0), 4, "error", 2.0),
+      Event(2, ts(1), 4, "error", 4.0),
+      Event(3, ts(2), 4, "ok", 9.0)).toDS()
+    val out = MatchRecognize.detectBatchWithMeasures(events, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(e.*) AS ne, SUM(e.value) AS sv, LAST(r.event_id) AS rid
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (e+ r)
+        DEFINE e AS event_type = 'error', r AS event_type <> 'error')""")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("ne") == 2L)
+    assert(r.getAs[Double]("sv") == 6.0)
+    assert(r.getAs[Long]("rid") == 3L)
+  }
+
+  test("SUM/AVG over a variable that matched zero rows is NULL, COUNT is 0") {
+    import spark.implicits._
+    // optional P matches nothing: SUM(P.value)/AVG must be SQL NULL
+    val events = Seq(
+      Event(1, ts(0), 5, "signup", 1.0),
+      Event(2, ts(1), 5, "purchase", 8.0)).toDS()
+    val out = MatchRecognize.detectBatchWithMeasures(events, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(P.*) AS np, SUM(P.value) AS sp, AVG(P.value) AS ap
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S P? B)
+        DEFINE S AS event_type = 'signup', P AS event_type = 'promo',
+               B AS event_type = 'purchase')""")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("np") == 0L)
+    assert(r.isNullAt(r.fieldIndex("sp")))
+    assert(r.isNullAt(r.fieldIndex("ap")))
+  }
+
   test("step_names label every matched row with its pattern variable") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
