@@ -613,10 +613,13 @@ object CepQueries extends QueryModule {
       """)
     ),
     // ALL ROWS PER MATCH output mode on the double-error pattern: one
-    // row per matched input row with CLASSIFIER() (the NFA step label)
-    // and per-partition MATCH_NUMBER(). SKIP TO NEXT ROW makes
-    // (start_ts, first event) unique per match, so the numbering and
-    // the oracle's row_number agree deterministically.
+    // row per matched input row with CLASSIFIER() (the NFA step label),
+    // per-partition MATCH_NUMBER(), and MEASURES with the mode's
+    // SQL-standard RUNNING semantics — each row sees the measure over
+    // the match prefix up to itself (COUNT(E1.*) is already 1 on row 1;
+    // SUM(E2.value) is NULL on row 1 and the E2 value on row 2). SKIP
+    // TO NEXT ROW makes (start_ts, first event) unique per match, so
+    // the numbering and the oracle's row_number agree.
     QueryDef(
       "q_cep_sql_all_rows",
       (s, dir) => {
@@ -626,10 +629,11 @@ object CepQueries extends QueryModule {
           .select("event_id", "ts", "user_id", "event_type", "value")
           .as[Event]
         graft.streaming.MatchRecognize
-          .detectBatchAllRows(events, """
+          .detectBatchAllRowsWithMeasures(events, """
             MATCH_RECOGNIZE (
               PARTITION BY user_id
               ORDER BY ts
+              MEASURES COUNT(E1.*) AS n1_run, SUM(E2.value) AS s2_run
               AFTER MATCH SKIP TO NEXT ROW
               PATTERN (E1 E2)
               WITHIN INTERVAL '30' MINUTE
@@ -642,12 +646,14 @@ object CepQueries extends QueryModule {
             col("match_no"),
             col("row_in_match"),
             col("event_id"),
-            col("classifier")
+            col("classifier"),
+            col("n1_run"),
+            col("s2_run")
           )
       },
       Some("""
         WITH o AS (
-          SELECT user_id, event_id, ts, event_type,
+          SELECT user_id, event_id, ts, event_type, value,
                  row_number() OVER w AS rn,
                  lag(event_id) OVER w AS p_id,
                  lag(event_type) OVER w AS p_type,
@@ -656,7 +662,7 @@ object CepQueries extends QueryModule {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         m AS (
-          SELECT user_id, p_id AS m1, event_id AS m2,
+          SELECT user_id, p_id AS m1, event_id AS m2, value AS v2,
                  CAST(row_number() OVER (PARTITION BY user_id
                       ORDER BY rn) AS BIGINT) AS match_no
           FROM o
@@ -666,8 +672,188 @@ object CepQueries extends QueryModule {
         SELECT user_id, match_no,
                CAST(u.r AS BIGINT) AS row_in_match,
                CASE u.r WHEN 1 THEN m1 ELSE m2 END AS event_id,
-               CASE u.r WHEN 1 THEN 'E1' ELSE 'E2' END AS classifier
+               CASE u.r WHEN 1 THEN 'E1' ELSE 'E2' END AS classifier,
+               CAST(1 AS BIGINT) AS n1_run,
+               CASE u.r WHEN 1 THEN NULL ELSE v2 END AS s2_run
         FROM m, unnest([1, 2]) AS u(r)
+      """)
+    ),
+    // PREV navigation in DEFINE (reference: MatchCodeGenerator.scala,
+    // PREV at FlinkSqlOperatorTable.java:1147-1151): two consecutive
+    // value rises per user. PREV is physical — the prior row in the
+    // ordered partition — so the oracle is exactly lag(); the first
+    // row's PREV is NULL and `value > NULL` is not true on both sides.
+    QueryDef(
+      "q_cep_sql_updown",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatch(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (U{2})
+              DEFINE U AS value > PREV(value)
+            )
+          """)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("m1"),
+            element_at(col("event_ids"), 2).as("m2")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id,
+                 row_number() OVER w AS rn,
+                 CASE WHEN value > lag(value) OVER w THEN 1 ELSE 0 END AS rise
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT a.user_id, a.event_id AS m1, b.event_id AS m2
+        FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        WHERE a.rise = 1 AND b.rise = 1
+      """)
+    ),
+    // Group pattern (E V)+ P (reference GroupPattern.java — a whole
+    // sub-sequence under oneOrMore): per start event, the reluctant
+    // loop + SKIP TO NEXT ROW yields the SHORTEST (error view)^k
+    // purchase completion — exactly a lazy regex anchored at each
+    // start position over the per-user event-type string, which is the
+    // oracle.
+    QueryDef(
+      "q_cep_group_loop",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        val pattern = Cep.SequencePattern(
+          Seq(
+            Cep.Group(Seq(
+              Cep.Step("E", _.event_type == "error"),
+              Cep.Step("V", _.event_type == "view")
+            ), oneOrMore = true),
+            Cep.Step("P", _.event_type == "purchase")
+          ),
+          withinMs = Long.MaxValue,
+          strict = true,
+          skip = Cep.SkipToNext
+        )
+        Cep
+          .detectBatch(events, pattern)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("first_id"),
+            ((size(col("event_ids")) - 1) / 2).cast("long").as("n_pairs"),
+            element_at(col("event_ids"), -1).as("close_id")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        s AS (
+          SELECT user_id,
+                 string_agg(CASE event_type WHEN 'error' THEN 'E'
+                            WHEN 'view' THEN 'V' WHEN 'purchase' THEN 'P'
+                            ELSE 'X' END, '' ORDER BY rn) AS str
+          FROM o GROUP BY user_id
+        ),
+        pos AS (
+          SELECT user_id, str,
+                 unnest(range(1, CAST(length(str) AS BIGINT) + 1)) AS i
+          FROM s
+        ),
+        mm AS (
+          SELECT user_id, i AS srn,
+                 length(regexp_extract(substr(str, CAST(i AS INT)), '^(?:EV)+?P')) AS len
+          FROM pos
+          WHERE regexp_matches(substr(str, CAST(i AS INT)), '^(?:EV)+?P')
+        )
+        SELECT mm.user_id, f.event_id AS first_id,
+               CAST((mm.len - 1) // 2 AS BIGINT) AS n_pairs,
+               l.event_id AS close_id
+        FROM mm
+        JOIN o f ON f.user_id = mm.user_id AND f.rn = mm.srn
+        JOIN o l ON l.user_id = mm.user_id AND l.rn = mm.srn + mm.len - 1
+      """)
+    ),
+    // MATCH_RECOGNIZE over an ARBITRARY relation (reference:
+    // StreamExecMatch.java:90 — any input RowType): maximal runs of
+    // filled orders ('F') closed by an open order ('O') per customer,
+    // in o_orderdate order, through the generic front-end
+    // (MatchRecognize.detectRelation) with ALL ROWS PER MATCH output.
+    // The oracle is gaps-and-islands over the same ordering.
+    QueryDef(
+      "q_cep_sql_orders",
+      (s, dir) => {
+        val t = tables(s, dir)
+        graft.streaming.MatchRecognize
+          .detectRelation(
+            t.orders.select("o_custkey", "o_orderkey", "o_orderstatus",
+              "o_orderdate"),
+            """
+            MATCH_RECOGNIZE (
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (F+ O)
+              DEFINE F AS o_orderstatus = 'F',
+                     O AS o_orderstatus = 'O'
+            )
+          """)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            col("o_orderstatus"),
+            col("match_no"),
+            col("row_in_match"),
+            col("classifier")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, o_orderkey, o_orderstatus,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders
+        ),
+        f AS (
+          SELECT o_custkey, rn,
+                 rn - row_number() OVER (PARTITION BY o_custkey ORDER BY rn) AS grp
+          FROM o WHERE o_orderstatus = 'F'
+        ),
+        runs AS (
+          SELECT o_custkey, grp, min(rn) AS srn, max(rn) AS ern
+          FROM f GROUP BY o_custkey, grp
+        ),
+        m AS (
+          SELECT r.o_custkey, r.srn, r.ern
+          FROM runs r
+          JOIN o nx ON nx.o_custkey = r.o_custkey AND nx.rn = r.ern + 1
+          WHERE nx.o_orderstatus = 'O'
+        ),
+        mn AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY srn) AS BIGINT) AS match_no
+          FROM m
+        )
+        SELECT mn.o_custkey, o.o_orderkey, o.o_orderstatus, mn.match_no,
+               CAST(o.rn - mn.srn + 1 AS BIGINT) AS row_in_match,
+               CASE WHEN o.rn <= mn.ern THEN 'F' ELSE 'O' END AS classifier
+        FROM mn JOIN o ON o.o_custkey = mn.o_custkey
+                      AND o.rn BETWEEN mn.srn AND mn.ern + 1
       """)
     )
   )

@@ -10,17 +10,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * strategies under flink-cep/.../nfa/aftermatch/). Scope: sequence
   * patterns over a keyed stream with strict (`next`) or relaxed
   * (`followedBy`) contiguity, a `within` time bound, `times(n)`,
-  * `optional`, `oneOrMore` (reluctant or `greedy`) quantifiers, and
+  * `optional`, `oneOrMore` (reluctant or `greedy`) quantifiers,
+  * group patterns (`(A B)+` — reference GroupPattern.java), and
   * NO_SKIP / SKIP_TO_NEXT / SKIP_PAST_LAST_EVENT strategies.
   *
-  * The NFA is a pure function over a key's time-ordered events, so one
-  * implementation serves both modes:
-  *  - batch: flatMapGroups, each key's full history in one pass plus an
+  * The NFA itself lives in [[CepCore]], generic in the row type (the
+  * reference NFA is likewise row-type-generic); this object is the
+  * Event-typed API every graft CEP query and the SQL front-end's
+  * Event path use. One NFA serves both modes:
+  *  - batch: each key's time-ordered history in one pass plus an
   *    end-of-input flush for pending greedy loops;
   *  - streaming: flatMapGroupsWithState keeping the set of partial
   *    matches per key as state; each micro-batch advances them.
-  *    Pending greedy loops emit when the loop breaks or `within`
-  *    expires (an unbounded stream has no end-of-input).
   * Partial-match state is bounded by `within` (expired partials are
   * retired on every event), so state can't grow unboundedly on a hot
   * key.
@@ -41,14 +42,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Cep {
 
+  type SkipStrategy = CepCore.SkipStrategy
+  val NoSkip: CepCore.NoSkip.type = CepCore.NoSkip
+  val SkipToNext: CepCore.SkipToNext.type = CepCore.SkipToNext
+  val SkipPastLastEvent: CepCore.SkipPastLastEvent.type = CepCore.SkipPastLastEvent
+
+  type Step = CepCore.Step[Event]
+  type Group = CepCore.Group[Event]
+  type SequencePattern = CepCore.SequencePattern[Event]
+  type PartialMatch = CepCore.PartialMatch[Event]
+  type NfaState = CepCore.NfaState[Event]
+
   /** One pattern step. `times` (Pattern.times) asks for that many
     * consecutive occurrences — with `timesMax > times` it becomes the
     * range quantifier times(n, m) (n required + up to m-n more);
     * `optional` (Pattern.optional) lets the step match zero events;
     * `oneOrMore` (Pattern.oneOrMore) loops the step, reluctantly
-    * unless `greedy` (Pattern.greedy).
+    * unless `greedy` (Pattern.greedy); `until` (Pattern.until) stops a
+    * loop; `negated` forbids (notNext/notFollowedBy); `anyMatch`
+    * (Pattern.followedByAny) forks on every candidate; `consecutive` /
+    * `combinations` pin or relax loop contiguity (Pattern.consecutive
+    * / Pattern.allowCombinations).
     */
-  final case class Step(
+  def Step(
       name: String,
       predicate: Event => Boolean,
       times: Int = 1,
@@ -56,131 +72,67 @@ object Cep {
       oneOrMore: Boolean = false,
       greedy: Boolean = false,
       timesMax: Int = 0,
-      /** Pattern.until: a oneOrMore loop stops accepting elements once
-        * an event matches this condition (checked before the loop
-        * predicate; the until event itself is never consumed by the
-        * loop).
-        */
       until: Option[Event => Boolean] = None,
-      /** Negative step (Pattern.notNext / Pattern.notFollowedBy,
-        * reference flink-libraries/flink-cep/.../pattern/Pattern.java:
-        * 273,304): the predicate names the FORBIDDEN event. Under
-        * strict contiguity this is notNext (the immediate next event
-        * must not match); relaxed it is notFollowedBy (no matching
-        * event may occur before the following step consumes). A
-        * forbidden event kills the partial; a trailing negation
-        * resolves positively at within-expiry or end-of-input flush —
-        * the reference's rule that a pattern cannot END with
-        * notFollowedBy unless a within() bounds it.
-        */
       negated: Boolean = false,
-      /** Non-deterministic relaxed successor (Pattern.followedByAny,
-        * reference flink-libraries/flink-cep/.../pattern/Pattern.java:
-        * 322): after this step consumes a candidate, the partial ALSO
-        * stays behind waiting at the step, so EVERY later candidate
-        * within the horizon forks its own match — where plain
-        * followedBy advances on the first candidate only. The NFA
-        * ignore-edge becomes a self-loop that survives a take.
-        */
       anyMatch: Boolean = false,
-      /** Loop contiguity pinned STRICT (Pattern.consecutive, reference
-        * flink-libraries/flink-cep/.../pattern/Pattern.java:437): once
-        * a oneOrMore loop has consumed an element, ANY event the loop
-        * does not consume closes the loop permanently — where the
-        * default relaxed loop skips non-matching events and keeps
-        * accepting later matching ones. Suppresses the loop's
-        * ignore-edge.
-        */
       consecutive: Boolean = false,
-      /** Non-deterministic loop contiguity (Pattern.allowCombinations,
-        * reference Pattern.java:477): between loop iterations a
-        * MATCHING event may also be skipped — the partial forks into
-        * take and not-take branches, so every order-preserving
-        * combination of loop elements sharing the first one emits. The
-        * loop's ignore-edge also accepts matching events.
-        */
       combinations: Boolean = false
-  ) {
-    require(times >= 1)
-    require(times == 1 || (!optional && !oneOrMore),
-      "times(n) cannot combine with optional/oneOrMore on one step")
-    require(timesMax == 0 || timesMax >= times,
-      "times(n, m) needs m >= n")
-    require(until.isEmpty || oneOrMore, "until only applies to oneOrMore loops")
-    require(!negated || (times == 1 && timesMax == 0 && !optional && !oneOrMore),
-      "a negated step consumes nothing and cannot be quantified")
-    require(!anyMatch || (times == 1 && timesMax == 0 && !optional &&
-      !oneOrMore && !negated),
-      "followedByAny applies to plain single steps (quantify with " +
-        "oneOrMore/times instead of combining them with anyMatch)")
-    require(!consecutive || oneOrMore,
-      "consecutive() pins loop contiguity — it applies to oneOrMore steps")
-    require(!combinations || oneOrMore,
-      "allowCombinations() relaxes loop contiguity — it applies to oneOrMore steps")
-    require(!(consecutive && combinations),
-      "consecutive and allowCombinations are opposite contiguity modes")
-    require(!(combinations && greedy),
-      "a greedy loop consumes maximally; combining it with allowCombinations " +
-        "is contradictory")
-  }
+  ): Step =
+    CepCore.Step[Event](name, (_, e) => predicate(e), times, optional,
+      oneOrMore, greedy, timesMax, until, negated, anyMatch, consecutive,
+      combinations)
 
-  sealed trait SkipStrategy
-  case object NoSkip extends SkipStrategy
-  case object SkipToNext extends SkipStrategy
-  case object SkipPastLastEvent extends SkipStrategy
-
-  /** A sequence pattern: steps matched in order; `strict` demands the
-    * very next event match (Flink `next`), otherwise non-matching
-    * events in between are skipped (`followedBy`). Quantified
-    * `times(n)` steps are expanded to n consecutive copies.
+  /** A step whose predicate also sees the PREVIOUS row in the
+    * partition (`None` for the partition's first row) — the Scala-API
+    * form of SQL MATCH_RECOGNIZE PREV navigation (`DEFINE UP AS
+    * value > PREV(value)`; reference: MatchCodeGenerator.scala,
+    * FlinkSqlOperatorTable.java:1147-1151). PREV is physical: the
+    * prior input row in the ordered partition, matched or not.
     */
-  final case class SequencePattern(
-      steps: Seq[Step],
+  def StepPrev(
+      name: String,
+      predicate: (Option[Event], Event) => Boolean,
+      times: Int = 1,
+      optional: Boolean = false,
+      oneOrMore: Boolean = false,
+      greedy: Boolean = false,
+      timesMax: Int = 0
+  ): Step =
+    CepCore.Step[Event](name, predicate, times, optional, oneOrMore, greedy,
+      timesMax, needsPrev = true)
+
+  /** A sub-sequence as one pattern unit (reference GroupPattern.java):
+    * `Group(Seq(a, b), oneOrMore = true)` is `(A B)+` — reluctant, one
+    * match emitted per completed iteration count; `times = n` repeats
+    * the whole group exactly n times.
+    */
+  def Group(steps: Seq[Step], oneOrMore: Boolean = false, times: Int = 1): Group =
+    CepCore.Group[Event](steps, oneOrMore, times)
+
+  /** A sequence pattern: elements (steps or groups) matched in order;
+    * `strict` demands the very next event match (Flink `next`),
+    * otherwise non-matching events in between are skipped
+    * (`followedBy`). Quantified times(n) steps are expanded to n
+    * consecutive copies.
+    */
+  def SequencePattern(
+      steps: Seq[CepCore.Elem[Event]],
       withinMs: Long,
       strict: Boolean,
       skip: SkipStrategy = NoSkip
-  ) {
-    require(steps.nonEmpty)
-    require(!steps.head.negated,
-      "a pattern cannot start with a negation (nothing precedes it)")
-    require(!steps.head.anyMatch,
-      "followedByAny describes the edge INTO a step; the first step has none")
-    require(!strict || !steps.exists(_.anyMatch),
-      "followedByAny is relaxed contiguity; it cannot appear in a strict (next) pattern")
-    require(!steps.iterator.sliding(2).withPartial(false)
-      .exists(w => w.head.negated && w(1).negated),
-      "two adjacent negated steps are ambiguous — merge the predicates")
-    /** steps with times(n[, m]) unrolled — n required copies plus
-      * m - n optional ones — what the NFA actually runs
-      */
-    val expanded: Seq[Step] =
-      steps.flatMap { s =>
-        val mx = if (s.timesMax > 0) s.timesMax else s.times
-        Seq.fill(s.times)(s.copy(times = 1, timesMax = 0)) ++
-          Seq.fill(mx - s.times)(s.copy(times = 1, timesMax = 0, optional = true))
-      }
-  }
+  ): SequencePattern =
+    CepCore.SequencePattern[Event](steps, withinMs, strict, skip)
 
-  /** A live partial match. `inLoop` marks a oneOrMore step that has
-    * consumed at least one event and may consume more; `startSeq` /
-    * `lastSeq` are per-key event sequence numbers for skip-strategy
-    * overlap checks.
-    */
-  final case class PartialMatch(
-      stepIdx: Int,
-      inLoop: Boolean,
-      startTs: Long,
-      lastTs: Long,
-      startSeq: Long,
-      lastSeq: Long,
-      eventIds: Seq[Long],
-      labels: Seq[String]
-  )
-  final case class NfaState(partials: Seq[PartialMatch], nextSeq: Long)
+  def NfaState(partials: Seq[PartialMatch], nextSeq: Long): NfaState =
+    CepCore.NfaState[Event](partials, nextSeq, None)
+
   final case class Match(key: Long, start_ts: Long, end_ts: Long, event_ids: Seq[Long],
       step_names: Seq[String])
 
-  private final case class Emit(startSeq: Long, lastSeq: Long, m: Match)
+  private val tsMs: Event => Long = _.ts.getTime
+
+  private def toMatch(key: Long, m: CepCore.Match[Event]): Match =
+    Match(key, m.start_ts, m.end_ts, m.rows.map(_.event_id), m.labels)
 
   /** Advance the NFA over time-ordered events, returning completed
     * matches (in emission order) and the surviving state.
@@ -191,228 +143,15 @@ object Cep {
       events: Seq[Event],
       initial: NfaState
   ): (Seq[Match], NfaState) = {
-    val steps = pattern.expanded
-    val n = steps.size
-    var partials = initial.partials
-    var seq = initial.nextSeq
-    val out = Seq.newBuilder[Match]
-
-    // positions reachable without consuming an event: exit a satisfied
-    // loop, skip optional steps. Linear chain — each position has at
-    // most one epsilon edge.
-    def closure(idx: Int, inLoop: Boolean): Seq[(Int, Boolean)] = {
-      val acc = Seq.newBuilder[(Int, Boolean)]
-      var i = idx
-      var loop = inLoop
-      acc += ((i, loop))
-      var go = true
-      while (go && i < n) {
-        if (loop) { i += 1; loop = false; acc += ((i, false)) }
-        else if (steps(i).optional) { i += 1; acc += ((i, false)) }
-        else go = false
-      }
-      acc.result()
-    }
-
-    def completable(p: PartialMatch): Boolean =
-      closure(p.stepIdx, p.inLoop).exists(_._1 == n)
-
-    // a retired greedy loop (expired / strict-broken / flushed) emits
-    // its maximal match now; reluctant loops already emitted per length
-    def retirementEmit(p: PartialMatch): Option[Emit] =
-      if (p.inLoop && p.stepIdx < n && steps(p.stepIdx).greedy && completable(p))
-        Some(Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds, p.labels)))
-      else None
-
-    def negationPending(p: PartialMatch): Boolean =
-      p.stepIdx < n && steps(p.stepIdx).negated
-
-    // a partial waiting at a TRAILING negation (only optional steps
-    // after it) whose within expired without the forbidden event: the
-    // negation resolves positively — the match ends at its last
-    // consumed event
-    def negationExpiryEmit(p: PartialMatch): Option[Emit] =
-      if (negationPending(p) && closure(p.stepIdx + 1, false).exists(_._1 == n))
-        Some(Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds, p.labels)))
-      else None
-
-    /** Try to consume `e` from partial `p`. Returns (consumed,
-      * successors, emits). A greedy in-loop partial whose loop
-      * predicate accepts takes only the loop branch.
-      */
-    // Pattern.until: the loop at step i refuses e once the stop
-    // condition matches (the until event is never consumed by the loop)
-    def untilHit(i: Int, e: Event): Boolean = steps(i).until.exists(f => f(e))
-
-    def consume(p: PartialMatch, e: Event, ts: Long, s: Long): (Boolean, Seq[PartialMatch], Seq[Emit]) = {
-      val succ = Seq.newBuilder[PartialMatch]
-      val emits = Seq.newBuilder[Emit]
-      var consumed = false
-      // greedy loop branch wins outright — unless the stop condition
-      // closes the loop, in which case the exit positions take over
-      val greedyLoop = p.inLoop && steps(p.stepIdx).greedy &&
-        steps(p.stepIdx).predicate(e) && !untilHit(p.stepIdx, e)
-      val positions =
-        if (greedyLoop) Seq((p.stepIdx, true)) else closure(p.stepIdx, p.inLoop)
-      positions.foreach { case (i, _) =>
-        if (i < n && steps(i).predicate(e) &&
-          !(steps(i).oneOrMore && untilHit(i, e))) {
-          consumed = true
-          val ids = p.eventIds :+ e.event_id
-          val labs = p.labels :+ steps(i).name
-          if (steps(i).oneOrMore) {
-            val looping =
-              p.copy(stepIdx = i, inLoop = true, lastTs = ts, lastSeq = s,
-                eventIds = ids, labels = labs)
-            succ += looping
-            // allowCombinations: between iterations the loop may also
-            // SKIP this matching event and take a later one — keep a
-            // not-take branch so every combination sharing the loop's
-            // first element forks its own match
-            if (steps(i).combinations && p.inLoop && i == p.stepIdx)
-              succ += p
-            // reluctant loop that can already exit to the accept state
-            // emits at this length too
-            if (!steps(i).greedy && closure(i, true).exists(_._1 == n))
-              emits += Emit(p.startSeq, s, Match(key, p.startTs, ts, ids, labs))
-          } else {
-            val next =
-              p.copy(stepIdx = i + 1, inLoop = false, lastTs = ts, lastSeq = s,
-                eventIds = ids, labels = labs)
-            if (closure(i + 1, false).exists(_._1 == n))
-              emits += Emit(p.startSeq, s, Match(key, p.startTs, ts, ids, labs))
-            if (i + 1 < n) succ += next
-            // followedByAny: the take did not consume the ignore edge —
-            // keep a branch pinned AT this step (epsilon moves already
-            // applied) so every later candidate forks its own match
-            if (steps(i).anyMatch)
-              succ += p.copy(stepIdx = i, inLoop = false)
-          }
-        }
-      }
-      (consumed, succ.result(), emits.result())
-    }
-
-    events.foreach { e =>
-      val ts = e.ts.getTime
-      val s = seq
-      seq += 1
-
-      // retire expired partials; a completable greedy loop emits its
-      // (already fully-within-bound) match on retirement, and a
-      // trailing negation that saw no forbidden event resolves as a
-      // match
-      val (alive, expired) = partials.partition(p => ts - p.startTs <= pattern.withinMs)
-      val emitsB = Seq.newBuilder[Emit]
-      expired.foreach(p =>
-        retirementEmit(p).orElse(negationExpiryEmit(p)).foreach(emitsB += _))
-
-      val nextPartials = Seq.newBuilder[PartialMatch]
-      alive.foreach { p =>
-        if (negationPending(p)) {
-          val i = p.stepIdx
-          if (steps(i).predicate(e)) {
-            // the forbidden event arrived inside the negation window:
-            // the partial dies silently (both notNext and notFollowedBy)
-          } else if (pattern.strict) {
-            // notNext: the immediate-next event is not the forbidden
-            // one — the negation resolves NOW. A trailing negation
-            // completes (the resolving event is not part of the match);
-            // a mid-pattern negation hands this same event to the
-            // continuation (error notNext(x) next(b): b checks the very
-            // event that cleared the notNext).
-            if (closure(i + 1, false).exists(_._1 == n))
-              emitsB += Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds, p.labels))
-            if (i + 1 < n) {
-              val p2 = p.copy(stepIdx = i + 1)
-              val (consumed2, succ2, emits2) = consume(p2, e, ts, s)
-              if (consumed2) { nextPartials ++= succ2; emitsB ++= emits2 }
-              // not consumed → the strict continuation dies with the
-              // negation already resolved above
-            }
-          } else {
-            // notFollowedBy: the negation stays pending until the
-            // following step consumes (which resolves it — the required
-            // event arrived before any forbidden one) or the within
-            // horizon passes
-            val p2 = p.copy(stepIdx = i + 1)
-            val (consumed2, succ2, emits2) =
-              if (i + 1 < n) consume(p2, e, ts, s)
-              else (false, Seq.empty[PartialMatch], Seq.empty[Emit])
-            if (consumed2) { nextPartials ++= succ2; emitsB ++= emits2 }
-            else nextPartials += p
-          }
-        } else {
-          val (consumed, succ, emits) = consume(p, e, ts, s)
-          if (consumed) {
-            nextPartials ++= succ
-            emitsB ++= emits
-          } else if (pattern.strict) {
-            // strict contiguity: the partial dies; a pending greedy loop
-            // emits its maximal match first (the run just ended)
-            retirementEmit(p).foreach(emitsB += _)
-          } else {
-            // relaxed: keep waiting; an until-hit permanently closes an
-            // open loop — as does ANY unconsumed event when the loop is
-            // `consecutive` (strict between iterations) — a terminal
-            // greedy loop emits its maximal match, a mid-pattern loop
-            // continues from the exit position
-            if (p.inLoop && p.stepIdx < n && steps(p.stepIdx).oneOrMore
-              && (untilHit(p.stepIdx, e) || steps(p.stepIdx).consecutive)) {
-              if (p.stepIdx + 1 == n) retirementEmit(p).foreach(emitsB += _)
-              else nextPartials += p.copy(stepIdx = p.stepIdx + 1, inLoop = false)
-            } else nextPartials += p
-          }
-        }
-      }
-
-      // can this event start a new partial?
-      val fresh = PartialMatch(0, inLoop = false, ts, ts, s, s, Seq.empty, Seq.empty)
-      val (startedHere, freshSucc, freshEmits) = consume(fresh, e, ts, s)
-      emitsB ++= freshEmits
-      var pending = nextPartials.result()
-      var candidates = emitsB.result().sortBy(em => (em.startSeq, em.lastSeq))
-      var freshAllowed = startedHere
-
-      // after-match skip strategy
-      pattern.skip match {
-        case NoSkip =>
-          candidates.foreach(em => out += em.m)
-        case SkipToNext =>
-          // at most one match per start event; drop partials sharing an
-          // emitted start (including the fresh one born this event)
-          val seen = scala.collection.mutable.Set.empty[Long]
-          candidates.foreach { em =>
-            if (!seen.contains(em.startSeq)) {
-              seen += em.startSeq
-              out += em.m
-              pending = pending.filterNot(_.startSeq == em.startSeq)
-            }
-          }
-          if (seen.contains(s)) freshAllowed = false
-        case SkipPastLastEvent =>
-          // emit the earliest candidate, prune everything overlapping
-          // it (candidates and live partials), repeat — same loop as
-          // flush(). Multiple candidates can retire on one event with
-          // disjoint spans (e.g. two within-expired greedy loops from
-          // separate bursts); emitting only the head silently dropped
-          // the later ones.
-          var rest = candidates
-          while (rest.nonEmpty) {
-            val em = rest.head
-            out += em.m
-            // discard everything overlapping the match, including
-            // fresh partials born on its last event
-            pending = pending.filter(_.startSeq > em.lastSeq)
-            if (em.lastSeq >= s) freshAllowed = false
-            rest = rest.tail.filter(_.startSeq > em.lastSeq)
-          }
-      }
-      partials = if (freshAllowed) pending ++ freshSucc else pending
-    }
-
-    (out.result(), NfaState(partials, seq))
+    val (ms, st) = CepCore.advance(pattern, events, initial, tsMs)
+    (ms.map(toMatch(key, _)), st)
   }
+
+  /** End-of-input flush: retire every pending partial, emitting
+    * completable greedy loops under the pattern's skip strategy.
+    */
+  def flush(pattern: SequencePattern, key: Long, st: NfaState): Seq[Match] =
+    CepCore.flush(pattern, st).map(toMatch(key, _))
 
   private def ordered(rows: Iterator[Event]): Seq[Event] =
     // getNanos carries sub-millisecond precision getTime drops
@@ -477,52 +216,6 @@ object Cep {
       }
   }
 
-  /** End-of-input flush: retire every pending partial, emitting
-    * completable greedy loops under the pattern's skip strategy.
-    */
-  def flush(pattern: SequencePattern, key: Long, st: NfaState): Seq[Match] = {
-    val steps = pattern.expanded
-    val n = steps.size
-    def completableFrom(idx: Int, inLoop: Boolean): Boolean = {
-      var i = idx
-      var loop = inLoop
-      var go = true
-      while (go && i < n) {
-        if (loop) { i += 1; loop = false }
-        else if (steps(i).optional) i += 1
-        else go = false
-      }
-      i == n
-    }
-    // pending greedy loops emit their maximal run; partials waiting at
-    // a trailing negation resolve positively — bounded input ended
-    // without the forbidden event (matches the within-expiry path in
-    // advance())
-    val emits = st.partials
-      .filter(p =>
-        (p.inLoop && p.stepIdx < n && steps(p.stepIdx).greedy
-          && completableFrom(p.stepIdx, p.inLoop)) ||
-        (p.stepIdx < n && steps(p.stepIdx).negated
-          && completableFrom(p.stepIdx + 1, false)))
-      .map(p => Emit(p.startSeq, p.lastSeq, Match(key, p.startTs, p.lastTs, p.eventIds, p.labels)))
-      .sortBy(em => (em.startSeq, em.lastSeq))
-    pattern.skip match {
-      case NoSkip => emits.map(_.m)
-      case SkipToNext =>
-        emits.groupBy(_.startSeq).toSeq.sortBy(_._1).map(_._2.head.m)
-      case SkipPastLastEvent =>
-        // emit the earliest, drop overlaps, repeat
-        val out = Seq.newBuilder[Match]
-        var rest = emits
-        while (rest.nonEmpty) {
-          val head = rest.head
-          out += head.m
-          rest = rest.filter(_.startSeq > head.lastSeq)
-        }
-        out.result()
-    }
-  }
-
   /** Streaming detection: partial matches survive across micro-batches
     * in keyed state. Events are ordered within each batch; cross-batch
     * order is arrival order (pair with a watermark-sorted upstream for
@@ -539,8 +232,11 @@ object Cep {
           val (matches, st) = advance(pattern, key, ordered(rows), initial)
           // no live partials → drop the key's state entirely; the seq
           // counter may reset, which is safe because skip-strategy
-          // comparisons only ever involve live partials
-          if (st.partials.isEmpty) state.remove() else state.update(st)
+          // comparisons only ever involve live partials. A pattern
+          // using PREV keeps one row (the key's last) in state instead
+          // — physical navigation must survive micro-batch boundaries.
+          if (st.partials.isEmpty && !pattern.needsPrev) state.remove()
+          else state.update(st)
           matches.iterator
       }
   }
@@ -570,16 +266,19 @@ object Cep {
           // timeout path and stale partials on a data batch)
           val (expired, alive) =
             initial.partials.partition(p => wm - p.startTs > pattern.withinMs)
-          val expiredMatches = flush(pattern, key, NfaState(expired, initial.nextSeq))
+          val expiredMatches = flush(pattern, key, initial.copy(partials = expired))
           val (matches, st) =
-            if (state.hasTimedOut) (Seq.empty[Match], NfaState(alive, initial.nextSeq))
-            else advance(pattern, key, ordered(rows), NfaState(alive, initial.nextSeq))
-          if (st.partials.isEmpty) state.remove()
+            if (state.hasTimedOut) (Seq.empty[Match], initial.copy(partials = alive))
+            else advance(pattern, key, ordered(rows), initial.copy(partials = alive))
+          if (st.partials.isEmpty && !pattern.needsPrev) state.remove()
           else {
             state.update(st)
             // wake when the earliest partial's within horizon passes
-            val earliest = st.partials.map(_.startTs + pattern.withinMs).min
-            state.setTimeoutTimestamp(math.max(earliest, wm + 1))
+            // (a prev-only cell needs no timer — it is one row per key)
+            if (st.partials.nonEmpty) {
+              val earliest = st.partials.map(_.startTs + pattern.withinMs).min
+              state.setTimeoutTimestamp(math.max(earliest, wm + 1))
+            }
           }
           (expiredMatches ++ matches).iterator
       }
@@ -628,20 +327,23 @@ object Cep {
           // (pending greedy loops / trailing negations emit)
           val (expired, alive) =
             st0.nfa.partials.partition(p => wm - p.startTs > pattern.withinMs)
-          val expiredMatches = flush(pattern, key, NfaState(expired, st0.nfa.nextSeq))
+          val expiredMatches = flush(pattern, key, st0.nfa.copy(partials = expired))
           val (matches, nfa1) =
-            advance(pattern, key, ripe, NfaState(alive, st0.nfa.nextSeq))
-          if (young.isEmpty && nfa1.partials.isEmpty) state.remove()
+            advance(pattern, key, ripe, st0.nfa.copy(partials = alive))
+          if (young.isEmpty && nfa1.partials.isEmpty && !pattern.needsPrev)
+            state.remove()
           else {
             state.update(OrderedNfaState(young, nfa1))
             // wake at whichever comes first: the earliest buffered
             // event ripening, or the earliest partial's within expiry
+            // (a prev-only cell needs no timer)
             val wakes =
               young.headOption.map(_.ts.getTime).toSeq ++
                 (if (nfa1.partials.nonEmpty)
                    Seq(nfa1.partials.map(_.startTs + pattern.withinMs).min)
                  else Nil)
-            state.setTimeoutTimestamp(math.max(wakes.min, wm + 1))
+            if (wakes.nonEmpty)
+              state.setTimeoutTimestamp(math.max(wakes.min, wm + 1))
           }
           (expiredMatches ++ matches).iterator
       }

@@ -1,14 +1,14 @@
 package graft.streaming
 
 import graft.streaming.StreamingOps.Event
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, InterpretedPredicate}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, InterpretedPredicate, JoinedRow}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL MATCH_RECOGNIZE front-end over the [[Cep]] NFA — the textual
@@ -67,47 +67,99 @@ object MatchRecognize {
     AttributeReference("value", DoubleType)()
   )
 
-  /** A DEFINE predicate: Spark-parsed, analyzer-coerced, interpreted
-    * per event. The bound Catalyst expression serializes into task
-    * closures; the predicate instance is rebuilt lazily per executor.
+  private val PrevPrefix = "__prev_"
+
+  /** A compiled DEFINE predicate over Catalyst rows, with optional
+    * PREV navigation: bound against curAttrs ++ prevAttrs, evaluated
+    * on JoinedRow(cur, prev-or-nulls). PREV of the partition's first
+    * row is NULL, so a `value > PREV(value)` predicate is false there
+    * — SQL null semantics for free. The bound Catalyst expression
+    * serializes into task closures; the predicate instance is rebuilt
+    * lazily per executor.
     */
-  private final class SqlPredicate(bound: Expression)
-      extends (Event => Boolean) with Serializable {
+  private final class BoundPredicate(bound: Expression, width: Int,
+      val usesPrev: Boolean)
+      extends ((Option[InternalRow], InternalRow) => Boolean) with Serializable {
     @transient private lazy val pred = InterpretedPredicate(bound)
-    @transient private lazy val row = new GenericInternalRow(5)
-    override def apply(e: Event): Boolean = {
-      row.update(0, e.event_id)
-      row.update(1, if (e.ts == null) null else DateTimeUtils.fromJavaTimestamp(e.ts))
-      row.update(2, e.user_id)
-      row.update(3, UTF8String.fromString(e.event_type))
-      row.update(4, e.value)
-      pred.eval(row.asInstanceOf[InternalRow])
-    }
+    @transient private lazy val nulls: InternalRow = new GenericInternalRow(width)
+    @transient private lazy val joined = new JoinedRow()
+    override def apply(prev: Option[InternalRow], cur: InternalRow): Boolean =
+      if (!usesPrev) pred.eval(cur)
+      else pred.eval(joined(cur, prev.getOrElse(nulls)))
   }
 
-  /** Compile one DEFINE condition: parse → resolve + coerce against
-    * the Event schema through the real analyzer (a LocalRelation
-    * carrier plan) → bind ordinals.
+  /** Compile one DEFINE condition against arbitrary attributes:
+    * parse → rewrite PREV(col) to a shadow `__prev_col` attribute →
+    * resolve + coerce through the real analyzer (a LocalRelation
+    * carrier plan) → bind ordinals. PREV is physical navigation (the
+    * previous input row in the ordered partition; reference:
+    * MatchCodeGenerator.scala, FlinkSqlOperatorTable.java:1147-1151).
     */
-  def compilePredicate(spark: SparkSession, sql: String): Event => Boolean = {
+  private def compileAgainst(spark: SparkSession, sql: String,
+      attrs: Seq[AttributeReference]): BoundPredicate = {
     val parsed = spark.sessionState.sqlParser.parseExpression(sql)
-    parsed.foreach {
+    var usesPrev = false
+    val rewritten = parsed.transformUp {
+      case f: UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("prev") =>
+        f.arguments match {
+          case Seq(a: UnresolvedAttribute) if a.nameParts.size == 1 =>
+            usesPrev = true
+            UnresolvedAttribute(PrevPrefix + a.name)
+          case _ => throw new IllegalArgumentException(
+            s"PREV supports a single bare column — PREV(col): $sql")
+        }
+    }
+    val prevAttrs = attrs.map(a =>
+      AttributeReference(PrevPrefix + a.name, a.dataType, nullable = true)())
+    val all = attrs ++ prevAttrs
+    rewritten.foreach {
       case u: UnresolvedAttribute
-        if !eventAttrs.exists(_.name.equalsIgnoreCase(u.name)) =>
+        if !all.exists(_.name.equalsIgnoreCase(u.name)) =>
         throw new IllegalArgumentException(
           s"DEFINE references unknown column '${u.name}' " +
-            s"(event columns: ${eventAttrs.map(_.name).mkString(", ")})")
+            s"(columns: ${attrs.map(_.name).mkString(", ")})")
       case _ => ()
     }
-    val carrier = Filter(parsed, LocalRelation(eventAttrs))
+    val carrier = Filter(rewritten, LocalRelation(all))
     val analyzed = spark.sessionState.analyzer.execute(carrier)
     spark.sessionState.analyzer.checkAnalysis(analyzed)
     val cond = analyzed.collectFirst { case Filter(c, _) => c }.getOrElse(
       throw new IllegalStateException(s"predicate did not analyze to a filter: $sql"))
     val bound =
-      BindReferences.bindReference(cond, eventAttrs.asInstanceOf[Seq[Attribute]])
-    new SqlPredicate(bound)
+      BindReferences.bindReference(cond, all.asInstanceOf[Seq[Attribute]])
+    new BoundPredicate(bound, attrs.size, usesPrev)
   }
+
+  /** [[compileAgainst]] specialized to the Event schema, adapting
+    * Event instances to Catalyst rows.
+    */
+  private final class EventPredicate(inner: BoundPredicate)
+      extends ((Option[Event], Event) => Boolean) with Serializable {
+    val usesPrev: Boolean = inner.usesPrev
+    @transient private lazy val cur = new GenericInternalRow(5)
+    @transient private lazy val prv = new GenericInternalRow(5)
+    private def fill(r: GenericInternalRow, e: Event): Unit = {
+      r.update(0, e.event_id)
+      r.update(1, if (e.ts == null) null else DateTimeUtils.fromJavaTimestamp(e.ts))
+      r.update(2, e.user_id)
+      r.update(3, UTF8String.fromString(e.event_type))
+      r.update(4, e.value)
+    }
+    override def apply(prev: Option[Event], e: Event): Boolean = {
+      fill(cur, e)
+      prev match {
+        case Some(p) if inner.usesPrev => fill(prv, p); inner(Some(prv), cur)
+        case _ => inner(None, cur)
+      }
+    }
+  }
+
+  /** Compile one DEFINE condition against the Event schema; the
+    * predicate sees (previous row in partition, current row).
+    */
+  def compilePredicate(spark: SparkSession, sql: String): (Option[Event], Event) => Boolean =
+    new EventPredicate(compileAgainst(spark, sql, eventAttrs))
 
   // ---- text parsing ---------------------------------------------------
 
@@ -216,23 +268,10 @@ object MatchRecognize {
       case None => Long.MaxValue // unbounded — matches the Scala API's inert bound
     }
 
-    // DEFINE var AS predicate, ...  (terminates at end of body or the
-    // next clause keyword — DEFINE is last in our subset)
-    val defineAt = keywordAt(body, "DEFINE") match {
-      case -1 => None
-      case at => Some(at + "DEFINE".length)
-    }
-    val defines: Map[String, Event => Boolean] = defineAt match {
-      case Some(end) =>
-        splitTopLevel(body.substring(end)).map { item =>
-          val asSplit = raw"(?is)\s+AS\s+".r.findFirstMatchIn(item).getOrElse(
-            throw new IllegalArgumentException(s"DEFINE item missing AS: $item"))
-          val name = item.substring(0, asSplit.start).trim
-          val pred = compilePredicate(spark, item.substring(asSplit.end).trim)
-          name.toUpperCase -> pred
-        }.toMap
-      case None => Map.empty
-    }
+    val defines: Map[String, EventPredicate] =
+      defineTexts(body).map { case (name, txt) =>
+        name -> new EventPredicate(compileAgainst(spark, txt, eventAttrs))
+      }
 
     val patBody = balancedBody(body, "PATTERN")
     val steps = splitPattern(patBody).map { case (name, quant) =>
@@ -241,24 +280,50 @@ object MatchRecognize {
       // agree regardless of how the query writes the variable
       val uname = name.toUpperCase
       // SQL-standard rule: an undefined variable matches any row
-      val pred = defines.getOrElse(uname, (_: Event) => true)
-      quant match {
-        case None => Cep.Step(uname, pred)
-        case Some("?") => Cep.Step(uname, pred, optional = true)
-        case Some("+") => Cep.Step(uname, pred, oneOrMore = true, greedy = true)
-        case Some("+?") => Cep.Step(uname, pred, oneOrMore = true, greedy = false)
-        case Some("*") =>
-          Cep.Step(uname, pred, oneOrMore = true, greedy = true, optional = true)
-        case Some(braces) =>
-          val nums = raw"\d+".r.findAllIn(braces).map(_.toInt).toSeq
-          nums match {
-            case Seq(n) => Cep.Step(uname, pred, times = n)
-            case Seq(n, mx) => Cep.Step(uname, pred, times = n, timesMax = mx)
-            case _ => throw new IllegalArgumentException(s"bad quantifier $braces")
-          }
-      }
+      val defined = defines.get(uname)
+      val pred = defined.getOrElse((_: Option[Event], _: Event) => true)
+      mkStep[Event](uname, pred, quant, defined.exists(_.usesPrev))
     }
     Cep.SequencePattern(steps, withinMs, strict = true, skip = skip)
+  }
+
+  /** Extract `DEFINE var AS predicate, ...` as (VAR → predicate text).
+    * DEFINE terminates at end of body — it is last in our subset.
+    */
+  private def defineTexts(body: String): Map[String, String] =
+    keywordAt(body, "DEFINE") match {
+      case -1 => Map.empty
+      case at =>
+        splitTopLevel(body.substring(at + "DEFINE".length)).map { item =>
+          val asSplit = raw"(?is)\s+AS\s+".r.findFirstMatchIn(item).getOrElse(
+            throw new IllegalArgumentException(s"DEFINE item missing AS: $item"))
+          val name = item.substring(0, asSplit.start).trim
+          name.toUpperCase -> item.substring(asSplit.end).trim
+        }.toMap
+    }
+
+  /** Map one (variable, quantifier) token onto a core NFA step. */
+  private def mkStep[E](uname: String, pred: (Option[E], E) => Boolean,
+      quant: Option[String], usesPrev: Boolean): CepCore.Step[E] = {
+    def step(times: Int = 1, optional: Boolean = false,
+        oneOrMore: Boolean = false, greedy: Boolean = false,
+        timesMax: Int = 0): CepCore.Step[E] =
+      CepCore.Step(uname, pred, times, optional, oneOrMore, greedy, timesMax,
+        needsPrev = usesPrev)
+    quant match {
+      case None => step()
+      case Some("?") => step(optional = true)
+      case Some("+") => step(oneOrMore = true, greedy = true)
+      case Some("+?") => step(oneOrMore = true, greedy = false)
+      case Some("*") => step(oneOrMore = true, greedy = true, optional = true)
+      case Some(braces) =>
+        val nums = raw"\d+".r.findAllIn(braces).map(_.toInt).toSeq
+        nums match {
+          case Seq(n) => step(times = n)
+          case Seq(n, mx) => step(times = n, timesMax = mx)
+          case _ => throw new IllegalArgumentException(s"bad quantifier $braces")
+        }
+    }
   }
 
   /** Tokenize the PATTERN body into (variable, quantifier) pairs.
@@ -449,5 +514,225 @@ object MatchRecognize {
         col("__z.event_ids").as("event_id"),
         col("__z.step_names").as("classifier")
       )
+  }
+
+  /** [[detectBatchAllRows]] plus MEASURES with the SQL-standard
+    * RUNNING semantics of ALL ROWS PER MATCH: each output row carries
+    * the measure computed over the match's rows UP TO AND INCLUDING
+    * itself (a row before the variable's first occurrence sees NULL
+    * for FIRST/LAST/MIN/MAX/SUM and 0 for COUNT). Implemented as
+    * window aggregates per (key, match_no) ordered by row_in_match —
+    * partition keys are (user, match), well-spread; no driver state.
+    */
+  def detectBatchAllRowsWithMeasures(events: Dataset[Event], sql: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    val base = detectBatchAllRows(events, sql)
+    val measures = parseMeasures(sql)
+    if (measures.isEmpty) return base
+    val ev = events.toDF().select(
+      col("event_id").as("__eid"),
+      col("ts").as("__ts"),
+      col("event_type").as("__etype"),
+      col("value").as("__value")
+    )
+    val joined = base.join(ev, base("event_id") === ev("__eid"))
+    val w = Window.partitionBy(col("key"), col("match_no"))
+      .orderBy(col("row_in_match"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fieldOf(c: String): Column = c match {
+      case "event_id" => col("__eid")
+      case "ts" => col("__ts")
+      case "event_type" => col("__etype")
+      case "value" => col("__value")
+      case other => throw new IllegalArgumentException(
+        s"unknown event column in MEASURES: $other")
+    }
+    val cols = measures.map { ms =>
+      val ofVar = col("classifier") === ms.variable
+      def v = when(ofVar, fieldOf(ms.column))
+      def num = when(ofVar, fieldOf(ms.column).cast("double"))
+      val cnt = count(when(ofVar, lit(1))).over(w)
+      val c = ms.func match {
+        case "COUNT" => cnt
+        case "SUM" => sum(num).over(w)
+        case "AVG" => sum(num).over(w) / cnt
+        case "MIN" => min(v).over(w)
+        case "MAX" => max(v).over(w)
+        case "FIRST" => first(v, ignoreNulls = true).over(w)
+        case "LAST" => last(v, ignoreNulls = true).over(w)
+      }
+      c.as(ms.alias)
+    }
+    joined.select(col("key") +: col("match_no") +: col("row_in_match") +:
+      col("event_id") +: col("classifier") +: cols: _*)
+  }
+
+  // ---- arbitrary relations --------------------------------------------
+
+  /** Row wrapper the generic NFA runs over: the original external row
+    * (emitted back out), its Catalyst form (predicates evaluate on
+    * it), and the within-clock milliseconds.
+    */
+  private final case class REv(row: Row, ir: InternalRow, tsMs: Long)
+
+  private val identList = raw"[A-Za-z_][A-Za-z_0-9]*(?:\s*,\s*[A-Za-z_][A-Za-z_0-9]*)*"
+  private val partitionListRe = raw"(?is)PARTITION\s+BY\s+($identList)".r
+  private val orderListRe = raw"(?is)ORDER\s+BY\s+($identList)".r
+
+  /** Milliseconds extractor for the WITHIN clock from the first ORDER
+    * BY column; None when the type has no temporal meaning (WITHIN is
+    * then rejected, plain ordering still works).
+    */
+  private def tsExtractor(dt: DataType, i: Int): Option[Row => Long] = dt match {
+    case TimestampType =>
+      Some(r => if (r.isNullAt(i)) 0L else r.getAs[java.sql.Timestamp](i).getTime)
+    case DateType =>
+      Some(r => if (r.isNullAt(i)) 0L else r.getAs[java.sql.Date](i).getTime)
+    case LongType => Some(r => if (r.isNullAt(i)) 0L else r.getLong(i))
+    case IntegerType => Some(r => if (r.isNullAt(i)) 0L else r.getInt(i).toLong)
+    case _ => None
+  }
+
+  /** Run a MATCH_RECOGNIZE text over ANY relation — the reference's
+    * StreamExecMatch runs over any input RowType (StreamExecMatch
+    * .java:90); this is graft's equivalent surface. The attribute list
+    * is the DataFrame's own schema; PARTITION BY / ORDER BY accept any
+    * of its columns (comma lists); DEFINE predicates are Spark-parsed
+    * against that schema and may use PREV(col) physical navigation.
+    *
+    * Output is ALL ROWS PER MATCH: every matched input row with its
+    * original columns plus `match_no` (1-based per partition key, in
+    * match order), `row_in_match` (1-based position), and `classifier`
+    * (the row's pattern variable).
+    *
+    * Scale shape: one shuffle on the partition keys, disk-backed
+    * secondary sort, then a single per-partition scan whose working
+    * state is the NFA's live partials — never a key's full history
+    * (same hot-key-safe design as [[Cep.detectBatch]]).
+    */
+  def detectRelation(df: DataFrame, sql: String): DataFrame = {
+    val spark = df.sparkSession
+    val body = balancedBody(sql, "MATCH_RECOGNIZE")
+    val schema = df.schema
+    val attrs: Seq[AttributeReference] = schema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+
+    def resolve(name: String): Int = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(i >= 0, s"MATCH_RECOGNIZE references unknown column '$name' " +
+        s"(input columns: ${schema.fieldNames.mkString(", ")})")
+      i
+    }
+    val partCols = partitionListRe.findFirstMatchIn(body)
+      .map(_.group(1).split(",").map(_.trim).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "MATCH_RECOGNIZE over a relation requires PARTITION BY"))
+    val orderCols = orderListRe.findFirstMatchIn(body)
+      .map(_.group(1).split(",").map(_.trim).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "MATCH_RECOGNIZE over a relation requires ORDER BY"))
+    val partIdx = partCols.map(resolve)
+    val orderIdx = orderCols.map(resolve)
+
+    val skip = skipRe.findFirstMatchIn(body) match {
+      case Some(m) if m.group(1).toUpperCase.startsWith("TO") => Cep.SkipToNext
+      case _ => Cep.SkipPastLastEvent // SQL default: SKIP PAST LAST ROW
+    }
+    val withinMs = withinRe.findFirstMatchIn(body) match {
+      case Some(m) =>
+        val n = m.group(1).toLong
+        m.group(2).toUpperCase match {
+          case "SECOND" => n * 1000L
+          case "MINUTE" => n * 60000L
+          case "HOUR" => n * 3600000L
+          case "DAY" => n * 86400000L
+        }
+      case None => Long.MaxValue
+    }
+    val tsF = tsExtractor(schema(orderIdx.head).dataType, orderIdx.head)
+    require(withinMs == Long.MaxValue || tsF.isDefined,
+      s"WITHIN requires the first ORDER BY column to be a timestamp/date/" +
+        s"integer; ${orderCols.head} is ${schema(orderIdx.head).dataType.sql}")
+    val clock: Row => Long = tsF.getOrElse(_ => 0L)
+
+    val defines: Map[String, BoundPredicate] =
+      defineTexts(body).map { case (name, txt) =>
+        name -> compileAgainst(spark, txt, attrs)
+      }
+    val steps = splitPattern(balancedBody(body, "PATTERN")).map {
+      case (name, quant) =>
+        val uname = name.toUpperCase
+        val defined = defines.get(uname)
+        val pred: (Option[REv], REv) => Boolean = defined match {
+          case Some(p) => (prev, cur) => p(prev.map(_.ir), cur.ir)
+          case None => (_, _) => true
+        }
+        mkStep[REv](uname, pred, quant, defined.exists(_.usesPrev))
+    }
+    val pattern = CepCore.SequencePattern[REv](steps, withinMs, strict = true,
+      skip = skip)
+
+    val outSchema = StructType(schema.fields.toSeq ++ Seq(
+      org.apache.spark.sql.types.StructField("match_no", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("row_in_match", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("classifier", StringType, nullable = false)))
+    val tsOf: REv => Long = _.tsMs
+
+    val partExprs = partCols.map(col)
+    val sortExprs = (partCols ++ orderCols).map(col)
+    df.repartition(partExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .mapPartitions { rows =>
+        val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+        new Iterator[Row] {
+          private var buf: Iterator[Row] = Iterator.empty
+          private var curKey: Seq[Any] = null
+          private var open = false
+          private var st = CepCore.NfaState[REv](Seq.empty, 0L)
+          private var matchNo = 0L
+          // strict (not lazy) so match numbering interleaves correctly
+          // with the per-key counter reset below
+          private def rowsOf(ms: Seq[CepCore.Match[REv]]): Seq[Row] =
+            ms.flatMap { m =>
+              matchNo += 1
+              m.rows.zip(m.labels).zipWithIndex.map { case ((ev, lab), i) =>
+                Row.fromSeq(ev.row.toSeq ++ Seq(matchNo, (i + 1).toLong, lab))
+              }
+            }
+          private def fill(): Unit = {
+            while (!buf.hasNext && (rows.hasNext || open)) {
+              if (rows.hasNext) {
+                val r = rows.next()
+                val key = partIdx.map(r.apply)
+                val ev = REv(r, conv(r).asInstanceOf[InternalRow], clock(r))
+                if (open && key == curKey) {
+                  val (m, s) = CepCore.advance(pattern, Seq(ev), st, tsOf)
+                  st = s
+                  buf = rowsOf(m).iterator
+                } else {
+                  val tail =
+                    if (open) rowsOf(CepCore.flush(pattern, st)) else Seq.empty
+                  curKey = key
+                  open = true
+                  matchNo = 0L
+                  val (m, s) = CepCore.advance(pattern, Seq(ev),
+                    CepCore.NfaState[REv](Seq.empty, 0L), tsOf)
+                  st = s
+                  buf = (tail ++ rowsOf(m)).iterator
+                }
+              } else {
+                buf = rowsOf(CepCore.flush(pattern, st)).iterator
+                open = false
+              }
+            }
+          }
+          override def hasNext: Boolean = { fill(); buf.hasNext }
+          override def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException("empty iterator")
+            buf.next()
+          }
+        }
+      }(Encoders.row(outSchema))
   }
 }

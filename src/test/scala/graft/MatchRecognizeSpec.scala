@@ -196,6 +196,36 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(r.getAs[Long]("rid") == 4L)
   }
 
+  test("ALL ROWS PER MATCH: measures are RUNNING — per-row prefix aggregates") {
+    import spark.implicits._
+    // user 9: error(2.0) error(4.0) error(6.0) ok(9.0) — one E+ R match
+    val events = Seq(
+      Event(1, ts(0), 9, "error", 2.0),
+      Event(2, ts(1), 9, "error", 4.0),
+      Event(3, ts(2), 9, "error", 6.0),
+      Event(4, ts(3), 9, "ok", 9.0)
+    ).toDS()
+    val out = MatchRecognize.detectBatchAllRowsWithMeasures(events, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(E.*) AS ne, SUM(E.value) AS se, LAST(E.value) AS le,
+                 FIRST(R.value) AS fr
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (E+ R)
+        DEFINE E AS event_type = 'error', R AS event_type <> 'error')""")
+      .orderBy("row_in_match")
+      .collect()
+      .map(r => (r.getAs[Long]("row_in_match"), r.getAs[String]("classifier"),
+        r.getAs[Long]("ne"), Option(r.getAs[java.lang.Double]("se")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("le")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("fr")).map(_.toDouble)))
+      .toSeq
+    assert(out == Seq(
+      (1L, "E", 1L, Some(2.0), Some(2.0), None),
+      (2L, "E", 2L, Some(6.0), Some(4.0), None),
+      (3L, "E", 3L, Some(12.0), Some(6.0), None),
+      (4L, "R", 3L, Some(12.0), Some(6.0), Some(9.0))))
+  }
+
   test("MEASURES: unsupported items are rejected, absent clause is empty") {
     intercept[IllegalArgumentException] {
       MatchRecognize.parseMeasures(
