@@ -855,6 +855,182 @@ object CepQueries extends QueryModule {
         FROM mn JOIN o ON o.o_custkey = mn.o_custkey
                       AND o.rn BETWEEN mn.srn AND mn.ern + 1
       """)
+    ),
+    // SQL PATTERN grouping (round-10): the same (E V)+ P query as
+    // q_cep_group_loop, but arriving as MATCH_RECOGNIZE TEXT — the
+    // tokenizer maps one-level parenthesized groups onto CepCore.Group
+    // (reference: GroupPattern.java; Calcite row-pattern grammar in
+    // StreamExecMatch.java:90). Same lazy-regex oracle.
+    QueryDef(
+      "q_cep_sql_group",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatch(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN ((E V)+ P)
+              DEFINE E AS event_type = 'error',
+                     V AS event_type = 'view',
+                     P AS event_type = 'purchase'
+            )
+          """)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("first_id"),
+            ((size(col("event_ids")) - 1) / 2).cast("long").as("n_pairs"),
+            element_at(col("event_ids"), -1).as("close_id")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        s AS (
+          SELECT user_id,
+                 string_agg(CASE event_type WHEN 'error' THEN 'E'
+                            WHEN 'view' THEN 'V' WHEN 'purchase' THEN 'P'
+                            ELSE 'X' END, '' ORDER BY rn) AS str
+          FROM o GROUP BY user_id
+        ),
+        pos AS (
+          SELECT user_id, str,
+                 unnest(range(1, CAST(length(str) AS BIGINT) + 1)) AS i
+          FROM s
+        ),
+        mm AS (
+          SELECT user_id, i AS srn,
+                 length(regexp_extract(substr(str, CAST(i AS INT)), '^(?:EV)+?P')) AS len
+          FROM pos
+          WHERE regexp_matches(substr(str, CAST(i AS INT)), '^(?:EV)+?P')
+        )
+        SELECT mm.user_id, f.event_id AS first_id,
+               CAST((mm.len - 1) // 2 AS BIGINT) AS n_pairs,
+               l.event_id AS close_id
+        FROM mm
+        JOIN o f ON f.user_id = mm.user_id AND f.rn = mm.srn
+        JOIN o l ON l.user_id = mm.user_id AND l.rn = mm.srn + mm.len - 1
+      """)
+    ),
+    // SQL PATTERN alternation (round-10): PATTERN (S P | E V) — each
+    // alternative is an NFA branch (reference: the Calcite row-pattern
+    // grammar accepts alternation; CepCore forks a fresh partial per
+    // branch). Strict adjacency makes the oracle a lead() OR-predicate.
+    QueryDef(
+      "q_cep_sql_alt",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatch(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (S P | E V)
+              DEFINE S AS event_type = 'signup',
+                     P AS event_type = 'purchase',
+                     E AS event_type = 'error',
+                     V AS event_type = 'view'
+            )
+          """)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("first_id"),
+            element_at(col("event_ids"), -1).as("second_id"),
+            element_at(col("step_names"), 1).as("kind")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt,
+                 lead(event_id)   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nid
+          FROM events
+        )
+        SELECT user_id, event_id AS first_id, nid AS second_id,
+               CASE WHEN event_type = 'signup' THEN 'S' ELSE 'E' END AS kind
+        FROM o
+        WHERE (event_type = 'signup' AND nt = 'purchase')
+           OR (event_type = 'error'  AND nt = 'view')
+      """)
+    ),
+    // MEASURES over an ARBITRARY relation (round-10): ONE ROW PER MATCH
+    // with per-variable aggregates computed from the generic ALL ROWS
+    // relation — no join back to the input (the rows already carry
+    // every column). Oracle: gaps-and-islands aggregated per island.
+    QueryDef(
+      "q_cep_sql_orders_measures",
+      (s, dir) => {
+        val t = tables(s, dir)
+        graft.streaming.MatchRecognize
+          .detectRelationWithMeasures(
+            t.orders.select("o_custkey", "o_orderkey", "o_orderstatus",
+              "o_orderdate"),
+            """
+            MATCH_RECOGNIZE (
+              PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              MEASURES COUNT(F.*) AS n_f,
+                       FIRST(F.o_orderkey) AS first_f,
+                       MAX(F.o_orderkey) AS max_f,
+                       LAST(O.o_orderdate) AS close_date
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (F+ O)
+              DEFINE F AS o_orderstatus = 'F',
+                     O AS o_orderstatus = 'O'
+            )
+          """)
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders
+        ),
+        f AS (
+          SELECT o_custkey, rn,
+                 rn - row_number() OVER (PARTITION BY o_custkey ORDER BY rn) AS grp
+          FROM o WHERE o_orderstatus = 'F'
+        ),
+        runs AS (
+          SELECT o_custkey, grp, min(rn) AS srn, max(rn) AS ern
+          FROM f GROUP BY o_custkey, grp
+        ),
+        m AS (
+          SELECT r.o_custkey, r.srn, r.ern
+          FROM runs r
+          JOIN o nx ON nx.o_custkey = r.o_custkey AND nx.rn = r.ern + 1
+          WHERE nx.o_orderstatus = 'O'
+        ),
+        mn AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY srn) AS BIGINT) AS match_no
+          FROM m
+        )
+        SELECT mn.o_custkey, mn.match_no,
+               CAST(mn.ern - mn.srn + 1 AS BIGINT) AS n_f,
+               min(CASE WHEN o.rn = mn.srn THEN o.o_orderkey END) AS first_f,
+               max(o.o_orderkey) FILTER (WHERE o.rn <= mn.ern) AS max_f,
+               min(CASE WHEN o.rn = mn.ern + 1 THEN o.o_orderdate END) AS close_date
+        FROM mn JOIN o ON o.o_custkey = mn.o_custkey
+                      AND o.rn BETWEEN mn.srn AND mn.ern + 1
+        GROUP BY mn.o_custkey, mn.match_no, mn.srn, mn.ern
+      """)
     )
   )
 }

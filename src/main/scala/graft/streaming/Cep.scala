@@ -119,9 +119,10 @@ object Cep {
       steps: Seq[CepCore.Elem[Event]],
       withinMs: Long,
       strict: Boolean,
-      skip: SkipStrategy = NoSkip
+      skip: SkipStrategy = NoSkip,
+      orElse: Seq[Seq[CepCore.Elem[Event]]] = Nil
   ): SequencePattern =
-    CepCore.SequencePattern[Event](steps, withinMs, strict, skip)
+    CepCore.SequencePattern[Event](steps, withinMs, strict, skip, orElse)
 
   def NfaState(partials: Seq[PartialMatch], nextSeq: Long): NfaState =
     CepCore.NfaState[Event](partials, nextSeq, None)
@@ -221,6 +222,15 @@ object Cep {
     * order is arrival order (pair with a watermark-sorted upstream for
     * strict event-time guarantees). Pending greedy loops emit when the
     * loop breaks or `within` expires — an unbounded stream never ends.
+    *
+    * State caveat for PREV patterns: a pattern whose DEFINE navigates
+    * to PREV keeps one row (the key's last) in state even when no
+    * partials survive, and this variant has no timer facility
+    * (NoTimeout) to retire idle cells — state grows with key
+    * cardinality. For unbounded key spaces use
+    * [[detectStreamExpiring]] / [[detectStreamOrdered]], whose
+    * watermark timers drop a prev-only cell once it has been idle a
+    * full `within` horizon.
     */
   def detectStream(events: Dataset[Event], pattern: SequencePattern): Dataset[Match] = {
     import events.sparkSession.implicits._
@@ -270,14 +280,26 @@ object Cep {
           val (matches, st) =
             if (state.hasTimedOut) (Seq.empty[Match], initial.copy(partials = alive))
             else advance(pattern, key, ordered(rows), initial.copy(partials = alive))
-          if (st.partials.isEmpty && !pattern.needsPrev) state.remove()
-          else {
+          if (st.partials.isEmpty &&
+            (!pattern.needsPrev || state.hasTimedOut)) {
+            // no live partials and either PREV is unused or the
+            // prev-only cell's idle-retention timer fired: any event
+            // arriving after a full within horizon of silence is late
+            // beyond the watermark anyway — drop the cell so idle keys
+            // cannot pin state forever
+            state.remove()
+          } else {
             state.update(st)
-            // wake when the earliest partial's within horizon passes
-            // (a prev-only cell needs no timer — it is one row per key)
             if (st.partials.nonEmpty) {
+              // wake when the earliest partial's within horizon passes
               val earliest = st.partials.map(_.startTs + pattern.withinMs).min
               state.setTimeoutTimestamp(math.max(earliest, wm + 1))
+            } else if (pattern.withinMs != Long.MaxValue) {
+              // prev-only cell: retire once the watermark is a within
+              // horizon past the key's last activity (with no within
+              // bound there is no horizon — the cell is retained, as
+              // are partials)
+              state.setTimeoutTimestamp(math.max(wm + pattern.withinMs, wm + 1))
             }
           }
           (expiredMatches ++ matches).iterator
@@ -330,17 +352,26 @@ object Cep {
           val expiredMatches = flush(pattern, key, st0.nfa.copy(partials = expired))
           val (matches, nfa1) =
             advance(pattern, key, ripe, st0.nfa.copy(partials = alive))
-          if (young.isEmpty && nfa1.partials.isEmpty && !pattern.needsPrev)
+          if (young.isEmpty && nfa1.partials.isEmpty &&
+            (!pattern.needsPrev || state.hasTimedOut))
+            // nothing buffered, no live partials, and either PREV is
+            // unused or the prev-only cell's idle-retention timer
+            // fired — drop the cell (see detectStreamExpiring)
             state.remove()
           else {
             state.update(OrderedNfaState(young, nfa1))
             // wake at whichever comes first: the earliest buffered
-            // event ripening, or the earliest partial's within expiry
-            // (a prev-only cell needs no timer)
+            // event ripening, or the earliest partial's within expiry;
+            // a prev-only cell wakes a full within horizon after the
+            // key's last activity to retire itself
             val wakes =
               young.headOption.map(_.ts.getTime).toSeq ++
                 (if (nfa1.partials.nonEmpty)
                    Seq(nfa1.partials.map(_.startTs + pattern.withinMs).min)
+                 else Nil) ++
+                (if (young.isEmpty && nfa1.partials.isEmpty &&
+                   pattern.withinMs != Long.MaxValue)
+                   Seq(wm + pattern.withinMs)
                  else Nil)
             if (wakes.nonEmpty)
               state.setTimeoutTimestamp(math.max(wakes.min, wm + 1))

@@ -119,21 +119,31 @@ object CepCore {
 
   /** A sequence pattern over elements (steps and groups); see
     * [[Cep.SequencePattern]] for the semantics of `strict` and `skip`.
+    * `orElse` holds ADDITIONAL alternative element sequences — SQL
+    * PATTERN alternation `A B | C D` (reference: the Calcite row-pattern
+    * grammar StreamExecMatch compiles accepts alternation; the CEP
+    * library's GroupPattern/branching NFA runs it). Each alternative is
+    * a full branch of the NFA: a fresh partial forks per branch, and
+    * the after-match skip strategy arbitrates across branches exactly
+    * as it does within one (ties prefer the earlier alternative — the
+    * regex-standard ordered-choice rule).
     */
   final case class SequencePattern[E](
       elems: Seq[Elem[E]],
       withinMs: Long,
       strict: Boolean,
-      skip: SkipStrategy = NoSkip
+      skip: SkipStrategy = NoSkip,
+      orElse: Seq[Seq[Elem[E]]] = Nil
   ) {
     require(elems.nonEmpty)
+    require(orElse.forall(_.nonEmpty), "an empty PATTERN alternative")
 
-    /** elems flattened to the step list the NFA runs: groups unrolled
-      * (times(n) statically, oneOrMore via a back-edge on the last
-      * sub-step), then per-step times(n[, m]) unrolled — n required
-      * copies plus m - n optional ones.
+    /** One alternative's elems flattened to the step list the NFA runs:
+      * groups unrolled (times(n) statically, oneOrMore via a back-edge
+      * on the last sub-step), then per-step times(n[, m]) unrolled — n
+      * required copies plus m - n optional ones.
       */
-    val expanded: Seq[Step[E]] = {
+    private def expand(es: Seq[Elem[E]]): Seq[Step[E]] = {
       val out = Seq.newBuilder[Step[E]]
       var idx = 0
       def emit(s: Step[E]): Unit = { out += s; idx += 1 }
@@ -143,7 +153,7 @@ object CepCore {
         (1 to mx - s.times).foreach(_ =>
           emit(s.copy(times = 1, timesMax = 0, optional = true)))
       }
-      elems.foreach {
+      es.foreach {
         case s: Step[E] => expandStep(s)
         case g: Group[E] =>
           if (g.oneOrMore) {
@@ -164,20 +174,30 @@ object CepCore {
       out.result()
     }
 
-    require(!expanded.head.negated,
-      "a pattern cannot start with a negation (nothing precedes it)")
-    require(!expanded.head.anyMatch,
-      "followedByAny describes the edge INTO a step; the first step has none")
-    require(!strict || !expanded.exists(_.anyMatch),
-      "followedByAny is relaxed contiguity; it cannot appear in a strict (next) pattern")
-    require(!expanded.iterator.sliding(2).withPartial(false)
-      .exists(w => w.head.negated && w(1).negated),
-      "two adjacent negated steps are ambiguous — merge the predicates")
+    /** One expanded step list per alternative; partials carry the index
+      * of the branch they run on.
+      */
+    val branches: Seq[Seq[Step[E]]] = (elems +: orElse).map(expand)
+
+    /** The first (or only) branch — the pre-alternation step list. */
+    val expanded: Seq[Step[E]] = branches.head
+
+    branches.foreach { steps =>
+      require(!steps.head.negated,
+        "a pattern cannot start with a negation (nothing precedes it)")
+      require(!steps.head.anyMatch,
+        "followedByAny describes the edge INTO a step; the first step has none")
+      require(!strict || !steps.exists(_.anyMatch),
+        "followedByAny is relaxed contiguity; it cannot appear in a strict (next) pattern")
+      require(!steps.iterator.sliding(2).withPartial(false)
+        .exists(w => w.head.negated && w(1).negated),
+        "two adjacent negated steps are ambiguous — merge the predicates")
+    }
 
     /** Some predicate navigates to PREV: streaming state must retain
       * the key's last row even when no partial matches survive.
       */
-    val needsPrev: Boolean = expanded.exists(_.needsPrev)
+    val needsPrev: Boolean = branches.exists(_.exists(_.needsPrev))
   }
 
   /** A live partial match. `inLoop` marks a oneOrMore step that has
@@ -195,7 +215,11 @@ object CepCore {
       startSeq: Long,
       lastSeq: Long,
       rows: Seq[E],
-      labels: Seq[String]
+      labels: Seq[String],
+      /** Which [[SequencePattern.branches]] alternative this partial
+        * runs on (0 when the pattern has no alternation).
+        */
+      branch: Int = 0
   )
 
   /** NFA state for one key. `prev` is the last row this key's ordered
@@ -214,7 +238,11 @@ object CepCore {
   final case class Match[E](start_ts: Long, end_ts: Long, rows: Seq[E],
       labels: Seq[String])
 
-  private final case class Emit[E](startSeq: Long, lastSeq: Long, m: Match[E])
+  // branch participates in the emission sort only as a tie-break:
+  // alternatives emitting the same span prefer the earlier one (the
+  // regex-standard ordered-choice rule)
+  private final case class Emit[E](startSeq: Long, lastSeq: Long, branch: Int,
+      m: Match[E])
 
   /** Advance the NFA over time-ordered events, returning completed
     * matches (in emission order) and the surviving state. `tsMs`
@@ -227,17 +255,17 @@ object CepCore {
       initial: NfaState[E],
       tsMs: E => Long
   ): (Seq[Match[E]], NfaState[E]) = {
-    val steps = pattern.expanded
-    val n = steps.size
+    val branches = pattern.branches
     var partials = initial.partials
     var seq = initial.nextSeq
     var prevE: Option[E] = initial.prev
     val out = Seq.newBuilder[Match[E]]
 
     // positions reachable without consuming an event: exit a satisfied
-    // loop, skip optional steps. Linear chain — each position has at
-    // most one epsilon edge.
-    def closure(idx: Int, inLoop: Boolean): Seq[(Int, Boolean)] = {
+    // loop, skip optional steps. Linear chain per branch — each
+    // position has at most one epsilon edge.
+    def closure(steps: Seq[Step[E]], idx: Int, inLoop: Boolean): Seq[(Int, Boolean)] = {
+      val n = steps.size
       val acc = Seq.newBuilder[(Int, Boolean)]
       var i = idx
       var loop = inLoop
@@ -251,31 +279,44 @@ object CepCore {
       acc.result()
     }
 
-    def completable(p: PartialMatch[E]): Boolean =
-      closure(p.stepIdx, p.inLoop).exists(_._1 == n)
+    def completable(p: PartialMatch[E]): Boolean = {
+      val steps = branches(p.branch)
+      closure(steps, p.stepIdx, p.inLoop).exists(_._1 == steps.size)
+    }
 
     // a retired greedy loop (expired / strict-broken / flushed) emits
     // its maximal match now; reluctant loops already emitted per length
-    def retirementEmit(p: PartialMatch[E]): Option[Emit[E]] =
-      if (p.inLoop && p.stepIdx < n && steps(p.stepIdx).greedy && completable(p))
-        Some(Emit(p.startSeq, p.lastSeq, Match(p.startTs, p.lastTs, p.rows, p.labels)))
+    def retirementEmit(p: PartialMatch[E]): Option[Emit[E]] = {
+      val steps = branches(p.branch)
+      if (p.inLoop && p.stepIdx < steps.size && steps(p.stepIdx).greedy &&
+        completable(p))
+        Some(Emit(p.startSeq, p.lastSeq, p.branch,
+          Match(p.startTs, p.lastTs, p.rows, p.labels)))
       else None
+    }
 
-    def negationPending(p: PartialMatch[E]): Boolean =
-      p.stepIdx < n && steps(p.stepIdx).negated
+    def negationPending(p: PartialMatch[E]): Boolean = {
+      val steps = branches(p.branch)
+      p.stepIdx < steps.size && steps(p.stepIdx).negated
+    }
 
     // a partial waiting at a TRAILING negation (only optional steps
     // after it) whose within expired without the forbidden event: the
     // negation resolves positively — the match ends at its last
     // consumed event
-    def negationExpiryEmit(p: PartialMatch[E]): Option[Emit[E]] =
-      if (negationPending(p) && closure(p.stepIdx + 1, false).exists(_._1 == n))
-        Some(Emit(p.startSeq, p.lastSeq, Match(p.startTs, p.lastTs, p.rows, p.labels)))
+    def negationExpiryEmit(p: PartialMatch[E]): Option[Emit[E]] = {
+      val steps = branches(p.branch)
+      if (negationPending(p) &&
+        closure(steps, p.stepIdx + 1, false).exists(_._1 == steps.size))
+        Some(Emit(p.startSeq, p.lastSeq, p.branch,
+          Match(p.startTs, p.lastTs, p.rows, p.labels)))
       else None
+    }
 
     // Pattern.until: the loop at step i refuses e once the stop
     // condition matches (the until event is never consumed by the loop)
-    def untilHit(i: Int, e: E): Boolean = steps(i).until.exists(f => f(e))
+    def untilHit(steps: Seq[Step[E]], i: Int, e: E): Boolean =
+      steps(i).until.exists(f => f(e))
 
     /** Try to consume `e` from partial `p`. Returns (consumed,
       * successors, emits). A greedy in-loop partial whose loop
@@ -284,18 +325,21 @@ object CepCore {
       */
     def consume(p: PartialMatch[E], e: E, prev: Option[E], ts: Long, s: Long)
         : (Boolean, Seq[PartialMatch[E]], Seq[Emit[E]]) = {
+      val steps = branches(p.branch)
+      val n = steps.size
       val succ = Seq.newBuilder[PartialMatch[E]]
       val emits = Seq.newBuilder[Emit[E]]
       var consumed = false
       // greedy loop branch wins outright — unless the stop condition
       // closes the loop, in which case the exit positions take over
       val greedyLoop = p.inLoop && steps(p.stepIdx).greedy &&
-        steps(p.stepIdx).predicate(prev, e) && !untilHit(p.stepIdx, e)
+        steps(p.stepIdx).predicate(prev, e) && !untilHit(steps, p.stepIdx, e)
       val positions =
-        if (greedyLoop) Seq((p.stepIdx, true)) else closure(p.stepIdx, p.inLoop)
+        if (greedyLoop) Seq((p.stepIdx, true))
+        else closure(steps, p.stepIdx, p.inLoop)
       positions.foreach { case (i, _) =>
         if (i < n && steps(i).predicate(prev, e) &&
-          !(steps(i).oneOrMore && untilHit(i, e))) {
+          !(steps(i).oneOrMore && untilHit(steps, i, e))) {
           consumed = true
           val ids = p.rows :+ e
           val labs = p.labels :+ steps(i).name
@@ -312,14 +356,14 @@ object CepCore {
               succ += p
             // reluctant loop that can already exit to the accept state
             // emits at this length too
-            if (!steps(i).greedy && closure(i, true).exists(_._1 == n))
-              emits += Emit(p.startSeq, s, Match(p.startTs, ts, ids, labs))
+            if (!steps(i).greedy && closure(steps, i, true).exists(_._1 == n))
+              emits += Emit(p.startSeq, s, p.branch, Match(p.startTs, ts, ids, labs))
           } else {
             val next =
               p.copy(stepIdx = i + 1, inLoop = false, lastTs = ts, lastSeq = s,
                 rows = ids, labels = labs)
-            if (closure(i + 1, false).exists(_._1 == n))
-              emits += Emit(p.startSeq, s, Match(p.startTs, ts, ids, labs))
+            if (closure(steps, i + 1, false).exists(_._1 == n))
+              emits += Emit(p.startSeq, s, p.branch, Match(p.startTs, ts, ids, labs))
             if (i + 1 < n) succ += next
             // followedByAny: the take did not consume the ignore edge —
             // keep a branch pinned AT this step (epsilon moves already
@@ -357,6 +401,8 @@ object CepCore {
 
       val nextPartials = Seq.newBuilder[PartialMatch[E]]
       alive.foreach { p =>
+        val steps = branches(p.branch)
+        val n = steps.size
         if (negationPending(p)) {
           val i = p.stepIdx
           if (steps(i).predicate(prev, e)) {
@@ -369,8 +415,9 @@ object CepCore {
             // a mid-pattern negation hands this same event to the
             // continuation (error notNext(x) next(b): b checks the very
             // event that cleared the notNext).
-            if (closure(i + 1, false).exists(_._1 == n))
-              emitsB += Emit(p.startSeq, p.lastSeq, Match(p.startTs, p.lastTs, p.rows, p.labels))
+            if (closure(steps, i + 1, false).exists(_._1 == n))
+              emitsB += Emit(p.startSeq, p.lastSeq, p.branch,
+                Match(p.startTs, p.lastTs, p.rows, p.labels))
             if (i + 1 < n) {
               val p2 = p.copy(stepIdx = i + 1)
               val (consumed2, succ2, emits2) = consume(p2, e, prev, ts, s)
@@ -406,7 +453,7 @@ object CepCore {
             // greedy loop emits its maximal match, a mid-pattern loop
             // continues from the exit position
             if (p.inLoop && p.stepIdx < n && steps(p.stepIdx).oneOrMore
-              && (untilHit(p.stepIdx, e) || steps(p.stepIdx).consecutive)) {
+              && (untilHit(steps, p.stepIdx, e) || steps(p.stepIdx).consecutive)) {
               if (p.stepIdx + 1 == n) retirementEmit(p).foreach(emitsB += _)
               else nextPartials += p.copy(stepIdx = p.stepIdx + 1, inLoop = false)
             } else nextPartials += p
@@ -414,12 +461,21 @@ object CepCore {
         }
       }
 
-      // can this event start a new partial?
-      val fresh = PartialMatch[E](0, inLoop = false, ts, ts, s, s, Seq.empty, Seq.empty)
-      val (startedHere, freshSucc, freshEmits) = consume(fresh, e, prev, ts, s)
-      emitsB ++= freshEmits
+      // can this event start a new partial? One fresh fork per branch
+      // (alternation: every alternative competes from the same start).
+      var startedHere = false
+      val freshSucc = Seq.newBuilder[PartialMatch[E]]
+      branches.indices.foreach { b =>
+        val fresh = PartialMatch[E](0, inLoop = false, ts, ts, s, s,
+          Seq.empty, Seq.empty, b)
+        val (c, succ, emits) = consume(fresh, e, prev, ts, s)
+        if (c) startedHere = true
+        freshSucc ++= succ
+        emitsB ++= emits
+      }
       var pending = nextPartials.result()
-      val candidates = emitsB.result().sortBy(em => (em.startSeq, em.lastSeq))
+      val candidates = emitsB.result()
+        .sortBy(em => (em.startSeq, em.lastSeq, em.branch))
       var freshAllowed = startedHere
 
       // after-match skip strategy
@@ -456,7 +512,7 @@ object CepCore {
             rest = rest.tail.filter(_.startSeq > em.lastSeq)
           }
       }
-      partials = if (freshAllowed) pending ++ freshSucc else pending
+      partials = if (freshAllowed) pending ++ freshSucc.result() else pending
       prevE = Some(e)
     }
 
@@ -467,9 +523,9 @@ object CepCore {
     * completable greedy loops under the pattern's skip strategy.
     */
   def flush[E](pattern: SequencePattern[E], st: NfaState[E]): Seq[Match[E]] = {
-    val steps = pattern.expanded
-    val n = steps.size
-    def completableFrom(idx: Int, inLoop: Boolean): Boolean = {
+    val branches = pattern.branches
+    def completableFrom(steps: Seq[Step[E]], idx: Int, inLoop: Boolean): Boolean = {
+      val n = steps.size
       var i = idx
       var loop = inLoop
       var go = true
@@ -485,13 +541,17 @@ object CepCore {
     // without the forbidden event (matches the within-expiry path in
     // advance())
     val emits = st.partials
-      .filter(p =>
+      .filter { p =>
+        val steps = branches(p.branch)
+        val n = steps.size
         (p.inLoop && p.stepIdx < n && steps(p.stepIdx).greedy
-          && completableFrom(p.stepIdx, p.inLoop)) ||
+          && completableFrom(steps, p.stepIdx, p.inLoop)) ||
         (p.stepIdx < n && steps(p.stepIdx).negated
-          && completableFrom(p.stepIdx + 1, false)))
-      .map(p => Emit(p.startSeq, p.lastSeq, Match(p.startTs, p.lastTs, p.rows, p.labels)))
-      .sortBy(em => (em.startSeq, em.lastSeq))
+          && completableFrom(steps, p.stepIdx + 1, false))
+      }
+      .map(p => Emit(p.startSeq, p.lastSeq, p.branch,
+        Match(p.startTs, p.lastTs, p.rows, p.labels)))
+      .sortBy(em => (em.startSeq, em.lastSeq, em.branch))
     pattern.skip match {
       case NoSkip => emits.map(_.m)
       case SkipToNext =>

@@ -97,6 +97,15 @@ object MatchRecognize {
     */
   private def compileAgainst(spark: SparkSession, sql: String,
       attrs: Seq[AttributeReference]): BoundPredicate = {
+    // the PREV rewrite synthesizes shadow attributes named
+    // '__prev_<col>'; an input column already carrying that prefix
+    // would collide with them and bind the wrong ordinal — reject
+    // loudly rather than resolve ambiguously
+    attrs.find(_.name.startsWith(PrevPrefix)).foreach { a =>
+      throw new IllegalArgumentException(
+        s"input schema contains reserved column '${a.name}': the " +
+          s"'$PrevPrefix' prefix is reserved for PREV navigation shadows")
+    }
     val parsed = spark.sessionState.sqlParser.parseExpression(sql)
     var usesPrev = false
     val rewritten = parsed.transformUp {
@@ -227,7 +236,149 @@ object MatchRecognize {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  private val quantified = raw"(?s)([A-Za-z_][A-Za-z_0-9]*)(\{\s*\d+\s*(?:,\s*\d+\s*)?\}|\+\??|\*|\?)?".r
+  // ---- PATTERN tokenizer ---------------------------------------------
+
+  /** One parsed PATTERN element of one alternative. */
+  private sealed trait PatTok
+  private final case class VarTok(name: String, quant: Option[String])
+      extends PatTok
+  private final case class GroupTok(vars: Seq[(String, Option[String])],
+      oneOrMore: Boolean, times: Int) extends PatTok
+
+  /** Split the PATTERN body on TOP-LEVEL `|` — SQL row-pattern
+    * alternation (reference: the Calcite row-pattern grammar
+    * StreamExecMatch compiles accepts alternation). Each alternative
+    * becomes an NFA branch ([[CepCore.SequencePattern.branches]]).
+    */
+  private def splitAlternatives(patBody: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < patBody.length) {
+      patBody(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '|' if depth == 0 =>
+          out += patBody.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += patBody.substring(start)
+    val alts = out.result().map(_.trim)
+    require(alts.forall(_.nonEmpty),
+      s"empty alternative in PATTERN body: $patBody")
+    alts
+  }
+
+  /** Tokenize ONE alternative of the PATTERN body: a sequence of
+    * `VAR[quant]` and one-level groups `(VAR ...)[+ | +? | {n}]`. The
+    * scanner consumes the ENTIRE text — anything outside the supported
+    * subset (PERMUTE, reluctant `*?`, open-ended `{n,}`, nested or
+    * `*`/`?`-quantified groups) throws rather than being silently
+    * reinterpreted. Group loops `(A B)+` are reluctant — the
+    * reference's oneOrMore default (GroupPattern.java); sub-steps may
+    * carry only fixed `{n}` quantifiers ([[CepCore.Group]]'s contract:
+    * the loop back-edge anchors on the group's last step consuming).
+    */
+  private def tokenize(alt: String): Seq[PatTok] = {
+    val out = Seq.newBuilder[PatTok]
+    var i = 0
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"unsupported PATTERN syntax '$what' in: $alt — supported subset is " +
+        "alternatives of VAR[+ | +? | * | ? | {n} | {n,m}] and one-level " +
+        "groups (VAR ...)[+ | +? | {n}] (no PERMUTE, reluctant '*?', " +
+        "open-ended '{n,}', nested groups, or '*'/'?' on a group)")
+    def skipWs(): Unit = while (i < alt.length && alt(i).isWhitespace) i += 1
+    // the quantifier starting exactly at position i, if any
+    def quant(): Option[String] =
+      if (i >= alt.length) None
+      else alt(i) match {
+        case '+' =>
+          i += 1
+          if (i < alt.length && alt(i) == '?') { i += 1; Some("+?") }
+          else Some("+")
+        case '*' =>
+          i += 1
+          if (i < alt.length && alt(i) == '?') fail("*?") else Some("*")
+        case '?' => i += 1; Some("?")
+        case '{' =>
+          val close = alt.indexOf('}', i)
+          if (close < 0) fail(alt.substring(i))
+          val body = alt.substring(i, close + 1)
+          if (raw"(?s)\{\s*\d+\s*(?:,\s*\d+\s*)?\}".r.matches(body)) {
+            i = close + 1
+            Some(body.replaceAll("\\s", ""))
+          } else fail(body)
+        case _ => None
+      }
+    val varRe = raw"[A-Za-z_][A-Za-z_0-9]*".r
+    skipWs()
+    require(i < alt.length, "PATTERN body is empty")
+    while (i < alt.length) {
+      if (alt(i) == '(') {
+        val close = alt.indexOf(')', i)
+        if (close < 0) fail(alt.substring(i))
+        val inner = alt.substring(i + 1, close)
+        if (inner.contains("(")) fail(s"(${inner.trim}")
+        if (inner.contains("|")) fail(s"($inner)")
+        i = close + 1
+        val q = quant()
+        val vars = tokenize(inner).map {
+          case VarTok(n, vq) =>
+            vq.foreach { s =>
+              if (!raw"\{\d+\}".r.matches(s))
+                throw new IllegalArgumentException(
+                  s"group sub-step '$n$s' in: $alt — sub-steps inside " +
+                    "(...) support only fixed '{n}' quantifiers")
+            }
+            (n, vq)
+          case _: GroupTok => fail(inner) // unreachable: nested rejected above
+        }
+        q match {
+          case Some("+") | Some("+?") =>
+            out += GroupTok(vars, oneOrMore = true, times = 1)
+          case None => out += GroupTok(vars, oneOrMore = false, times = 1)
+          case Some(b) if b.startsWith("{") =>
+            raw"\d+".r.findAllIn(b).map(_.toInt).toSeq match {
+              case Seq(n) => out += GroupTok(vars, oneOrMore = false, times = n)
+              case _ => fail(s"(...)$b")
+            }
+          case Some(other) => fail(s"(...)$other")
+        }
+      } else {
+        varRe.findPrefixMatchOf(alt.substring(i)) match {
+          case Some(m) =>
+            val name = m.group(0)
+            if (name.equalsIgnoreCase("PERMUTE")) fail("PERMUTE")
+            i += m.end
+            out += VarTok(name, quant())
+          case None => fail(alt.substring(i).takeWhile(!_.isWhitespace))
+        }
+      }
+      skipWs()
+    }
+    out.result()
+  }
+
+  /** Build one alternative's element list from its tokens; `mk` closes
+    * over the DEFINE map for the concrete row type.
+    */
+  private def mkElems[E](toks: Seq[PatTok],
+      mk: (String, Option[String]) => CepCore.Step[E]): Seq[CepCore.Elem[E]] =
+    toks.map {
+      case VarTok(n, q) => mk(n, q)
+      case GroupTok(vars, oneOrMore, times) =>
+        CepCore.Group(vars.map { case (n, q) => mk(n, q) }, oneOrMore, times)
+    }
+
+  /** Parse the full PATTERN body (alternation of group/var sequences)
+    * into per-alternative element lists.
+    */
+  private def parsePattern[E](patBody: String,
+      mk: (String, Option[String]) => CepCore.Step[E]): Seq[Seq[CepCore.Elem[E]]] =
+    splitAlternatives(patBody).map(a => mkElems(tokenize(a), mk))
 
   private val withinRe =
     raw"(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)".r
@@ -235,20 +386,21 @@ object MatchRecognize {
   private val skipRe =
     raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW)".r
 
-  private val partitionRe = raw"(?is)PARTITION\s+BY\s+([A-Za-z_][A-Za-z_0-9]*)".r
-  private val orderRe = raw"(?is)ORDER\s+BY\s+([A-Za-z_][A-Za-z_0-9]*)".r
-
   /** Parse MATCH_RECOGNIZE text into a [[Cep.SequencePattern]]. */
   def parse(spark: SparkSession, sql: String): Cep.SequencePattern = {
     val body = balancedBody(sql, "MATCH_RECOGNIZE")
 
-    partitionRe.findFirstMatchIn(body).foreach { m =>
-      require(m.group(1).equalsIgnoreCase("user_id"),
-        s"this engine keys MATCH_RECOGNIZE by user_id; got PARTITION BY ${m.group(1)}")
+    identListClause(body, "PARTITION").foreach { cols =>
+      require(cols.map(_.toLowerCase) == Seq("user_id"),
+        s"this engine keys Event-typed MATCH_RECOGNIZE by user_id; got " +
+          s"PARTITION BY ${cols.mkString(", ")} (detectRelation accepts " +
+          "arbitrary keys)")
     }
-    orderRe.findFirstMatchIn(body).foreach { m =>
-      require(m.group(1).equalsIgnoreCase("ts"),
-        s"this engine orders MATCH_RECOGNIZE by ts; got ORDER BY ${m.group(1)}")
+    identListClause(body, "ORDER").foreach { cols =>
+      require(cols.map(_.toLowerCase) == Seq("ts"),
+        s"this engine orders Event-typed MATCH_RECOGNIZE by ts; got " +
+          s"ORDER BY ${cols.mkString(", ")} (detectRelation accepts " +
+          "arbitrary ordering columns)")
     }
 
     val skip = skipRe.findFirstMatchIn(body) match {
@@ -274,7 +426,7 @@ object MatchRecognize {
       }
 
     val patBody = balancedBody(body, "PATTERN")
-    val steps = splitPattern(patBody).map { case (name, quant) =>
+    val mkEv = (name: String, quant: Option[String]) => {
       // SQL identifiers are case-insensitive: labels normalize to upper
       // case so DEFINE lookup, MEASURES filtering and CLASSIFIER output
       // agree regardless of how the query writes the variable
@@ -284,7 +436,9 @@ object MatchRecognize {
       val pred = defined.getOrElse((_: Option[Event], _: Event) => true)
       mkStep[Event](uname, pred, quant, defined.exists(_.usesPrev))
     }
-    Cep.SequencePattern(steps, withinMs, strict = true, skip = skip)
+    val alts = parsePattern(patBody, mkEv)
+    Cep.SequencePattern(alts.head, withinMs, strict = true, skip = skip,
+      orElse = alts.tail)
   }
 
   /** Extract `DEFINE var AS predicate, ...` as (VAR → predicate text).
@@ -324,33 +478,6 @@ object MatchRecognize {
           case _ => throw new IllegalArgumentException(s"bad quantifier $braces")
         }
     }
-  }
-
-  /** Tokenize the PATTERN body into (variable, quantifier) pairs.
-    * The tokens must cover the ENTIRE body (whitespace excepted):
-    * syntax outside the supported subset — alternation `A | B`,
-    * grouping `( )`, PERMUTE, reluctant star `*?`, open-ended `{n,}` —
-    * is rejected loudly rather than silently reinterpreted (an
-    * uncovered `|` would otherwise turn alternation into
-    * concatenation, a different query with no error).
-    */
-  private def splitPattern(patBody: String): Seq[(String, Option[String])] = {
-    val ms = quantified.findAllMatchIn(patBody)
-      .filter(m => m.group(1) != null && m.group(1).nonEmpty)
-      .toSeq
-    val covered = new Array[Boolean](patBody.length)
-    ms.foreach(m => java.util.Arrays.fill(covered, m.start, m.end, true))
-    val leftover = patBody.zipWithIndex
-      .map { case (c, i) => if (covered(i)) ' ' else c }
-      .mkString.trim
-    if (leftover.nonEmpty)
-      throw new IllegalArgumentException(
-        s"unsupported PATTERN syntax '$leftover' in: $patBody — supported " +
-          "subset is sequences of VAR[+ | +? | * | ? | {n} | {n,m}] " +
-          "(no alternation '|', grouping '()', PERMUTE, reluctant '*?', " +
-          "or open-ended '{n,}')")
-    require(ms.nonEmpty, "PATTERN body is empty")
-    ms.map(m => (m.group(1), Option(m.group(2)).map(_.replaceAll("\\s", ""))))
   }
 
   /** Run a MATCH_RECOGNIZE text over a batch of events. */
@@ -452,19 +579,25 @@ object MatchRecognize {
     val cols = measures.map { ms =>
       val rows = filter(col("__arr"), x => x.getField("__lab") === ms.variable)
       def vals = transform(rows, x => fieldOf(x, ms.column))
-      def nums = transform(rows, x => fieldOf(x, ms.column).cast("double"))
+      // SQL aggregates skip NULLs: COUNT(col)/SUM/AVG see only the
+      // variable's non-null values (COUNT(V.*) counts rows)
+      def nnums = filter(
+        transform(rows, x => fieldOf(x, ms.column).cast("double")),
+        v => v.isNotNull)
       val c = ms.func match {
         case "FIRST" => element_at(vals, 1)
         case "LAST" => element_at(vals, -1)
-        case "COUNT" => size(rows).cast("long")
-        // SQL aggregate semantics: SUM/AVG over zero rows (a variable
-        // that matched nothing, e.g. optional) is NULL, not 0 — the
-        // non-null fold seed must not leak out for empty arrays
+        case "COUNT" =>
+          (if (ms.column == "*") size(rows)
+           else size(filter(vals, v => v.isNotNull))).cast("long")
+        // SQL aggregate semantics: SUM/AVG over zero (non-null) rows
+        // (a variable that matched nothing, e.g. optional) is NULL,
+        // not 0 — the non-null fold seed must not leak out
         case "SUM" =>
-          when(size(rows) > 0, aggregate(nums, lit(0.0), (acc, x) => acc + x))
+          when(size(nnums) > 0, aggregate(nnums, lit(0.0), (acc, x) => acc + x))
         case "AVG" =>
-          when(size(rows) > 0,
-            aggregate(nums, lit(0.0), (acc, x) => acc + x) / size(rows))
+          when(size(nnums) > 0,
+            aggregate(nnums, lit(0.0), (acc, x) => acc + x) / size(nnums))
         case "MIN" => array_min(vals)
         case "MAX" => array_max(vals)
       }
@@ -552,11 +685,16 @@ object MatchRecognize {
       val ofVar = col("classifier") === ms.variable
       def v = when(ofVar, fieldOf(ms.column))
       def num = when(ofVar, fieldOf(ms.column).cast("double"))
-      val cnt = count(when(ofVar, lit(1))).over(w)
       val c = ms.func match {
-        case "COUNT" => cnt
+        // SQL COUNT(col) skips NULLs — count the VALUE, not the row;
+        // only COUNT(V.*) counts matched rows unconditionally
+        case "COUNT" =>
+          if (ms.column == "*") count(when(ofVar, lit(1))).over(w)
+          else count(v).over(w)
         case "SUM" => sum(num).over(w)
-        case "AVG" => sum(num).over(w) / cnt
+        // avg skips NULLs natively; sum/count would double-count rows
+        // whose value is NULL
+        case "AVG" => avg(num).over(w)
         case "MIN" => min(v).over(w)
         case "MAX" => max(v).over(w)
         case "FIRST" => first(v, ignoreNulls = true).over(w)
@@ -576,9 +714,33 @@ object MatchRecognize {
     */
   private final case class REv(row: Row, ir: InternalRow, tsMs: Long)
 
-  private val identList = raw"[A-Za-z_][A-Za-z_0-9]*(?:\s*,\s*[A-Za-z_][A-Za-z_0-9]*)*"
-  private val partitionListRe = raw"(?is)PARTITION\s+BY\s+($identList)".r
-  private val orderListRe = raw"(?is)ORDER\s+BY\s+($identList)".r
+  private val clauseKwRe =
+    raw"(?is)\b(PARTITION\s+BY|ORDER\s+BY|MEASURES|AFTER\s+MATCH|PATTERN|WITHIN|DEFINE|ONE\s+ROW|ALL\s+ROWS)\b".r
+
+  /** The column list of a `<head> BY c1, c2, ...` clause, parsed
+    * STRICTLY: the clause runs to the next clause keyword, and every
+    * comma-separated item must be a bare column name. `ORDER BY ts
+    * DESC` or `PARTITION BY a.b` throw (the subset has no DESC/ASC,
+    * expressions, or qualified names) instead of silently matching a
+    * prefix and reinterpreting the query.
+    */
+  private def identListClause(body: String, head: String): Option[Seq[String]] = {
+    val re = raw"(?is)\b$head\s+BY\b".r
+    re.findAllMatchIn(body)
+      .find(m => body.substring(0, m.start).count(_ == '\'') % 2 == 0)
+      .map { m =>
+        val rest = body.substring(m.end)
+        val end = clauseKwRe.findFirstMatchIn(rest).map(_.start).getOrElse(rest.length)
+        val items = rest.substring(0, end).split(",", -1).map(_.trim).toSeq
+        items.foreach { c =>
+          require(raw"[A-Za-z_][A-Za-z_0-9]*".r.matches(c),
+            s"unsupported $head BY item '$c' — this subset accepts a comma " +
+              "list of bare column names (no DESC/ASC, expressions, or " +
+              "qualified names)")
+        }
+        items
+      }
+  }
 
   /** Milliseconds extractor for the WITHIN clock from the first ORDER
     * BY column; None when the type has no temporal meaning (WITHIN is
@@ -612,6 +774,26 @@ object MatchRecognize {
     * (same hot-key-safe design as [[Cep.detectBatch]]).
     */
   def detectRelation(df: DataFrame, sql: String): DataFrame = {
+    val spec = parseRelation(df, sql)
+    runRelationBatch(df, spec)
+  }
+
+  /** Everything the detectRelation* family needs, parsed once from the
+    * MATCH_RECOGNIZE text against the input schema. Serializable: the
+    * pattern's predicates are bound Catalyst expressions, the clock is
+    * a plain closure.
+    */
+  private final case class RelSpec(
+      partCols: Seq[String],
+      orderCols: Seq[String],
+      partIdx: Seq[Int],
+      orderIdx: Seq[Int],
+      clock: Row => Long,
+      pattern: CepCore.SequencePattern[REv],
+      outSchema: StructType
+  )
+
+  private def parseRelation(df: DataFrame, sql: String): RelSpec = {
     val spark = df.sparkSession
     val body = balancedBody(sql, "MATCH_RECOGNIZE")
     val schema = df.schema
@@ -624,12 +806,10 @@ object MatchRecognize {
         s"(input columns: ${schema.fieldNames.mkString(", ")})")
       i
     }
-    val partCols = partitionListRe.findFirstMatchIn(body)
-      .map(_.group(1).split(",").map(_.trim).toSeq)
+    val partCols = identListClause(body, "PARTITION")
       .getOrElse(throw new IllegalArgumentException(
         "MATCH_RECOGNIZE over a relation requires PARTITION BY"))
-    val orderCols = orderListRe.findFirstMatchIn(body)
-      .map(_.group(1).split(",").map(_.trim).toSeq)
+    val orderCols = identListClause(body, "ORDER")
       .getOrElse(throw new IllegalArgumentException(
         "MATCH_RECOGNIZE over a relation requires ORDER BY"))
     val partIdx = partCols.map(resolve)
@@ -660,31 +840,47 @@ object MatchRecognize {
       defineTexts(body).map { case (name, txt) =>
         name -> compileAgainst(spark, txt, attrs)
       }
-    val steps = splitPattern(balancedBody(body, "PATTERN")).map {
-      case (name, quant) =>
-        val uname = name.toUpperCase
-        val defined = defines.get(uname)
-        val pred: (Option[REv], REv) => Boolean = defined match {
-          case Some(p) => (prev, cur) => p(prev.map(_.ir), cur.ir)
-          case None => (_, _) => true
-        }
-        mkStep[REv](uname, pred, quant, defined.exists(_.usesPrev))
+    val mkRel = (name: String, quant: Option[String]) => {
+      val uname = name.toUpperCase
+      val defined = defines.get(uname)
+      val pred: (Option[REv], REv) => Boolean = defined match {
+        case Some(p) => (prev, cur) => p(prev.map(_.ir), cur.ir)
+        case None => (_, _) => true
+      }
+      mkStep[REv](uname, pred, quant, defined.exists(_.usesPrev))
     }
-    val pattern = CepCore.SequencePattern[REv](steps, withinMs, strict = true,
-      skip = skip)
+    val alts = parsePattern(balancedBody(body, "PATTERN"), mkRel)
+    val pattern = CepCore.SequencePattern[REv](alts.head, withinMs,
+      strict = true, skip = skip, orElse = alts.tail)
 
     val outSchema = StructType(schema.fields.toSeq ++ Seq(
       org.apache.spark.sql.types.StructField("match_no", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("row_in_match", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("classifier", StringType, nullable = false)))
+    RelSpec(partCols, orderCols, partIdx, orderIdx, clock, pattern, outSchema)
+  }
+
+  private def runRelationBatch(df: DataFrame, spec: RelSpec): DataFrame = {
+    val schema = df.schema
+    val partIdx = spec.partIdx
+    val clock = spec.clock
+    val pattern = spec.pattern
     val tsOf: REv => Long = _.tsMs
 
-    val partExprs = partCols.map(col)
-    val sortExprs = (partCols ++ orderCols).map(col)
+    val partExprs = spec.partCols.map(col)
+    val sortExprs = (spec.partCols ++ spec.orderCols).map(col)
     df.repartition(partExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
       .mapPartitions { rows =>
         val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+        // key-group boundaries compare by VALUE: BinaryType partition
+        // columns surface as Array[Byte], whose == is reference
+        // equality — wrap arrays so equal keys compare equal instead
+        // of splitting every row into its own group
+        def keyOf(r: Row): Seq[Any] = partIdx.map(r.apply).map {
+          case a: Array[_] => a.toSeq
+          case x => x
+        }
         new Iterator[Row] {
           private var buf: Iterator[Row] = Iterator.empty
           private var curKey: Seq[Any] = null
@@ -704,7 +900,7 @@ object MatchRecognize {
             while (!buf.hasNext && (rows.hasNext || open)) {
               if (rows.hasNext) {
                 val r = rows.next()
-                val key = partIdx.map(r.apply)
+                val key = keyOf(r)
                 val ev = REv(r, conv(r).asInstanceOf[InternalRow], clock(r))
                 if (open && key == curKey) {
                   val (m, s) = CepCore.advance(pattern, Seq(ev), st, tsOf)
@@ -733,6 +929,202 @@ object MatchRecognize {
             buf.next()
           }
         }
-      }(Encoders.row(outSchema))
+      }(Encoders.row(spec.outSchema))
+  }
+
+  /** ONE ROW PER MATCH with MEASURES over ANY relation: one output row
+    * per match carrying the PARTITION BY columns, `match_no`, and the
+    * measure columns — the generic-schema counterpart of
+    * [[detectBatchWithMeasures]] (reference: StreamExecMatch MEASURES
+    * over any input RowType). The ALL ROWS relation already carries
+    * every original column, so measures are one groupBy per match over
+    * collected (position, label, referenced-columns) structs — no join
+    * back to the input; shuffle keys are (partition cols, match_no),
+    * well-spread.
+    */
+  def detectRelationWithMeasures(df: DataFrame, sql: String): DataFrame = {
+    val spec = parseRelation(df, sql)
+    val measures = parseMeasures(sql)
+    require(measures.nonEmpty, "MEASURES clause is empty")
+    relationMeasures(runRelationBatch(df, spec), df.schema, spec.partCols,
+      measures)
+  }
+
+  private def relationMeasures(allRows: DataFrame, schema: StructType,
+      partCols: Seq[String], measures: Seq[Measure]): DataFrame = {
+    // resolve measure columns case-insensitively against the schema
+    def actual(c: String): String = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      require(i >= 0, s"unknown column in MEASURES: $c " +
+        s"(input columns: ${schema.fieldNames.mkString(", ")})")
+      schema.fieldNames(i)
+    }
+    val refCols = measures.map(_.column).filter(_ != "*").map(actual).distinct
+    val keyCols = partCols.map(col)
+    // sort_array orders by the struct's first field — the row's
+    // position in the match — so FIRST/LAST are element_at
+    val arr = sort_array(collect_list(struct(
+      col("row_in_match").as("__pos") +: col("classifier").as("__lab") +:
+        refCols.map(c => col(c).as(c)): _*)))
+    val grouped = allRows
+      .groupBy(keyCols :+ col("match_no"): _*)
+      .agg(arr.as("__arr"))
+    val cols = measures.map { ms =>
+      val rows = filter(col("__arr"), x => x.getField("__lab") === ms.variable)
+      def vals = transform(rows, x => x.getField(actual(ms.column)))
+      def nnums = filter(
+        transform(rows, x => x.getField(actual(ms.column)).cast("double")),
+        v => v.isNotNull)
+      val c = ms.func match {
+        case "FIRST" => element_at(vals, 1)
+        case "LAST" => element_at(vals, -1)
+        // SQL COUNT(col) skips NULLs; COUNT(V.*) counts matched rows
+        case "COUNT" =>
+          (if (ms.column == "*") size(rows)
+           else size(filter(vals, v => v.isNotNull))).cast("long")
+        // SUM/AVG skip NULLs and are NULL over zero non-null values
+        case "SUM" =>
+          when(size(nnums) > 0, aggregate(nnums, lit(0.0), (a, x) => a + x))
+        case "AVG" =>
+          when(size(nnums) > 0,
+            aggregate(nnums, lit(0.0), (a, x) => a + x) / size(nnums))
+        case "MIN" => array_min(vals)
+        case "MAX" => array_max(vals)
+      }
+      c.as(ms.alias)
+    }
+    grouped.select((keyCols :+ col("match_no")) ++ cols: _*)
+  }
+
+  /** Keyed streaming state for [[detectRelationStream]]: the
+    * not-yet-ripe row buffer, the NFA partials (rows dehydrated to
+    * their external form — rehydrated per batch), and the per-key
+    * match counter so `match_no` numbering survives micro-batch
+    * boundaries.
+    */
+  // public (not private) — Spark's kryo encoder requires a public class
+  final case class RelNfaState(
+      buffer: Seq[Row],
+      partials: Seq[CepCore.PartialMatch[Row]],
+      nextSeq: Long,
+      prev: Option[Row],
+      matchNo: Long
+  )
+
+  /** Streaming MATCH_RECOGNIZE over ANY relation — the reference's
+    * primary mode (StreamExecMatch.java:90 runs on unbounded input).
+    * Same parse and output relation as [[detectRelation]]; execution
+    * mirrors [[Cep.detectStreamOrdered]] / the reference CepOperator:
+    * each key buffers out-of-order rows in state until the watermark
+    * passes them, releases the ripe prefix into the NFA in strict
+    * event-time order, expires partials per WITHIN on the watermark,
+    * and drops idle prev-only cells after a full within horizon of
+    * silence. Buffered state is bounded by the watermark delay, NFA
+    * state by WITHIN — nothing grows with stream length.
+    *
+    * The first ORDER BY column must be a TIMESTAMP — it carries the
+    * watermark.
+    */
+  def detectRelationStream(df: DataFrame, sql: String,
+      watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spec = parseRelation(df, sql)
+    val schema = df.schema
+    require(schema(spec.orderIdx.head).dataType == TimestampType,
+      "detectRelationStream needs the first ORDER BY column to be " +
+        s"TIMESTAMP (the watermark column); ${spec.orderCols.head} is " +
+        schema(spec.orderIdx.head).dataType.sql)
+    val pattern = spec.pattern
+    val clock = spec.clock
+    val partIdx = spec.partIdx
+    val orderIdx = spec.orderIdx
+    // event-time order within a key; null order keys sort first
+    val ord: Ordering[Row] = new Ordering[Row] {
+      override def compare(a: Row, b: Row): Int = {
+        var k = 0
+        while (k < orderIdx.length) {
+          val i = orderIdx(k)
+          val av = a.get(i)
+          val bv = b.get(i)
+          val c =
+            if (av == null && bv == null) 0
+            else if (av == null) -1
+            else if (bv == null) 1
+            else av.asInstanceOf[Comparable[Any]].compareTo(bv)
+          if (c != 0) return c
+          k += 1
+        }
+        0
+      }
+    }
+    val keySchema = StructType(partIdx.map(schema(_)))
+    val keyEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(keySchema)
+    val stateEnc: org.apache.spark.sql.Encoder[RelNfaState] =
+      Encoders.kryo[RelNfaState]
+    val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(spec.outSchema)
+    df.withWatermark(spec.orderCols.head, watermarkDelay)
+      .groupByKey((r: Row) => Row.fromSeq(partIdx.map(r.get)))(keyEnc)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: Row, rows: Iterator[Row],
+         state: org.apache.spark.sql.streaming.GroupState[RelNfaState]) =>
+          val conv = CatalystTypeConverters.createToCatalystConverter(schema)
+          def toREv(r: Row): REv =
+            REv(r, conv(r).asInstanceOf[InternalRow], clock(r))
+          def hydrate(p: CepCore.PartialMatch[Row]): CepCore.PartialMatch[REv] =
+            CepCore.PartialMatch(p.stepIdx, p.inLoop, p.startTs, p.lastTs,
+              p.startSeq, p.lastSeq, p.rows.map(toREv), p.labels, p.branch)
+          def dehydrate(p: CepCore.PartialMatch[REv]): CepCore.PartialMatch[Row] =
+            CepCore.PartialMatch(p.stepIdx, p.inLoop, p.startTs, p.lastTs,
+              p.startSeq, p.lastSeq, p.rows.map(_.row), p.labels, p.branch)
+          val st0 = state.getOption
+            .getOrElse(RelNfaState(Seq.empty, Seq.empty, 0L, None, 0L))
+          val wm = state.getCurrentWatermarkMs()
+          // merge arrivals into the sort buffer; release the ripe
+          // prefix (the watermark guarantees nothing earlier arrives)
+          val sorted = (st0.buffer ++ rows).sorted(ord)
+          val (ripe, young) = sorted.partition(r => clock(r) <= wm)
+          val prev0 = st0.prev.map(toREv)
+          // expire partials whose within horizon the watermark passed
+          val partials0 = st0.partials.map(hydrate)
+          val (expired, alive) =
+            partials0.partition(p => wm - p.startTs > pattern.withinMs)
+          val expiredMatches = CepCore.flush(pattern,
+            CepCore.NfaState[REv](expired, st0.nextSeq, prev0))
+          val (matches, nfa1) = CepCore.advance(pattern, ripe.map(toREv),
+            CepCore.NfaState[REv](alive, st0.nextSeq, prev0),
+            (e: REv) => e.tsMs)
+          var matchNo = st0.matchNo
+          val outRows = (expiredMatches ++ matches).flatMap { m =>
+            matchNo += 1
+            m.rows.zip(m.labels).zipWithIndex.map { case ((ev, lab), i) =>
+              Row.fromSeq(ev.row.toSeq ++ Seq(matchNo, (i + 1).toLong, lab))
+            }
+          }
+          if (young.isEmpty && nfa1.partials.isEmpty &&
+            (!pattern.needsPrev || state.hasTimedOut))
+            // nothing buffered, no live partials, and either PREV is
+            // unused or the prev-only cell's idle-retention timer fired
+            state.remove()
+          else {
+            state.update(RelNfaState(young, nfa1.partials.map(dehydrate),
+              nfa1.nextSeq, nfa1.prev.map(_.row), matchNo))
+            // wake at whichever comes first: the earliest buffered row
+            // ripening, the earliest partial's within expiry, or — for
+            // a prev-only cell — the idle-retention horizon
+            val wakes =
+              young.headOption.map(clock).toSeq ++
+                (if (nfa1.partials.nonEmpty)
+                   Seq(nfa1.partials.map(_.startTs + pattern.withinMs).min)
+                 else Nil) ++
+                (if (young.isEmpty && nfa1.partials.isEmpty &&
+                   pattern.withinMs != Long.MaxValue)
+                   Seq(wm + pattern.withinMs)
+                 else Nil)
+            if (wakes.nonEmpty)
+              state.setTimeoutTimestamp(math.max(wakes.min, wm + 1))
+          }
+          outRows.iterator
+      }(stateEnc, outEnc)
   }
 }

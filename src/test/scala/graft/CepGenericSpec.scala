@@ -196,6 +196,135 @@ class CepGenericSpec extends AnyFunSuite {
     assert(out == Set(("acme", 4L, "UP"), ("acme", 5L, "UP")))
   }
 
+  test("detectRelation: binary partition keys group by value, not reference") {
+    import spark.implicits._
+    // two rows sharing the same BYTES (distinct arrays) must be ONE
+    // key group — reference equality would split them per-row and
+    // never match the two-step pattern
+    val df = Seq(
+      (Array[Byte](1, 2), 1L, "a"),
+      (Array[Byte](1, 2), 2L, "b"),
+      (Array[Byte](9, 9), 1L, "a")
+    ).toDF("bkey", "seqno", "tag")
+    val out = MatchRecognize.detectRelation(df, """MATCH_RECOGNIZE (
+        PARTITION BY bkey ORDER BY seqno
+        PATTERN (A B)
+        DEFINE A AS tag = 'a', B AS tag = 'b')""")
+      .collect()
+    assert(out.length == 2) // the (1,2)-keyed pair matched; (9,9) did not
+  }
+
+  test("input columns with the reserved __prev_ prefix are rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3.0)).toDF("k", "o", "__prev_x")
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize.detectRelation(df, """MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY o PATTERN (A) DEFINE A AS __prev_x > 0)""")
+    }
+    assert(e.getMessage.contains("__prev_"))
+  }
+
+  test("detectRelationWithMeasures: ONE ROW PER MATCH over any schema") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 101L, "F", java.sql.Date.valueOf("2024-01-01")),
+      (1L, 102L, "F", java.sql.Date.valueOf("2024-01-02")),
+      (1L, 103L, "O", java.sql.Date.valueOf("2024-01-03")),
+      (1L, 104L, "F", java.sql.Date.valueOf("2024-01-04")),
+      (1L, 105L, "O", java.sql.Date.valueOf("2024-01-05"))
+    ).toDF("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+    val out = MatchRecognize.detectRelationWithMeasures(orders, """MATCH_RECOGNIZE (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        MEASURES COUNT(F.*) AS nf, FIRST(F.o_orderkey) AS first_f,
+                 LAST(O.o_orderdate) AS close_date, MAX(F.o_orderkey) AS max_f
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (F+ O)
+        DEFINE F AS o_orderstatus = 'F', O AS o_orderstatus = 'O')""")
+      .collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("match_no"),
+        r.getAs[Long]("nf"), r.getAs[Long]("first_f"),
+        r.getAs[java.sql.Date]("close_date").toString,
+        r.getAs[Long]("max_f")))
+      .toSet
+    assert(out == Set(
+      (1L, 1L, 2L, 101L, "2024-01-03", 102L),
+      (1L, 2L, 1L, 104L, "2024-01-05", 104L)))
+  }
+
+  test("detectRelation: SQL group (A B)+ and alternation run generically") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "e"), (1L, 2L, "v"), (1L, 3L, "e"), (1L, 4L, "v"),
+      (1L, 5L, "p"),
+      (2L, 1L, "s"), (2L, 2L, "q")
+    ).toDF("k", "seqno", "t")
+    val grp = MatchRecognize.detectRelation(df, """MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seqno
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((E V)+ P)
+        DEFINE E AS t = 'e', V AS t = 'v', P AS t = 'p')""")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("seqno"))).toSet
+    assert(grp == Set((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+    val alt = MatchRecognize.detectRelation(df, """MATCH_RECOGNIZE (
+        PARTITION BY k ORDER BY seqno
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (E V | S Q)
+        DEFINE E AS t = 'e', V AS t = 'v', S AS t = 's', Q AS t = 'q')""")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("seqno"),
+        r.getAs[String]("classifier"))).toSet
+    assert(alt == Set(
+      (1L, 1L, "E"), (1L, 2L, "V"), (1L, 3L, "E"), (1L, 4L, "V"),
+      (2L, 1L, "S"), (2L, 2L, "Q")))
+  }
+
+  test("detectRelationStream equals detectRelation on out-of-order input") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val sql = """MATCH_RECOGNIZE (
+        PARTITION BY sym
+        ORDER BY ts
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (UP{2})
+        DEFINE UP AS price > PREV(price))"""
+    val rows = Seq( // arrival order is scrambled vs event time
+      ("acme", t(3), 3L, 11.0), ("acme", t(1), 1L, 10.0),
+      ("acme", t(5), 5L, 15.0), ("acme", t(2), 2L, 12.0),
+      ("acme", t(4), 4L, 13.0))
+    val batch = MatchRecognize
+      .detectRelation(rows.toDF("sym", "ts", "seqno", "price"), sql)
+      .collect()
+      .map(r => (r.getAs[String]("sym"), r.getAs[Long]("seqno"),
+        r.getAs[Long]("match_no"), r.getAs[Long]("row_in_match"),
+        r.getAs[String]("classifier"))).toSet
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val q = MatchRecognize
+      .detectRelationStream(in.toDS().toDF("sym", "ts", "seqno", "price"),
+        sql, "30 seconds")
+      .writeStream.format("memory").queryName("rel_stream_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      // sentinels on another key push the watermark so acme's buffered
+      // rows ripen and its timers fire
+      in.addData(("zzz", t(60), 0L, 0.0))
+      q.processAllAvailable()
+      in.addData(("zzz", t(120), 0L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT sym, seqno, match_no, row_in_match, classifier " +
+          "FROM rel_stream_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("detectRelation: loud errors for unknown columns and bad WITHIN") {
     import spark.implicits._
     val df = Seq((1L, "a", "x")).toDF("k", "o", "v")

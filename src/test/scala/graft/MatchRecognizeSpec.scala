@@ -242,16 +242,86 @@ class MatchRecognizeSpec extends AnyFunSuite {
         PATTERN ($pattern)
         DEFINE A AS event_type = 'a', B AS event_type = 'b')""")
     }.getMessage
-    // alternation must not silently become concatenation
-    assert(bad("A | B").contains("|"))
     // reluctant star must not silently become greedy star
     assert(bad("B*?").contains("?"))
-    // PERMUTE's parens must not silently become a 3-step sequence
-    assert(bad("PERMUTE(A,B)").contains("("))
+    // PERMUTE must not silently become a var + group sequence
+    assert(bad("PERMUTE(A,B)").contains("PERMUTE"))
     // open-ended {n,} must not silently lose its quantifier
     assert(bad("A{2,}").contains("{2,}"))
-    // grouping is not in the SQL-subset (the Scala API's Group covers it)
-    assert(bad("(A B)+").contains("("))
+    // nested groups are outside the one-level subset
+    assert(bad("((A B)+ C)").contains("("))
+    // a '*'- or '?'-quantified group is not expressible as a Group
+    assert(bad("(A B)*").contains("*"))
+    // alternation inside a group is outside the subset
+    assert(bad("(A | B) C").contains("|"))
+    // a range-quantified group sub-step breaks the loop back-edge
+    assert(bad("(A{1,2} B)+").contains("{1,2}"))
+  }
+
+  test("strict PARTITION BY / ORDER BY parsing: trailing tokens are rejected") {
+    // 'ORDER BY ts DESC' must not silently order ascending, and a
+    // qualified 'PARTITION BY a.b' must not silently key by 'a'
+    def bad(clause: String): String = intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, s"""MATCH_RECOGNIZE (
+        $clause
+        PATTERN (A B)
+        DEFINE A AS event_type = 'a', B AS event_type = 'b')""")
+    }.getMessage
+    assert(bad("PARTITION BY user_id ORDER BY ts DESC").contains("DESC"))
+    assert(bad("PARTITION BY e.user_id ORDER BY ts").contains("e.user_id"))
+  }
+
+  test("SQL PATTERN alternation A | B: each alternative is an NFA branch") {
+    // (S P | E R): signup-promo OR error-recovery pairs, per start
+    val sql = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (S P | E R)
+      DEFINE S AS event_type = 'signup', P AS event_type = 'promo',
+             E AS event_type = 'error',  R AS event_type = 'view')"""
+    val events = Seq(
+      ev(1, 0, "signup"), ev(2, 1, "promo"),
+      ev(3, 2, "error"), ev(4, 3, "view"),
+      ev(5, 4, "signup"), ev(6, 5, "view"))
+    assert(run(sql, events) == Seq(Seq(1L, 2L), Seq(3L, 4L)))
+  }
+
+  test("SQL PATTERN group (A B)+ equals the Scala Group API") {
+    // textual (E V)+ P == Cep.Group(Seq(E, V), oneOrMore) :+ P
+    val sql = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN ((E V)+ P)
+      DEFINE E AS event_type = 'error', V AS event_type = 'view',
+             P AS event_type = 'purchase')"""
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 1, "view"),
+      ev(3, 2, "error"), ev(4, 3, "view"), ev(5, 4, "purchase"))
+    val viaSql = run(sql, events)
+    val pattern = Cep.SequencePattern(
+      Seq(
+        Cep.Group(Seq(
+          Cep.Step("E", _.event_type == "error"),
+          Cep.Step("V", _.event_type == "view")), oneOrMore = true),
+        Cep.Step("P", _.event_type == "purchase")),
+      withinMs = Long.MaxValue, strict = true, skip = Cep.SkipToNext)
+    val (m, st) = Cep.advance(pattern, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    val viaApi = (m ++ Cep.flush(pattern, 1L, st)).map(_.event_ids)
+    assert(viaSql == viaApi)
+    assert(viaSql == Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(3L, 4L, 5L)))
+  }
+
+  test("SQL PATTERN group with times (A B){2}") {
+    val sql = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN ((E V){2})
+      DEFINE E AS event_type = 'error', V AS event_type = 'view')"""
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 1, "view"),
+      ev(3, 2, "error"), ev(4, 3, "view"),
+      ev(5, 4, "error"), ev(6, 5, "view"))
+    assert(run(sql, events) == Seq(Seq(1L, 2L, 3L, 4L)))
   }
 
   test("quote-aware clause extraction: literals with parens and keywords") {
