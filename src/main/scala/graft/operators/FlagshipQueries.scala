@@ -1054,6 +1054,108 @@ object FlagshipQueries extends QueryModule {
           count(*) FILTER (WHERE l_quantity >= 43 AND l_quantity < 51 AND l_discount <= 0.05) AS b8
         FROM lineitem
       """)
+    ),
+    // TPC-DS Q34/Q73 shape — basket-band groupBy-then-join-back: count
+    // items per order (map-side partial combine on l_orderkey), keep
+    // only baskets in a band, then join the surviving ~order-count-
+    // sized relation back to orders (SMJ sharing the orderkey shuffle)
+    // and to the customer dim. At 100 TB the band filter runs BEFORE
+    // the join, so the join input is the band's orders, not the fact.
+    QueryDef(
+      "q_flagship_ds_basket",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val baskets = t.lineitem
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("item_cnt"))
+          .filter(col("item_cnt").between(6, 7))
+        t.orders
+          .join(baskets, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("item_cnt"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, t.item_cnt
+        FROM (SELECT l_orderkey, count(*) AS item_cnt
+              FROM lineitem GROUP BY l_orderkey
+              HAVING count(*) BETWEEN 6 AND 7) t
+        JOIN orders ON o_orderkey = t.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+      """)
+    ),
+    // TPC-DS Q51 shape — cumulative-window full-outer over two
+    // channels: per-user daily sums for two event channels, each with
+    // a running cumulative window, FULL OUTER joined on (user, day),
+    // then a second window forward-fills the missing channel's
+    // cumulative before comparing. Two shuffles on (user_id) + one
+    // well-spread join; the windows are per-user sequential scans.
+    // Daily sums round to 4dp before the running sum so both engines
+    // fold the identical value sequence.
+    QueryDef(
+      "q_flagship_ds_cumulative",
+      (s, dir) => {
+        val t = tables(s, dir)
+        def channel(tag: String, alias: String) = t.events
+          .filter(col("event_type") === tag)
+          .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+          .agg(round(sum(col("value")), 4).as(alias))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val web = channel("purchase", "wd")
+          .withColumn("web_cum", round(sum(col("wd")).over(w), 4))
+          .select(col("user_id"), col("d"), col("web_cum"))
+        val store = channel("view", "vd")
+          .withColumn("view_cum", round(sum(col("vd")).over(w), 4))
+          .select(col("user_id"), col("d"), col("view_cum"))
+        web.join(store, Seq("user_id", "d"), "full_outer")
+          .withColumn("web_fill", max(col("web_cum")).over(w))
+          .withColumn("view_fill", max(col("view_cum")).over(w))
+          .filter(col("web_fill") > col("view_fill"))
+          .select(col("user_id"), col("d"), col("web_fill"), col("view_fill"))
+      },
+      Some("""
+        WITH web_day AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 4) AS wd
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ),
+        web AS (
+          SELECT user_id, d,
+                 round(sum(wd) OVER (PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS web_cum
+          FROM web_day
+        ),
+        view_day AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 4) AS vd
+          FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        ),
+        views AS (
+          SELECT user_id, d,
+                 round(sum(vd) OVER (PARTITION BY user_id ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                   AS view_cum
+          FROM view_day
+        ),
+        j AS (
+          SELECT coalesce(w.user_id, v.user_id) AS user_id,
+                 coalesce(w.d, v.d) AS d, w.web_cum, v.view_cum
+          FROM web w FULL OUTER JOIN views v
+            ON w.user_id = v.user_id AND w.d = v.d
+        ),
+        f AS (
+          SELECT user_id, d,
+                 max(web_cum) OVER (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS web_fill,
+                 max(view_cum) OVER (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS view_fill
+          FROM j
+        )
+        SELECT user_id, d, web_fill, view_fill
+        FROM f WHERE web_fill > view_fill
+      """)
     )
   )
 }

@@ -67,6 +67,29 @@ object PipelineQueries extends QueryModule {
       .withColumn("s3", col("f_lang") && col("f_quality") && col("f_rep"))
   }
 
+  /** The whole corpus funnel as ONE streaming query (round-10): the
+    * scan-local stage flags run unchanged on the stream, and the s3
+    * survivors flow into a watermark-bounded exact-dedup on dedup_key
+    * (dropDuplicatesWithinWatermark — the reference's streaming
+    * first-row deduplicate, flink-table-runtime-blink/.../deduplicate/
+    * DeduplicateKeepFirstRowFunction.java, whose state TTL is the
+    * retention bound; here the watermark delay bounds the key state).
+    * Input needs an `ingest_ts` TIMESTAMP column; upstream stages are
+    * stateless, so the only state is one row per distinct dedup_key
+    * inside the watermark horizon.
+    *
+    * Streaming-vs-batch keeper note: batch q_corpus_funnel keeps
+    * min(doc_id) per key; the streaming operator keeps the FIRST
+    * ARRIVAL — the survivor SET per key is identical, the
+    * representative may differ under out-of-order delivery.
+    */
+  def streamingFunnel(docs: org.apache.spark.sql.DataFrame,
+      watermarkDelay: String): org.apache.spark.sql.DataFrame =
+    corpusFlags(docs)
+      .filter(col("s3"))
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("dedup_key")
+
   def defs: Seq[QueryDef] = Seq(
     // Deterministic Bernoulli sampling: keep ~20% of documents by a
     // hash of the key. Scan-local (no shuffle, no state, no rand()

@@ -76,4 +76,49 @@ class StreamingFunnelSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("whole funnel as ONE streaming query: survivors == batch, out-of-order") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val docs = Engine.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), col("lang"))
+    // batch truth: the s3 survivor key set (one keeper per key — the
+    // funnel's n4 is exactly its size)
+    val batchKeys = CacheScope.scoped {
+      operators.PipelineQueries.corpusFlags(docs).filter(col("s3"))
+        .select(col("dedup_key")).distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+
+    // stream the same docs with event times DECOUPLED from arrival
+    // order (out-of-order delivery across two micro-batches)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = docs.collect().map { r =>
+      val id = r.getLong(0)
+      (id, r.getString(1), r.getString(2),
+        new java.sql.Timestamp(base.getTime + (id % 97) * 60000L))
+    }
+    val scrambled = rows.sortBy(t => (t._1 * 2654435761L) % 1000003L)
+    val in = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val out = operators.PipelineQueries.streamingFunnel(
+      in.toDF().toDF("doc_id", "text", "lang", "ingest_ts"), "2 hours")
+      .select(col("dedup_key"))
+    val q = out.writeStream.format("memory")
+      .queryName("funnel_stream_out").outputMode("append").start()
+    try {
+      val (a, b) = scrambled.splitAt(scrambled.length / 2)
+      in.addData(a.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql("SELECT dedup_key FROM funnel_stream_out")
+      .collect().map(_.getString(0))
+    // exactly one survivor per key, and the same key set as batch
+    assert(streamed.length == batchKeys.size)
+    assert(streamed.toSet == batchKeys)
+    assert(batchKeys.nonEmpty)
+  }
 }
