@@ -39,7 +39,14 @@ object Bench {
     "q_agg_window_session_dynamic",
     "q_cep_double_error",
     "q_changelog_normalize",
-    "q_lookup_join"
+    "q_lookup_join",
+    // round-10 widening: the heaviest plans added since the original
+    // set — ROLLUP star, 3-channel union, the funnel's flag+dedup+
+    // explode pipeline, and the iterative connected-components dedup
+    "q_flagship_ds_rollup",
+    "q_flagship_ds_channels",
+    "q_corpus_funnel",
+    "q_dedup_clusters"
   )
 
   def main(args: Array[String]): Unit = {
