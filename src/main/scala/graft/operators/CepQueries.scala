@@ -1031,6 +1031,58 @@ object CepQueries extends QueryModule {
                       AND o.rn BETWEEN mn.srn AND mn.ern + 1
         GROUP BY mn.o_custkey, mn.match_no, mn.srn, mn.ern
       """)
+    ),
+    // SQL PATTERN PERMUTE (round-10): PERMUTE(E, V) P — expanded to
+    // the alternation (E V P | V E P) per the reference semantics
+    // (Calcite row-pattern PERMUTE; Flink compiles the same
+    // expansion). Strict adjacency + SKIP TO NEXT ROW makes the
+    // oracle a two-lead OR-predicate.
+    QueryDef(
+      "q_cep_sql_permute",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatch(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (PERMUTE(E, V) P)
+              DEFINE E AS event_type = 'error',
+                     V AS event_type = 'view',
+                     P AS event_type = 'purchase'
+            )
+          """)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("first_id"),
+            element_at(col("event_ids"), 2).as("mid_id"),
+            element_at(col("event_ids"), 3).as("close_id"),
+            element_at(col("step_names"), 1).as("kind")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 lead(event_type)    OVER w AS t1,
+                 lead(event_id)      OVER w AS id1,
+                 lead(event_type, 2) OVER w AS t2,
+                 lead(event_id, 2)   OVER w AS id2
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id AS first_id, id1 AS mid_id, id2 AS close_id,
+               CASE WHEN event_type = 'error' THEN 'E' ELSE 'V' END AS kind
+        FROM o
+        WHERE ((event_type = 'error' AND t1 = 'view')
+            OR (event_type = 'view'  AND t1 = 'error'))
+          AND t2 = 'purchase'
+      """)
     )
   )
 }

@@ -272,11 +272,73 @@ object MatchRecognize {
     alts
   }
 
+  private val permuteRe = raw"(?i)\bPERMUTE\s*\(".r
+
+  /** Expand `PERMUTE(a, b, ...)` factors into explicit alternation —
+    * the reference semantics (Calcite's row-pattern grammar defines
+    * PERMUTE(p1..pn) as the alternation of every permutation of the
+    * terms, in lexicographic order of the definition order; Flink's
+    * StreamExecMatch compiles exactly that expansion). Each argument
+    * may itself be any supported pattern term (quantified variable or
+    * group); nested PERMUTEs expand recursively. Expansion is bounded:
+    * more than [[MaxPermuteAlts]] resulting alternatives throws rather
+    * than silently truncating.
+    */
+  private[graft] def expandPermute(alt: String): Seq[String] =
+    permuteRe.findFirstMatchIn(alt) match {
+      case None => Seq(alt)
+      case Some(m) =>
+        val open = m.end - 1
+        var depth = 0
+        var close = -1
+        var i = open
+        while (i < alt.length && close < 0) {
+          alt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ => ()
+          }
+          i += 1
+        }
+        require(close > open, s"unbalanced PERMUTE(...) in: $alt")
+        val inner = alt.substring(open + 1, close)
+        // split args on top-level commas only
+        val args = {
+          val b = Seq.newBuilder[String]
+          var d = 0; var s = 0
+          inner.zipWithIndex.foreach {
+            case ('(', _) => d += 1
+            case (')', _) => d -= 1
+            case (',', j) if d == 0 => b += inner.substring(s, j); s = j + 1
+            case _ => ()
+          }
+          b += inner.substring(s)
+          b.result().map(_.trim)
+        }
+        require(args.nonEmpty && args.forall(_.nonEmpty),
+          s"empty PERMUTE argument in: $alt")
+        val prefix = alt.substring(0, m.start)
+        val suffix = alt.substring(close + 1)
+        val expanded = args.permutations
+          .map(p => s"$prefix ${p.mkString(" ")} $suffix"
+            .replaceAll("\\s+", " ").trim)
+          .toSeq
+        require(expanded.size <= MaxPermuteAlts,
+          s"PERMUTE over ${args.size} terms expands to ${expanded.size} " +
+            s"alternatives (> $MaxPermuteAlts) in: $alt — split the pattern")
+        expanded.flatMap(expandPermute).distinct
+    }
+
+  /** Ceiling on PERMUTE expansion (5! = 120 alternatives). */
+  private val MaxPermuteAlts = 120
+
   /** Tokenize ONE alternative of the PATTERN body: a sequence of
     * `VAR[quant]` and one-level groups `(VAR ...)[+ | +? | {n}]`. The
     * scanner consumes the ENTIRE text — anything outside the supported
-    * subset (PERMUTE, reluctant `*?`, open-ended `{n,}`, nested or
-    * `*`/`?`-quantified groups) throws rather than being silently
+    * subset (reluctant `*?`, open-ended `{n,}`, nested or
+    * `*`/`?`-quantified groups; PERMUTE is expanded into alternation
+    * before tokenizing, so a bare unparenthesized `PERMUTE` reaching
+    * here is malformed) throws rather than being silently
     * reinterpreted. Group loops `(A B)+` are reluctant — the
     * reference's oneOrMore default (GroupPattern.java); sub-steps may
     * carry only fixed `{n}` quantifiers ([[CepCore.Group]]'s contract:
@@ -288,8 +350,9 @@ object MatchRecognize {
     def fail(what: String): Nothing = throw new IllegalArgumentException(
       s"unsupported PATTERN syntax '$what' in: $alt — supported subset is " +
         "alternatives of VAR[+ | +? | * | ? | {n} | {n,m}] and one-level " +
-        "groups (VAR ...)[+ | +? | {n}] (no PERMUTE, reluctant '*?', " +
-        "open-ended '{n,}', nested groups, or '*'/'?' on a group)")
+        "groups (VAR ...)[+ | +? | {n}], plus PERMUTE(term, ...) " +
+        "(no reluctant '*?', open-ended '{n,}', nested groups, or " +
+        "'*'/'?' on a group)")
     def skipWs(): Unit = while (i < alt.length && alt(i).isWhitespace) i += 1
     // the quantifier starting exactly at position i, if any
     def quant(): Option[String] =
@@ -378,7 +441,8 @@ object MatchRecognize {
     */
   private def parsePattern[E](patBody: String,
       mk: (String, Option[String]) => CepCore.Step[E]): Seq[Seq[CepCore.Elem[E]]] =
-    splitAlternatives(patBody).map(a => mkElems(tokenize(a), mk))
+    splitAlternatives(patBody).flatMap(expandPermute)
+      .map(a => mkElems(tokenize(a), mk))
 
   private val withinRe =
     raw"(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)".r

@@ -244,8 +244,13 @@ class MatchRecognizeSpec extends AnyFunSuite {
     }.getMessage
     // reluctant star must not silently become greedy star
     assert(bad("B*?").contains("?"))
-    // PERMUTE must not silently become a var + group sequence
-    assert(bad("PERMUTE(A,B)").contains("PERMUTE"))
+    // PERMUTE without parentheses is malformed, not a variable name
+    assert(bad("PERMUTE A B").contains("PERMUTE"))
+    // PERMUTE over 6 distinct terms would expand to 720 alternatives
+    // (duplicate terms dedup for free: .permutations is distinct)
+    assert(bad("PERMUTE(A,B,C,D,E,F)").contains("720"))
+    // an empty PERMUTE argument is malformed
+    assert(bad("PERMUTE(A,,B)").contains("empty"))
     // open-ended {n,} must not silently lose its quantifier
     assert(bad("A{2,}").contains("{2,}"))
     // nested groups are outside the one-level subset
@@ -256,6 +261,26 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(bad("(A | B) C").contains("|"))
     // a range-quantified group sub-step breaks the loop back-edge
     assert(bad("(A{1,2} B)+").contains("{1,2}"))
+  }
+
+  test("PERMUTE expands to alternation of every permutation, in definition order") {
+    // reference semantics: PERMUTE(p1..pn) = alternation of all
+    // permutations, lexicographic in definition order (Calcite row-
+    // pattern grammar; Flink compiles the same expansion)
+    assert(MatchRecognize.expandPermute("PERMUTE(A, B)") == Seq("A B", "B A"))
+    assert(MatchRecognize.expandPermute("S PERMUTE(A, B+) E") ==
+      Seq("S A B+ E", "S B+ A E"))
+    // nested PERMUTE expands recursively; duplicates collapse
+    assert(MatchRecognize.expandPermute("PERMUTE(PERMUTE(A, B), C)").toSet ==
+      Set("A B C", "B A C", "C A B", "C B A"))
+    // a PERMUTE-free alternative passes through untouched
+    assert(MatchRecognize.expandPermute("A B+ C") == Seq("A B+ C"))
+    // end-to-end: the parsed pattern carries one branch per permutation
+    val p = MatchRecognize.parse(spark, """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      PATTERN (PERMUTE(A, B))
+      DEFINE A AS event_type = 'a', B AS event_type = 'b')""")
+    assert(p.orElse.size == 1) // A B primary + B A branch
   }
 
   test("strict PARTITION BY / ORDER BY parsing: trailing tokens are rejected") {
