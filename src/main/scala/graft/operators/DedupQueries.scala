@@ -194,6 +194,107 @@ object DedupQueries extends QueryModule {
                          list_inner_product(b.v, b.v)), 6) >= 0.35
       """)
     ),
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the
+    // embedding space, then drop within-cluster near-duplicates above
+    // a cosine threshold, keeping the lowest id of each similar set.
+    // The cluster step bounds the pairwise work — the all-pairs cost
+    // is (N/k)^2 per cluster instead of N^2, and k scales with N so
+    // cluster size stays fixed at 100 TB. Plan shape: the k x dim
+    // codebook is a broadcast (argmin assignment is a narrow
+    // pipeline), the within-cluster self-join shuffles on cluster_id
+    // (AQE skew-split is the backstop for a hot cluster). Seeds are
+    // the evenly-spaced vec_ids — deterministic, so the whole
+    // operator is exactly oracle-checkable; the production path would
+    // refine the same codebook with the IVF builder's Lloyd
+    // iterations (SimilarityQueries.ivfTopK), which only changes the
+    // centroid values, not the plan.
+    QueryDef(
+      "q_dedup_semantic",
+      (s, dir) => {
+        graft.functions.SketchExpressions.register(s)
+        import graft.functions.SketchExpressions.dot_product
+        import org.apache.spark.sql.expressions.Window
+        val k = 32
+        val tau = 0.8
+        val t = tables(s, dir)
+        val e = t.embeddings
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("n2", dot_product(col("v"), col("v")))
+        val n = e.count()
+        val step = math.max(1L, n / k)
+        // deterministic seed codebook: evenly-spaced vec_ids, same
+        // rule as the IVF builder's seed pass
+        val cents = e
+          .filter(pmod(col("vec_id"), lit(step)) === 0)
+          .orderBy(col("vec_id"))
+          .limit(k)
+          .withColumn("list_id",
+            row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .select(col("list_id"), col("v").as("cv"), col("n2").as("cn2"))
+        // nearest-centroid assignment: broadcast argmin of squared
+        // euclidean, rounded so both engines collapse near-ties the
+        // same way, ties to the lower list id
+        val aw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("rd"), col("list_id"))
+        val asg = e.crossJoin(broadcast(cents))
+          .withColumn("rd", round(
+            col("n2") - lit(2.0) * dot_product(col("v"), col("cv")) + col("cn2"), 6))
+          .withColumn("__rn", row_number().over(aw))
+          .filter(col("__rn") === 1)
+          .select(col("list_id").as("cluster_id"), col("vec_id"),
+            col("v"), col("n2"))
+        // within-cluster near-dup: b is dropped when a lower-id
+        // cluster-mate sits within the cosine threshold
+        val a = asg.select(col("cluster_id"), col("vec_id").as("a_id"),
+          col("v").as("av"), col("n2").as("an"))
+        val b = asg.select(col("cluster_id"), col("vec_id").as("b_id"),
+          col("v").as("bv"), col("n2").as("bn"))
+        val dropped = b.join(a, Seq("cluster_id"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(round(dot_product(col("av"), col("bv")) /
+            sqrt(col("an") * col("bn")), 6) >= tau)
+          .select(col("b_id")).distinct()
+        asg.join(dropped, col("vec_id") === col("b_id"), "left_anti")
+          .select(col("cluster_id").cast("long").as("cluster_id"),
+            col("vec_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_inner_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]) AS n2
+          FROM embeddings
+        ),
+        seeds AS (
+          SELECT vec_id, v, n2 FROM e
+          WHERE vec_id % (SELECT greatest(1, count(*) // 32) FROM e) = 0
+          ORDER BY vec_id LIMIT 32
+        ),
+        cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+                 v AS cv, n2 AS cn2
+          FROM seeds
+        ),
+        asg AS (
+          SELECT vec_id, v, n2, list_id FROM (
+            SELECT e.vec_id, e.v, e.n2, c.list_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round(e.n2 - 2.0 * list_inner_product(e.v, c.cv)
+                                    + c.cn2, 6), c.list_id) AS rn
+            FROM e CROSS JOIN cents c
+          ) WHERE rn = 1
+        )
+        SELECT CAST(b.list_id AS BIGINT) AS cluster_id, b.vec_id
+        FROM asg b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM asg a
+          WHERE a.list_id = b.list_id AND a.vec_id < b.vec_id
+            AND round(list_inner_product(a.v, b.v) /
+                      sqrt(a.n2 * b.n2), 6) >= 0.8
+        )
+      """)
+    ),
     // Dedup-cluster canonicalization — the step every corpus dedup
     // actually ships: near-dup PAIRS alone don't dedup; transitive
     // closure groups them into clusters and one canonical doc (min id)
