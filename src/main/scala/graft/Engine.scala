@@ -55,6 +55,12 @@ object Engine {
     // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
     // natively; read the raw int64 nanos and convert in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The driver writes timestamps with isAdjustedToUTC=false; Spark 4
+    // would infer TIMESTAMP_NTZ for those, which collects as
+    // LocalDateTime and diverges from the session-UTC TimestampType
+    // the rest of the engine (and the DuckDB oracle compare) assumes.
+    // Read them as plain UTC timestamps instead.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // Scan split sizing: 128MB splits keep one task's working set well
     // inside executor memory at any SF; AQE re-coalesces small ones.
     .config("spark.sql.files.maxPartitionBytes", "134217728")
