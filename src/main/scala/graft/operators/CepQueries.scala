@@ -1083,6 +1083,139 @@ object CepQueries extends QueryModule {
             OR (event_type = 'view'  AND t1 = 'error'))
           AND t2 = 'purchase'
       """)
+    ),
+    // SUBSET union variables (SQL:2016 row-pattern SUBSET; reference
+    // accepts it via the Calcite grammar StreamExecMatch compiles): S
+    // = (E, R) covers the error run AND its recovery row, so measures
+    // over S aggregate the whole match while measures over E see only
+    // the errors. The oracle is the q_cep_sql_measures gaps-and-islands
+    // rewrite with the recovery row folded into the totals.
+    QueryDef(
+      "q_cep_sql_subset",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatchWithMeasures(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              MEASURES COUNT(S.*) AS n_all,
+                       SUM(S.value) AS sum_all,
+                       LAST(S.event_id) AS last_id,
+                       COUNT(E.*) AS n_errors
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (E+ R)
+              SUBSET S = (E, R)
+              DEFINE E AS event_type = 'error',
+                     R AS event_type <> 'error'
+            )
+          """)
+          .select(
+            col("key").as("user_id"),
+            col("n_all"),
+            round(col("sum_all"), 4).as("sum_all"),
+            col("last_id"),
+            col("n_errors")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        err AS (
+          SELECT user_id, event_id, value, rn,
+                 rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM o WHERE event_type = 'error'
+        ),
+        runs AS (
+          SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern,
+                 CAST(count(*) AS BIGINT) AS n_errors,
+                 sum(value) AS sum_err
+          FROM err GROUP BY user_id, grp
+        )
+        SELECT r.user_id, r.n_errors + 1 AS n_all,
+               round(r.sum_err + nx.value, 4) AS sum_all,
+               nx.event_id AS last_id, r.n_errors
+        FROM runs r
+        JOIN o nx ON nx.user_id = r.user_id AND nx.rn = r.ern + 1
+      """)
+    ),
+    // RUNNING vs FINAL measure semantics in ALL ROWS PER MATCH (the
+    // SQL-standard frame distinction; reference: Calcite row-pattern
+    // RUNNING/FINAL, StreamExecMatch measures): FINAL sees the whole
+    // match on every row, RUNNING (the mode's default) the prefix up
+    // to the row; the SUBSET count runs over both variables.
+    QueryDef(
+      "q_cep_sql_final_running",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatchAllRowsWithMeasures(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              MEASURES FINAL SUM(E2.value) AS s2_fin,
+                       FINAL LAST(E2.event_id) AS last_id_fin,
+                       RUNNING COUNT(S.*) AS n_run,
+                       COUNT(E2.*) AS n2_run
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (E1 E2)
+              WITHIN INTERVAL '30' MINUTE
+              SUBSET S = (E1, E2)
+              DEFINE E1 AS event_type = 'error',
+                     E2 AS event_type = 'error'
+            )
+          """)
+          .select(
+            col("key").as("user_id"),
+            col("match_no"),
+            col("row_in_match"),
+            col("event_id"),
+            col("classifier"),
+            col("s2_fin"),
+            col("last_id_fin"),
+            col("n_run"),
+            col("n2_run")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, ts, event_type, value,
+                 row_number() OVER w AS rn,
+                 lag(event_id) OVER w AS p_id,
+                 lag(event_type) OVER w AS p_type,
+                 lag(ts) OVER w AS p_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        m AS (
+          SELECT user_id, p_id AS m1, event_id AS m2, value AS v2,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                      ORDER BY rn) AS BIGINT) AS match_no
+          FROM o
+          WHERE event_type = 'error' AND p_type = 'error'
+            AND ts - p_ts <= INTERVAL 30 MINUTE
+        )
+        SELECT user_id, match_no,
+               CAST(u.r AS BIGINT) AS row_in_match,
+               CASE u.r WHEN 1 THEN m1 ELSE m2 END AS event_id,
+               CASE u.r WHEN 1 THEN 'E1' ELSE 'E2' END AS classifier,
+               v2 AS s2_fin,
+               m2 AS last_id_fin,
+               CAST(u.r AS BIGINT) AS n_run,
+               CAST(u.r - 1 AS BIGINT) AS n2_run
+        FROM m, unnest([1, 2]) AS u(r)
+      """)
     )
   )
 }

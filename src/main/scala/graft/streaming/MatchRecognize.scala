@@ -51,6 +51,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    per-step label of every matched row (`Match.step_names`), and
   *    each measure compiles to a collection expression over the
   *    label-filtered, row-ordered match — no second pattern pass.
+  *    SUBSET union variables (`SUBSET S = (A, B)`) widen the label
+  *    filter to the member set; RUNNING/FINAL prefixes select the
+  *    ALL ROWS PER MATCH frame (prefix-of-match vs whole match).
   *
   * Output is the NFA's match relation (key, start_ts, end_ts,
   * event_ids) — ONE ROW PER MATCH semantics with the matched row ids,
@@ -554,18 +557,25 @@ object MatchRecognize {
 
   // ---- MEASURES -------------------------------------------------------
 
-  /** One MEASURES item: FUNC(VAR.col) AS alias. */
+  /** One MEASURES item: [RUNNING | FINAL] FUNC(VAR.col) AS alias.
+    * `isFinal` only matters in ALL ROWS PER MATCH, where the default is
+    * RUNNING (prefix of the match up to the row) and FINAL sees the
+    * whole match on every row; ONE ROW PER MATCH emits at the final row
+    * so the two collapse (SQL:2016 / Calcite row-pattern semantics).
+    */
   final case class Measure(func: String, variable: String, column: String,
-      alias: String)
+      alias: String, isFinal: Boolean = false)
 
   private val measureItemRe =
-    raw"(?is)^(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\.(\*|[A-Za-z_][A-Za-z_0-9]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z_0-9]*)$$".r
+    raw"(?is)^(?:(RUNNING|FINAL)\s+)?(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\.(\*|[A-Za-z_][A-Za-z_0-9]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z_0-9]*)$$".r
 
   /** Parse the MEASURES clause (empty if absent). Subset: FIRST / LAST
     * / COUNT / SUM / AVG / MIN / MAX over `VAR.column` (COUNT also
-    * takes `VAR.*`) — the SQL-standard running/final distinction
-    * collapses because graft emits ONE ROW PER MATCH, where every
-    * measure is final (reference semantics: StreamExecMatch.java
+    * takes `VAR.*`), each optionally prefixed RUNNING or FINAL.
+    * VAR may be a SUBSET union variable. In ONE ROW PER MATCH the
+    * running/final distinction collapses (every measure is final); in
+    * ALL ROWS PER MATCH the default is RUNNING and FINAL pins the
+    * whole-match frame (reference semantics: StreamExecMatch.java
     * MEASURES on the match relation).
     */
   def parseMeasures(sql: String): Seq[Measure] = {
@@ -581,11 +591,86 @@ object MatchRecognize {
     splitTopLevel(body.substring(at, end)).map { item =>
       measureItemRe.findFirstMatchIn(item) match {
         case Some(m) =>
-          Measure(m.group(1).toUpperCase, m.group(2).toUpperCase,
-            m.group(3).toLowerCase, m.group(4))
+          Measure(m.group(2).toUpperCase, m.group(3).toUpperCase,
+            m.group(4).toLowerCase, m.group(5),
+            isFinal = Option(m.group(1)).exists(_.equalsIgnoreCase("FINAL")))
         case None => throw new IllegalArgumentException(
-          s"unsupported MEASURES item (subset is FUNC(VAR.col) AS alias): $item")
+          "unsupported MEASURES item (subset is [RUNNING|FINAL] " +
+            s"FUNC(VAR.col) AS alias): $item")
       }
+    }
+  }
+
+  /** Parse the SUBSET clause (empty if absent): union variables,
+    * `SUBSET S = (A, B), T = (C)` — a measure over S aggregates the
+    * rows matched to ANY member variable (SQL:2016 row-pattern SUBSET;
+    * reference: the Calcite grammar StreamExecMatch.java:90 compiles).
+    * Names are case-normalized like pattern labels. Malformed items,
+    * empty member lists, and duplicate subset names throw.
+    */
+  def parseSubsets(sql: String): Map[String, Seq[String]] = {
+    val body = balancedBody(sql, "MATCH_RECOGNIZE")
+    val at = raw"(?is)\bSUBSET\b".r.findAllMatchIn(body)
+      .find(m => body.substring(0, m.start).count(_ == '\'') % 2 == 0) match {
+      case Some(m) => m.end
+      case None => return Map.empty
+    }
+    // SUBSET sits between PATTERN/WITHIN and DEFINE in clause order
+    val end = raw"(?is)\bDEFINE\b".r.findFirstMatchIn(body.substring(at))
+      .map(_.start + at).getOrElse(body.length)
+    val itemRe = raw"(?is)^([A-Za-z_][A-Za-z_0-9]*)\s*=\s*\(([^()]*)\)$$".r
+    val items = splitTopLevel(body.substring(at, end)).map { item =>
+      itemRe.findFirstMatchIn(item) match {
+        case Some(m) =>
+          val members = m.group(2).split(",", -1).map(_.trim).toSeq
+          members.foreach(v =>
+            require(raw"[A-Za-z_][A-Za-z_0-9]*".r.matches(v),
+              s"unsupported SUBSET member '$v' — members are bare " +
+                "pattern variable names"))
+          m.group(1).toUpperCase -> members.map(_.toUpperCase)
+        case None => throw new IllegalArgumentException(
+          s"unsupported SUBSET item (subset is NAME = (V1, V2, ...)): $item")
+      }
+    }
+    val dup = items.groupBy(_._1).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate SUBSET name(s): ${dup.mkString(", ")}")
+    items.toMap
+  }
+
+  /** Every variable name of the pattern (all alternatives, groups
+    * included) — the namespace MEASURES variables resolve against.
+    */
+  private def patternVarNames[E](p: CepCore.SequencePattern[E]): Set[String] = {
+    def of(e: CepCore.Elem[E]): Seq[String] = e match {
+      case s: CepCore.Step[E] => Seq(s.name)
+      case g: CepCore.Group[E] => g.steps.map(_.name)
+    }
+    (p.elems +: p.orElse).flatten.flatMap(of).toSet
+  }
+
+  /** The step labels a measure variable covers: the variable itself or
+    * its SUBSET members. Unknown variables throw — a typo'd variable
+    * must not silently aggregate over zero rows — as do subsets that
+    * shadow a pattern variable or reference an undefined one.
+    */
+  private def resolveMeasureVar(v: String, subsets: Map[String, Seq[String]],
+      patternVars: Set[String]): Seq[String] = {
+    subsets.foreach { case (n, ms) =>
+      require(!patternVars(n),
+        s"SUBSET name $n shadows a pattern variable")
+      require(ms.nonEmpty, s"SUBSET $n has no members")
+      ms.foreach(m => require(patternVars(m),
+        s"SUBSET $n references undefined pattern variable $m"))
+    }
+    if (subsets.contains(v)) subsets(v)
+    else {
+      require(patternVars(v),
+        s"MEASURES references unknown variable $v (pattern variables: " +
+          s"${patternVars.toSeq.sorted.mkString(", ")}" +
+          (if (subsets.isEmpty) ""
+           else s"; subsets: ${subsets.keys.toSeq.sorted.mkString(", ")}") +
+          ")")
+      Seq(v)
     }
   }
 
@@ -600,10 +685,18 @@ object MatchRecognize {
   def withMeasures(
       matches: DataFrame,
       events: DataFrame,
-      measures: Seq[Measure]
+      measures: Seq[Measure],
+      subsets: Map[String, Seq[String]] = Map.empty,
+      patternVars: Option[Set[String]] = None
   ): DataFrame = {
     import org.apache.spark.sql.Column
     require(measures.nonEmpty, "MEASURES clause is empty")
+    // labels a measure variable covers (validated when the caller
+    // supplies the pattern's variable namespace)
+    def labelsOf(v: String): Seq[String] = patternVars match {
+      case Some(pv) => resolveMeasureVar(v, subsets, pv)
+      case None => subsets.getOrElse(v, Seq(v))
+    }
     val m = matches.withColumn("__mid", monotonically_increasing_id())
     val ex = m
       .select(
@@ -641,7 +734,10 @@ object MatchRecognize {
         s"unknown event column in MEASURES: $other")
     }
     val cols = measures.map { ms =>
-      val rows = filter(col("__arr"), x => x.getField("__lab") === ms.variable)
+      val labs = labelsOf(ms.variable)
+      val rows = filter(col("__arr"), x =>
+        if (labs.size == 1) x.getField("__lab") === labs.head
+        else x.getField("__lab").isin(labs: _*))
       def vals = transform(rows, x => fieldOf(x, ms.column))
       // SQL aggregates skip NULLs: COUNT(col)/SUM/AVG see only the
       // variable's non-null values (COUNT(V.*) counts rows)
@@ -679,7 +775,9 @@ object MatchRecognize {
     withMeasures(
       detectBatch(events, sql).toDF(),
       events.toDF(),
-      parseMeasures(sql))
+      parseMeasures(sql),
+      parseSubsets(sql),
+      Some(patternVarNames(parse(events.sparkSession, sql))))
 
   /** ALL ROWS PER MATCH output mode (SQL-standard counterpart of the
     * default ONE ROW PER MATCH): one output row per MATCHED INPUT ROW,
@@ -727,6 +825,8 @@ object MatchRecognize {
     val base = detectBatchAllRows(events, sql)
     val measures = parseMeasures(sql)
     if (measures.isEmpty) return base
+    val subsets = parseSubsets(sql)
+    val pvars = patternVarNames(parse(events.sparkSession, sql))
     val ev = events.toDF().select(
       col("event_id").as("__eid"),
       col("ts").as("__ts"),
@@ -734,9 +834,14 @@ object MatchRecognize {
       col("value").as("__value")
     )
     val joined = base.join(ev, base("event_id") === ev("__eid"))
+    // RUNNING (the mode's default): the match prefix up to the row;
+    // FINAL: the whole match on every row
     val w = Window.partitionBy(col("key"), col("match_no"))
       .orderBy(col("row_in_match"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFinal = Window.partitionBy(col("key"), col("match_no"))
+      .orderBy(col("row_in_match"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def fieldOf(c: String): Column = c match {
       case "event_id" => col("__eid")
       case "ts" => col("__ts")
@@ -746,23 +851,27 @@ object MatchRecognize {
         s"unknown event column in MEASURES: $other")
     }
     val cols = measures.map { ms =>
-      val ofVar = col("classifier") === ms.variable
+      val labs = resolveMeasureVar(ms.variable, subsets, pvars)
+      val ofVar =
+        if (labs.size == 1) col("classifier") === labs.head
+        else col("classifier").isin(labs: _*)
+      val wm = if (ms.isFinal) wFinal else w
       def v = when(ofVar, fieldOf(ms.column))
       def num = when(ofVar, fieldOf(ms.column).cast("double"))
       val c = ms.func match {
         // SQL COUNT(col) skips NULLs — count the VALUE, not the row;
         // only COUNT(V.*) counts matched rows unconditionally
         case "COUNT" =>
-          if (ms.column == "*") count(when(ofVar, lit(1))).over(w)
-          else count(v).over(w)
-        case "SUM" => sum(num).over(w)
+          if (ms.column == "*") count(when(ofVar, lit(1))).over(wm)
+          else count(v).over(wm)
+        case "SUM" => sum(num).over(wm)
         // avg skips NULLs natively; sum/count would double-count rows
         // whose value is NULL
-        case "AVG" => avg(num).over(w)
-        case "MIN" => min(v).over(w)
-        case "MAX" => max(v).over(w)
-        case "FIRST" => first(v, ignoreNulls = true).over(w)
-        case "LAST" => last(v, ignoreNulls = true).over(w)
+        case "AVG" => avg(num).over(wm)
+        case "MIN" => min(v).over(wm)
+        case "MAX" => max(v).over(wm)
+        case "FIRST" => first(v, ignoreNulls = true).over(wm)
+        case "LAST" => last(v, ignoreNulls = true).over(wm)
       }
       c.as(ms.alias)
     }
@@ -779,7 +888,7 @@ object MatchRecognize {
   private final case class REv(row: Row, ir: InternalRow, tsMs: Long)
 
   private val clauseKwRe =
-    raw"(?is)\b(PARTITION\s+BY|ORDER\s+BY|MEASURES|AFTER\s+MATCH|PATTERN|WITHIN|DEFINE|ONE\s+ROW|ALL\s+ROWS)\b".r
+    raw"(?is)\b(PARTITION\s+BY|ORDER\s+BY|MEASURES|AFTER\s+MATCH|PATTERN|WITHIN|SUBSET|DEFINE|ONE\s+ROW|ALL\s+ROWS)\b".r
 
   /** The column list of a `<head> BY c1, c2, ...` clause, parsed
     * STRICTLY: the clause runs to the next clause keyword, and every
@@ -1011,11 +1120,13 @@ object MatchRecognize {
     val measures = parseMeasures(sql)
     require(measures.nonEmpty, "MEASURES clause is empty")
     relationMeasures(runRelationBatch(df, spec), df.schema, spec.partCols,
-      measures)
+      measures, parseSubsets(sql), patternVarNames(spec.pattern))
   }
 
   private def relationMeasures(allRows: DataFrame, schema: StructType,
-      partCols: Seq[String], measures: Seq[Measure]): DataFrame = {
+      partCols: Seq[String], measures: Seq[Measure],
+      subsets: Map[String, Seq[String]],
+      patternVars: Set[String]): DataFrame = {
     // resolve measure columns case-insensitively against the schema
     def actual(c: String): String = {
       val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
@@ -1034,7 +1145,10 @@ object MatchRecognize {
       .groupBy(keyCols :+ col("match_no"): _*)
       .agg(arr.as("__arr"))
     val cols = measures.map { ms =>
-      val rows = filter(col("__arr"), x => x.getField("__lab") === ms.variable)
+      val labs = resolveMeasureVar(ms.variable, subsets, patternVars)
+      val rows = filter(col("__arr"), x =>
+        if (labs.size == 1) x.getField("__lab") === labs.head
+        else x.getField("__lab").isin(labs: _*))
       def vals = transform(rows, x => x.getField(actual(ms.column)))
       def nnums = filter(
         transform(rows, x => x.getField(actual(ms.column)).cast("double")),

@@ -444,4 +444,104 @@ class MatchRecognizeSpec extends AnyFunSuite {
       assert(labs.init.forall(_ == "E") && labs.last == "R")
     }
   }
+
+  test("SUBSET union variables aggregate over all member labels") {
+    import spark.implicits._
+    // one E+ R match: errors 2,4,6 then ok 9 — S = (E, R) sees all 4
+    val events = Seq(
+      Event(1, ts(0), 9, "error", 2.0),
+      Event(2, ts(1), 9, "error", 4.0),
+      Event(3, ts(2), 9, "error", 6.0),
+      Event(4, ts(3), 9, "ok", 9.0)
+    ).toDS()
+    val out = MatchRecognize.detectBatchWithMeasures(events, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(S.*) AS ns, SUM(S.value) AS ss,
+                 FIRST(S.value) AS fs, LAST(S.event_id) AS lid,
+                 COUNT(E.*) AS ne
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (E+ R)
+        SUBSET S = (E, R)
+        DEFINE E AS event_type = 'error', R AS event_type <> 'error')""")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("ns") == 4L && r.getAs[Double]("ss") == 21.0)
+    assert(r.getAs[Double]("fs") == 2.0 && r.getAs[Long]("lid") == 4L)
+    assert(r.getAs[Long]("ne") == 3L)
+  }
+
+  test("FINAL vs RUNNING measures in ALL ROWS PER MATCH") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 9, "error", 2.0),
+      Event(2, ts(1), 9, "error", 4.0),
+      Event(3, ts(2), 9, "error", 6.0),
+      Event(4, ts(3), 9, "ok", 9.0)
+    ).toDS()
+    val out = MatchRecognize.detectBatchAllRowsWithMeasures(events, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FINAL SUM(E.value) AS sef, RUNNING SUM(E.value) AS ser,
+                 FINAL COUNT(S.*) AS nsf, COUNT(S.*) AS nsr
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (E+ R)
+        SUBSET S = (E, R)
+        DEFINE E AS event_type = 'error', R AS event_type <> 'error')""")
+      .orderBy("row_in_match")
+      .collect()
+      .map(r => (r.getAs[Long]("row_in_match"), r.getAs[Double]("sef"),
+        r.getAs[Double]("ser"), r.getAs[Long]("nsf"), r.getAs[Long]("nsr")))
+      .toSeq
+    // FINAL sees the whole match on every row; RUNNING the prefix
+    assert(out == Seq(
+      (1L, 12.0, 2.0, 4L, 1L),
+      (2L, 12.0, 6.0, 4L, 2L),
+      (3L, 12.0, 12.0, 4L, 3L),
+      (4L, 12.0, 12.0, 4L, 4L)))
+  }
+
+  test("unknown MEASURES variables and malformed SUBSETs are rejected loudly") {
+    import spark.implicits._
+    val events = Seq(Event(1, ts(0), 9, "error", 2.0),
+      Event(2, ts(1), 9, "ok", 9.0)).toDS()
+    def sql(measures: String, subset: String = ""): String =
+      s"""MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES $measures
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (E R)
+        $subset
+        DEFINE E AS event_type = 'error', R AS event_type <> 'error')"""
+    // a typo'd variable must not silently aggregate over zero rows
+    val e1 = intercept[IllegalArgumentException] {
+      MatchRecognize.detectBatchWithMeasures(
+        events, sql("COUNT(X.*) AS n")).collect()
+    }
+    assert(e1.getMessage.contains("unknown variable X"))
+    // subset members must be defined pattern variables
+    val e2 = intercept[IllegalArgumentException] {
+      MatchRecognize.detectBatchWithMeasures(
+        events, sql("COUNT(S.*) AS n", "SUBSET S = (E, Z)")).collect()
+    }
+    assert(e2.getMessage.contains("undefined pattern variable Z"))
+    // a subset may not shadow a pattern variable
+    val e3 = intercept[IllegalArgumentException] {
+      MatchRecognize.detectBatchWithMeasures(
+        events, sql("COUNT(E.*) AS n", "SUBSET E = (R)")).collect()
+    }
+    assert(e3.getMessage.contains("shadows a pattern variable"))
+    // duplicate subset names and malformed items are parse errors
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parseSubsets(
+        "MATCH_RECOGNIZE (PATTERN (A B) SUBSET S = (A), S = (B) DEFINE A AS 1=1)")
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parseSubsets(
+        "MATCH_RECOGNIZE (PATTERN (A B) SUBSET S = A DEFINE A AS 1=1)")
+    }
+    // ONE ROW PER MATCH collapses RUNNING and FINAL: both parse
+    val ms = MatchRecognize.parseMeasures(
+      "MATCH_RECOGNIZE (MEASURES RUNNING COUNT(A.*) AS r, FINAL SUM(A.value) AS f PATTERN (A))")
+    assert(ms.map(m => (m.func, m.isFinal)) == Seq(("COUNT", false), ("SUM", true)))
+  }
 }
