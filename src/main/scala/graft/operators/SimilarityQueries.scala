@@ -243,6 +243,63 @@ object SimilarityQueries extends QueryModule {
       .filter(col("rnk") <= k)
   }
 
+  /** Symmetric per-vector int8 scalar quantization (the SQ8 scheme of
+    * Faiss's scalar quantizer; the standard embedding-compression
+    * step): scale = max|v| / 127, code_i = round(v_i / scale),
+    * dequant = code * scale. At 100 TB this is the 4× shuffle/IO
+    * reduction that makes vector search affordable — codes travel,
+    * floats stay at rest. Every step is IEEE double arithmetic plus
+    * ties-away-from-zero rounding, both bit-identical across engines,
+    * so unlike the float sketches this operator is EXACTLY
+    * oracle-checkable.
+    */
+  def sq8Quantize(emb: DataFrame): DataFrame = {
+    val e = emb.select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("v")
+    )
+    e.withColumn("max_abs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale",
+        when(col("max_abs") > 0, col("max_abs") / lit(127.0))
+          .otherwise(lit(0.0)))
+      .withColumn("qvec",
+        when(col("max_abs") > 0,
+          transform(col("v"), x => round(x / col("scale"), 0).cast("int")))
+          .otherwise(transform(col("v"), _ => lit(0))))
+  }
+
+  /** Top-k cosine over the QUANTIZED codes: every product and partial
+    * sum of an int8 dot is an exact integer far below 2^53, so the
+    * scores are order-independent and engine-exact — the quantized
+    * ANN ranks identically in Spark and DuckDB and gets a real hash
+    * oracle. Like the brute-force baseline the search side is a
+    * broadcast cross of a small query set (the scale path composes
+    * these codes with the LSH/IVF bucket joins — the codes ride the
+    * same equi-join keys at a quarter of the payload).
+    */
+  def sq8TopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    graft.functions.SketchExpressions.register(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val qd = sq8Quantize(emb)
+      .select(col("vec_id"),
+        transform(col("qvec"), c => c.cast("double")).as("qv"))
+    val withNorm = qd.withColumn("qn", dot(col("qv"), col("qv")))
+    val q = withNorm
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("qv").as("a"), col("qn").as("an"))
+    val c = withNorm.select(
+      col("vec_id").as("cand_id"), col("qv").as("b"), col("qn").as("bn"))
+    val scored = c
+      .join(broadcast(q), col("q_id") =!= col("cand_id"))
+      .withColumn("qcos",
+        round(dot(col("a"), col("b")) / sqrt(col("an") * col("bn")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cand_id"))
+    scored
+      .select(col("q_id"), col("cand_id"), col("qcos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_brute_force",
@@ -273,6 +330,87 @@ object SimilarityQueries extends QueryModule {
       "q_ann_ivf",
       (s, dir) => ivfTopK(tables(s, dir).embeddings, 10, 5),
       None // probabilistic recall — spec-checked against brute force
+    ),
+    // Per-vector int8 quantization summary: the scale factor plus three
+    // engine-exact digests of the code vector (integer checksum,
+    // saturated-code count, max reconstruction error). The codes
+    // themselves are compared via qsum — an order-independent integer.
+    QueryDef(
+      "q_embed_quantize_sq8",
+      (s, dir) => {
+        val qd = sq8Quantize(tables(s, dir).embeddings)
+        qd.select(
+          col("vec_id"),
+          col("scale"),
+          aggregate(col("qvec"), lit(0L), (acc, x) => acc + x).as("qsum"),
+          size(filter(col("qvec"), c => abs(c) === 127)).cast("long").as("n_sat"),
+          round(
+            when(col("max_abs") > 0,
+              array_max(transform(col("v"),
+                x => abs(x - round(x / col("scale"), 0) * col("scale")))))
+              .otherwise(lit(0.0)),
+            9).as("max_abs_err")
+        )
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS max_abs
+          FROM e
+        )
+        SELECT vec_id,
+               CASE WHEN max_abs > 0 THEN max_abs / 127.0 ELSE 0.0 END AS scale,
+               CAST(list_sum(CASE WHEN max_abs > 0
+                    THEN list_transform(v, x ->
+                         CAST(round(x / (max_abs / 127.0), 0) AS INTEGER))
+                    ELSE list_transform(v, x -> 0) END) AS BIGINT) AS qsum,
+               CAST(len(list_filter(CASE WHEN max_abs > 0
+                    THEN list_transform(v, x ->
+                         CAST(round(x / (max_abs / 127.0), 0) AS INTEGER))
+                    ELSE list_transform(v, x -> 0) END,
+                    c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+               round(CASE WHEN max_abs > 0
+                    THEN list_max(list_transform(v, x ->
+                         abs(x - round(x / (max_abs / 127.0), 0)
+                                 * (max_abs / 127.0))))
+                    ELSE 0.0 END, 9) AS max_abs_err
+        FROM s
+      """)
+    ),
+    // Quantized ANN: top-k cosine over the int8 codes — exact hash
+    // oracle (integer dots are engine-exact), unlike the float-sketch
+    // ANN variants which are recall-gated instead.
+    QueryDef(
+      "q_ann_sq8",
+      (s, dir) => sq8TopK(tables(s, dir).embeddings, 10, 5),
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS max_abs
+          FROM e
+        ),
+        qd AS (
+          SELECT vec_id,
+                 CASE WHEN max_abs > 0
+                      THEN list_transform(v, x -> CAST(CAST(
+                           round(x / (max_abs / 127.0), 0) AS INTEGER) AS DOUBLE))
+                      ELSE list_transform(v, x -> 0.0) END AS qv
+          FROM s
+        ),
+        n AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS qn FROM qd),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                 round(list_inner_product(q.qv, c.qv) / sqrt(q.qn * c.qn), 6) AS qcos
+          FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+        )
+        SELECT q_id, cand_id, qcos, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY qcos DESC, cand_id) AS INT) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+      """)
     )
   )
 }

@@ -101,6 +101,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .getLong(0)
     assert(sumCopies == total)
   }
+
+  test("SQ8 quantization bounds the error and the quantized ANN keeps high recall") {
+    import org.apache.spark.sql.functions.col
+    val t = Engine.Tables(spark, dir)
+    // reconstruction error of symmetric round-to-nearest is at most
+    // scale/2 per element, and 127-saturation can only hit the max
+    val qz = SparkEntry.queries("q_embed_quantize_sq8")(spark, dir).collect()
+    assert(qz.nonEmpty)
+    qz.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_abs_err")
+      assert(err <= scale / 2 + 1e-9,
+        s"vec ${r.getAs[Long]("vec_id")}: err $err > scale/2 ${scale / 2}")
+    }
+    // 8-bit codes barely perturb cosine ordering: top-5 recall vs the
+    // exact brute force should be near-perfect on these embeddings
+    val brute = SparkEntry.queries("q_ann_brute_force")(spark, dir)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = SparkEntry.queries("q_ann_sq8")(spark, dir)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq8 & brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"SQ8 recall too low: $recall")
+  }
 }
 
 /** One shared local session for all suites (ScalaTest runs suites in
