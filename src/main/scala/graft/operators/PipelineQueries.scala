@@ -154,6 +154,42 @@ object PipelineQueries extends QueryModule {
         WHERE rn <= 20
       """)
     ),
+    // Token-budget mixture sampling: the data-mixing step of a training
+    // run — each (lang, source) cell contributes documents until its
+    // token budget fills, in deterministic hash order so the mixture is
+    // reproducible across runs and engines. One shuffle on the cell
+    // key, a running sum within each cell, rows beyond the budget
+    // pruned — a cell is never collected whole anywhere. The budget
+    // currency is whitespace tokens, same as q_text_tokens.
+    QueryDef(
+      "q_mix_token_budget",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val budget = when(col("lang") === "en", lit(300L)).otherwise(lit(150L))
+        val w = Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("m"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.documents
+          .withColumn("m", mix(col("doc_id")))
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+          .withColumn("cum_tok", sum(col("n_tok")).over(w))
+          .filter(col("cum_tok") <= budget)
+          .select(col("lang"), col("source"), col("doc_id"),
+            col("n_tok"), col("cum_tok"))
+      },
+      Some(s"""
+        SELECT lang, source, doc_id, n_tok, cum_tok FROM (
+          SELECT lang, source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 CAST(sum(len(string_split(text, ' '))) OVER (
+                   PARTITION BY lang, source
+                   ORDER BY ${mixSql("doc_id")}, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tok
+          FROM documents)
+        WHERE cum_tok <= CASE WHEN lang = 'en' THEN 300 ELSE 150 END
+      """)
+    ),
     // Distributed global shuffle: the pre-training order randomization.
     // A naive ORDER BY hash is a partitionless sort (single-task at the
     // rank step if expressed as OVER ()); DistributedRank instead
