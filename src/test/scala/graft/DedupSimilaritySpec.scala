@@ -126,6 +126,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val recall = (sq8 & brute).size.toDouble / brute.size
     assert(recall >= 0.9, s"SQ8 recall too low: $recall")
   }
+
+  test("IVF-SQ8 composite: probed-cell search over codes tracks float IVF recall") {
+    val brute = SparkEntry.queries("q_ann_brute_force")(spark, dir)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SparkEntry.queries("q_ann_ivf_sq8")(spark, dir)
+      .select("q_id", "cand_id", "rnk").collect()
+    assert(rows.nonEmpty, "IVF-SQ8 should return neighbors")
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"query $q returned ${rs.length} > k")
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length), s"query $q ranks")
+    }
+    // 8-bit scoring barely moves the ranking, so recall should sit in
+    // the float IVF's band (nprobe=4/16 simulates to ~0.54)
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pairs & brute).size.toDouble / brute.size
+    assert(recall > 0.25, s"IVF-SQ8 recall degenerate: $recall")
+    val again = SparkEntry.queries("q_ann_ivf_sq8")(spark, dir)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pairs, "IVF-SQ8 result not deterministic")
+  }
 }
 
 /** One shared local session for all suites (ScalaTest runs suites in
