@@ -553,6 +553,68 @@ object MinHashLsh {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
   }
+
+  /** Cross-corpus fuzzy decontamination — the MinHash counterpart of
+    * the exact inverted-index q_decontaminate: benchmark and corpus
+    * docs are banded with the same signature, bucket collisions become
+    * candidates, and candidates are verified with exact set overlap
+    * scored on BOTH Jaccard and benchmark containment
+    * |doc ∩ bench| / |bench| — the asymmetric metric that catches a
+    * document embedding a whole (small) benchmark item, which Jaccard
+    * dilutes. Precision is exact (verification); recall follows the
+    * Jaccard banding curve (16 bands × 4 rows), so a containment-only
+    * hit with low Jaccard can evade the buckets — the trade every
+    * banded decon makes.
+    *
+    * Scale shape: the bench side is small (it broadcasts through the
+    * bucket join under AQE); the corpus side shuffles once on
+    * (band, bucket) with the hot-bucket cap guarding degenerate keys.
+    *
+    * @param corpus (doc_id, shingles), non-empty distinct shingles
+    * @param bench  (doc_id, shingles), the held-out benchmark docs
+    */
+  def contaminated(corpus: DataFrame, bench: DataFrame,
+      threshold: Double): DataFrame = {
+    graft.functions.SketchExpressions.register(corpus.sparkSession)
+    def sigOf(df: DataFrame): DataFrame = df.select(
+      col("doc_id"),
+      col("shingles"),
+      graft.functions.SketchExpressions.minhash_signature(col("shingles")).as("sig"))
+    val sigC = graft.CacheScope.cached(sigOf(corpus))
+    val sigB = graft.CacheScope.cached(sigOf(bench))
+    val bandHashes = (0 until Bands).map(b =>
+      hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand), lit(b)))
+    def bandOf(sig: DataFrame, idCol: String): DataFrame = sig.select(
+      col("doc_id").as(idCol),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+    val bandedC = bandOf(sigC, "doc_id")
+    val hot = bandedC
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > MaxBucketSize)
+      .select(col("band"), col("bucket"))
+    val cand = bandedC
+      .join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      .join(bandOf(sigB, "bench_id"), Seq("band", "bucket"))
+      .select(col("doc_id"), col("bench_id"))
+      .distinct()
+    val setsC = sigC.select(col("doc_id"), col("shingles"))
+    val setsB = sigB.select(col("doc_id").as("bench_id"), col("shingles").as("bsh"))
+    cand
+      .join(setsC, "doc_id")
+      .join(setsB, "bench_id")
+      .withColumn("inter",
+        size(array_intersect(col("shingles"), col("bsh"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / size(array_union(col("shingles"), col("bsh"))), 6))
+      .withColumn("containment", round(col("inter") / size(col("bsh")), 6))
+      .filter(col("jaccard") >= threshold || col("containment") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bench_hits"),
+        max(col("jaccard")).as("max_jaccard"),
+        max(col("containment")).as("max_containment"))
+  }
 }
 
 /** 64-bit SimHash with band-blocked Hamming candidate generation. The

@@ -439,6 +439,30 @@ object PipelineQueries extends QueryModule {
         GROUP BY doc_id
       """)
     ),
+    // Fuzzy decontamination: the MinHash-banded counterpart of
+    // q_decontaminate — paraphrased/near-verbatim benchmark leakage
+    // that exact n-gram overlap underestimates. Candidates come from
+    // band-bucket collisions (probabilistic recall → rows-only check;
+    // DedupSimilaritySpec verifies precision and the Jaccard-governed
+    // recall region against an exact all-pairs sweep), verification is
+    // exact set overlap on both Jaccard and benchmark containment.
+    QueryDef(
+      "q_decontaminate_fuzzy",
+      (s, dir) => {
+        graft.functions.SketchExpressions.register(s)
+        val t = tables(s, dir)
+        val sh = t.documents
+          .select(
+            col("doc_id"),
+            graft.functions.SketchExpressions.word_shingles(col("text")).as("shingles")
+          )
+          .filter(size(col("shingles")) > 0)
+        val bench = sh.filter(pmod(col("doc_id"), lit(13L)) === 0)
+        val corpus = sh.filter(pmod(col("doc_id"), lit(13L)) =!= 0)
+        MinHashLsh.contaminated(corpus, bench, 0.8)
+      },
+      None // banding recall is probabilistic — spec-checked vs exact
+    ),
     // Epoch upsampling (domain-weighted mixture): rare domains repeat
     // more epochs per training pass. A per-row explode of a tiny
     // sequence — scan-local fan-out, no shuffle, the standard way to

@@ -148,6 +148,62 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == pairs, "IVF-SQ8 result not deterministic")
   }
+
+  test("fuzzy decontamination: exact precision, full recall in the Jaccard band region") {
+    import org.apache.spark.sql.functions._
+    graft.functions.SketchExpressions.register(spark)
+    val sh = Engine.Tables(spark, dir).documents
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions.word_shingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    // exact all-pairs sweep (sf0.001 only): every corpus doc with a
+    // bench doc at jaccard >= 0.8 or containment >= 0.8
+    val bench = sh.filter(pmod(col("doc_id"), lit(13L)) === 0)
+      .select(col("doc_id").as("bench_id"), col("shingles").as("bsh"))
+    val corpus = sh.filter(pmod(col("doc_id"), lit(13L)) =!= 0)
+    val inter = size(array_intersect(col("shingles"), col("bsh"))).cast("double")
+    val exact = corpus.crossJoin(bench)
+      .withColumn("j", round(inter / size(array_union(col("shingles"), col("bsh"))), 6))
+      .withColumn("c", round(inter / size(col("bsh")), 6))
+      .filter(col("j") >= 0.8 || col("c") >= 0.8)
+    val exactEither = exact.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val exactJ = exact.filter(col("j") >= 0.8).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val fuzzy = SparkEntry.queries("q_decontaminate_fuzzy")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // verification is exact → no false positives ever
+    assert(fuzzy.subsetOf(exactEither), s"false positives: ${fuzzy -- exactEither}")
+    // banding recall is governed by Jaccard: the J>=0.8 region must be
+    // fully recovered on this corpus (16 bands x 4 rows, recall ~1-1e-6)
+    assert(exactJ.subsetOf(fuzzy), s"missed J-region docs: ${exactJ -- fuzzy}")
+  }
+
+  test("fuzzy decontamination finds a planted near-verbatim benchmark copy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.SketchExpressions.register(spark)
+    val benchText = (1 to 40).map(i => s"benchword$i").mkString(" ")
+    // doc 100: the bench item with one word changed (kills 3 of ~38
+    // trigram shingles -> J ~ 0.85, containment ~ 0.92); doc 200:
+    // unrelated
+    val corpusDocs = Seq(
+      (100L, benchText.replace("benchword7 ", "changed7 ")),
+      (200L, (1 to 40).map(i => s"otherword$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val benchDocs = Seq((1L, benchText)).toDF("doc_id", "text")
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      graft.functions.SketchExpressions.word_shingles(col("text")).as("shingles"))
+    val out = graft.operators.MinHashLsh
+      .contaminated(sh(corpusDocs), sh(benchDocs), 0.8)
+      .collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(100L))
+    val r = out.head
+    assert(r.getAs[Long]("n_bench_hits") == 1L)
+    assert(r.getAs[Double]("max_jaccard") >= 0.8)
+    assert(r.getAs[Double]("max_containment") >= 0.8)
+  }
 }
 
 /** One shared local session for all suites (ScalaTest runs suites in
