@@ -32,6 +32,8 @@ object Sf1Gates {
       "ann_lsh_recall_sf1" -> (() => annLshRecall(spark, dir)),
       "ann_ivf_recall_sf1" -> (() => annIvfRecall(spark, dir)),
       "ann_planted_recall_sf1" -> (() => plantedRecall(spark, dir)),
+      "ann_sq8_planted_recall_sf1" -> (() => sq8PlantedRecall(spark, dir)),
+      "fuzzy_decon_sanity_sf1" -> (() => fuzzyDeconSanity(spark, dir)),
       "aqe_skew_split_sf1" -> (() => skewSplit(spark, dir))
     )
     all.collect { case (n, g) if only.isEmpty || only(n) => g() }
@@ -124,6 +126,50 @@ object Sf1Gates {
         "ann_planted_recall_sf1",
         brute == expected.size && lsh >= need && ivf >= need,
         s"planted=${expected.size} brute=$brute lsh=$lsh ivf=$ivf (brute=all, lsh/ivf>=$need)"
+      )
+    }
+
+  /** The quantized ANN paths against the same planted fixture: int8
+    * quantization noise is far below the plant's ε-rotation, so the
+    * full SQ8 scan and the IVF-SQ8 composite must both keep the
+    * planted rank-1 neighbors (same ≥0.9 bar as float LSH/IVF; the
+    * composite's misses are IVF cell misses, not quantization).
+    */
+  private def sq8PlantedRecall(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      val expected = (0L until ScaleUp.PlantedQueries.toLong)
+        .map(q => (q, q + ScaleUp.PlantOffset))
+        .toSet
+      def hits(query: String): Int =
+        (pairs(SparkEntry.queries(query)(spark, dir), "q_id", "cand_id") & expected).size
+      val sq8 = hits("q_ann_sq8")
+      val ivfSq8 = hits("q_ann_ivf_sq8")
+      val need = math.ceil(expected.size * 0.9).toInt
+      Gate(
+        "ann_sq8_planted_recall_sf1",
+        sq8 >= need && ivfSq8 >= need,
+        s"planted=${expected.size} sq8=$sq8 ivf_sq8=$ivfSq8 (>= $need)"
+      )
+    }
+
+  /** Fuzzy decontamination at sf1: the banded cross-corpus join must
+    * complete without degenerate buckets and every flagged doc must
+    * carry an exactly-verified score at or above the threshold (the
+    * planted near-dup corpus guarantees some cross-split leakage).
+    */
+  private def fuzzyDeconSanity(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      val rows = SparkEntry.queries("q_decontaminate_fuzzy")(spark, dir).collect()
+      val bounded = rows.forall { r =>
+        val j = r.getAs[Double]("max_jaccard")
+        val c = r.getAs[Double]("max_containment")
+        j <= 1.0 && c <= 1.0 && (j >= 0.8 || c >= 0.8) &&
+          r.getAs[Long]("n_bench_hits") >= 1L
+      }
+      Gate(
+        "fuzzy_decon_sanity_sf1",
+        rows.nonEmpty && bounded,
+        s"flaggedDocs=${rows.length} scoresBounded=$bounded"
       )
     }
 
