@@ -1216,6 +1216,62 @@ object CepQueries extends QueryModule {
                CAST(u.r - 1 AS BIGINT) AS n2_run
         FROM m, unnest([1, 2]) AS u(r)
       """)
+    ),
+    // Row-pattern exclusion {- E1 -} (SQL:2016; the reference grammar
+    // accepts it): the excluded row still MATCHES — the measure
+    // COUNT(E1.*) proves it was seen — but is omitted from the ALL
+    // ROWS output, so each double-error match emits only its second
+    // row (row_in_match keeps its position in the full match).
+    QueryDef(
+      "q_cep_sql_exclusion",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatchAllRowsWithMeasures(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              MEASURES COUNT(E1.*) AS n1_run
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN ({- E1 -} E2)
+              WITHIN INTERVAL '30' MINUTE
+              DEFINE E1 AS event_type = 'error',
+                     E2 AS event_type = 'error'
+            )
+          """)
+          .select(
+            col("key").as("user_id"),
+            col("match_no"),
+            col("row_in_match"),
+            col("event_id"),
+            col("classifier"),
+            col("n1_run")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, ts, event_type,
+                 row_number() OVER w AS rn,
+                 lag(event_type) OVER w AS p_type,
+                 lag(ts) OVER w AS p_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY rn)
+                    AS BIGINT) AS match_no,
+               CAST(2 AS BIGINT) AS row_in_match,
+               event_id,
+               'E2' AS classifier,
+               CAST(1 AS BIGINT) AS n1_run
+        FROM o
+        WHERE event_type = 'error' AND p_type = 'error'
+          AND ts - p_ts <= INTERVAL 30 MINUTE
+      """)
     )
   )
 }

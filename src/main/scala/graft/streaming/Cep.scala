@@ -120,9 +120,11 @@ object Cep {
       withinMs: Long,
       strict: Boolean,
       skip: SkipStrategy = NoSkip,
-      orElse: Seq[Seq[CepCore.Elem[Event]]] = Nil
+      orElse: Seq[Seq[CepCore.Elem[Event]]] = Nil,
+      excluded: Set[String] = Set.empty
   ): SequencePattern =
-    CepCore.SequencePattern[Event](steps, withinMs, strict, skip, orElse)
+    CepCore.SequencePattern[Event](steps, withinMs, strict, skip, orElse,
+      excluded)
 
   def NfaState(partials: Seq[PartialMatch], nextSeq: Long): NfaState =
     CepCore.NfaState[Event](partials, nextSeq, None)

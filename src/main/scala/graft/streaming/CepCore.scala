@@ -133,7 +133,13 @@ object CepCore {
       withinMs: Long,
       strict: Boolean,
       skip: SkipStrategy = NoSkip,
-      orElse: Seq[Seq[Elem[E]]] = Nil
+      orElse: Seq[Seq[Elem[E]]] = Nil,
+      /** Variable names inside SQL `{- ... -}` exclusion markers: the
+        * rows still MATCH (and feed MEASURES) but are omitted from
+        * ALL ROWS PER MATCH output (SQL:2016 row-pattern exclusion).
+        * The NFA ignores this — it is carried for the output stage.
+        */
+      excluded: Set[String] = Set.empty
   ) {
     require(elems.nonEmpty)
     require(orElse.forall(_.nonEmpty), "an empty PATTERN alternative")

@@ -335,6 +335,46 @@ object MatchRecognize {
   /** Ceiling on PERMUTE expansion (5! = 120 alternatives). */
   private val MaxPermuteAlts = 120
 
+  /** Strip SQL row-pattern exclusion markers `{- ... -}` from one
+    * alternative (SQL:2016; the reference grammar accepts them for
+    * ALL ROWS PER MATCH output exclusion). Returns the cleaned text —
+    * the excluded content STAYS in the pattern, it still matches and
+    * feeds MEASURES — plus the variable names inside the markers,
+    * which the output stages omit. Nesting, unbalanced markers, and a
+    * variable appearing both inside and outside an exclusion throw.
+    */
+  private def extractExclusions(alt: String): (String, Set[String]) = {
+    if (!alt.contains("{-")) return (alt, Set.empty)
+    val clean = new StringBuilder
+    val inside = new StringBuilder
+    val outside = new StringBuilder
+    var excluded = Set.empty[String]
+    var i = 0
+    var open = false
+    while (i < alt.length) {
+      if (alt.startsWith("{-", i)) {
+        require(!open, s"nested {- -} exclusion in: $alt")
+        open = true; i += 2
+      } else if (alt.startsWith("-}", i)) {
+        require(open, s"unbalanced -} in: $alt")
+        open = false; i += 2
+      } else {
+        clean.append(alt(i))
+        (if (open) inside else outside).append(alt(i))
+        i += 1
+      }
+    }
+    require(!open, s"unbalanced {- in: $alt")
+    val nameRe = raw"[A-Za-z_][A-Za-z_0-9]*".r
+    excluded = nameRe.findAllIn(inside.toString).map(_.toUpperCase).toSet
+    val kept = nameRe.findAllIn(outside.toString).map(_.toUpperCase).toSet
+    val both = excluded & kept
+    require(both.isEmpty,
+      s"variable(s) ${both.toSeq.sorted.mkString(", ")} appear both " +
+        s"inside and outside a {- -} exclusion in: $alt")
+    (clean.toString, excluded)
+  }
+
   /** Tokenize ONE alternative of the PATTERN body: a sequence of
     * `VAR[quant]` and one-level groups `(VAR ...)[+ | +? | {n}]`. The
     * scanner consumes the ENTIRE text — anything outside the supported
@@ -443,9 +483,13 @@ object MatchRecognize {
     * into per-alternative element lists.
     */
   private def parsePattern[E](patBody: String,
-      mk: (String, Option[String]) => CepCore.Step[E]): Seq[Seq[CepCore.Elem[E]]] =
-    splitAlternatives(patBody).flatMap(expandPermute)
-      .map(a => mkElems(tokenize(a), mk))
+      mk: (String, Option[String]) => CepCore.Step[E])
+      : (Seq[Seq[CepCore.Elem[E]]], Set[String]) = {
+    val cleaned = splitAlternatives(patBody).flatMap(expandPermute)
+      .map(extractExclusions)
+    (cleaned.map { case (a, _) => mkElems(tokenize(a), mk) },
+      cleaned.flatMap(_._2).toSet)
+  }
 
   private val withinRe =
     raw"(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)".r
@@ -503,9 +547,9 @@ object MatchRecognize {
       val pred = defined.getOrElse((_: Option[Event], _: Event) => true)
       mkStep[Event](uname, pred, quant, defined.exists(_.usesPrev))
     }
-    val alts = parsePattern(patBody, mkEv)
+    val (alts, excluded) = parsePattern(patBody, mkEv)
     Cep.SequencePattern(alts.head, withinMs, strict = true, skip = skip,
-      orElse = alts.tail)
+      orElse = alts.tail, excluded = excluded)
   }
 
   /** Extract `DEFINE var AS predicate, ...` as (VAR → predicate text).
@@ -788,6 +832,15 @@ object MatchRecognize {
     * standard's per-partition numbering).
     */
   def detectBatchAllRows(events: Dataset[Event], sql: String): DataFrame = {
+    val full = allRowsFull(events, sql)
+    val ex = parse(events.sparkSession, sql).excluded
+    // {- -} exclusion: matched rows omitted from ALL ROWS output (they
+    // still matched — row_in_match keeps its position in the full match)
+    if (ex.isEmpty) full
+    else full.filter(!col("classifier").isin(ex.toSeq: _*))
+  }
+
+  private def allRowsFull(events: Dataset[Event], sql: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = detectBatch(events, sql).toDF()
     val w = Window
@@ -822,11 +875,14 @@ object MatchRecognize {
   def detectBatchAllRowsWithMeasures(events: Dataset[Event], sql: String): DataFrame = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.expressions.Window
-    val base = detectBatchAllRows(events, sql)
+    // measures run over the FULL match relation — SQL:2016 exclusion
+    // only omits rows from OUTPUT; excluded rows still feed aggregates
+    val base = allRowsFull(events, sql)
+    val parsed = parse(events.sparkSession, sql)
     val measures = parseMeasures(sql)
-    if (measures.isEmpty) return base
+    if (measures.isEmpty) return detectBatchAllRows(events, sql)
     val subsets = parseSubsets(sql)
-    val pvars = patternVarNames(parse(events.sparkSession, sql))
+    val pvars = patternVarNames(parsed)
     val ev = events.toDF().select(
       col("event_id").as("__eid"),
       col("ts").as("__ts"),
@@ -875,8 +931,11 @@ object MatchRecognize {
       }
       c.as(ms.alias)
     }
-    joined.select(col("key") +: col("match_no") +: col("row_in_match") +:
-      col("event_id") +: col("classifier") +: cols: _*)
+    val out = joined.select(col("key") +: col("match_no") +:
+      col("row_in_match") +: col("event_id") +: col("classifier") +: cols: _*)
+    // drop excluded rows AFTER the measure windows saw them
+    if (parsed.excluded.isEmpty) out
+    else out.filter(!col("classifier").isin(parsed.excluded.toSeq: _*))
   }
 
   // ---- arbitrary relations --------------------------------------------
@@ -948,8 +1007,17 @@ object MatchRecognize {
     */
   def detectRelation(df: DataFrame, sql: String): DataFrame = {
     val spec = parseRelation(df, sql)
-    runRelationBatch(df, spec)
+    excludeRows(runRelationBatch(df, spec), spec)
   }
+
+  /** Apply `{- -}` output exclusion to an all-rows relation (the
+    * one-row MEASURES path deliberately does NOT call this — excluded
+    * rows still feed aggregates).
+    */
+  private def excludeRows(allRows: DataFrame, spec: RelSpec): DataFrame =
+    if (spec.pattern.excluded.isEmpty) allRows
+    else allRows.filter(
+      !col("classifier").isin(spec.pattern.excluded.toSeq: _*))
 
   /** Everything the detectRelation* family needs, parsed once from the
     * MATCH_RECOGNIZE text against the input schema. Serializable: the
@@ -1022,9 +1090,9 @@ object MatchRecognize {
       }
       mkStep[REv](uname, pred, quant, defined.exists(_.usesPrev))
     }
-    val alts = parsePattern(balancedBody(body, "PATTERN"), mkRel)
+    val (alts, excluded) = parsePattern(balancedBody(body, "PATTERN"), mkRel)
     val pattern = CepCore.SequencePattern[REv](alts.head, withinMs,
-      strict = true, skip = skip, orElse = alts.tail)
+      strict = true, skip = skip, orElse = alts.tail, excluded = excluded)
 
     val outSchema = StructType(schema.fields.toSeq ++ Seq(
       org.apache.spark.sql.types.StructField("match_no", LongType, nullable = false),
@@ -1240,7 +1308,8 @@ object MatchRecognize {
     val stateEnc: org.apache.spark.sql.Encoder[RelNfaState] =
       Encoders.kryo[RelNfaState]
     val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(spec.outSchema)
-    df.withWatermark(spec.orderCols.head, watermarkDelay)
+    excludeRows(
+      df.withWatermark(spec.orderCols.head, watermarkDelay)
       .groupByKey((r: Row) => Row.fromSeq(partIdx.map(r.get)))(keyEnc)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
@@ -1303,6 +1372,7 @@ object MatchRecognize {
               state.setTimeoutTimestamp(math.max(wakes.min, wm + 1))
           }
           outRows.iterator
-      }(stateEnc, outEnc)
+      }(stateEnc, outEnc),
+      spec)
   }
 }

@@ -544,4 +544,65 @@ class MatchRecognizeSpec extends AnyFunSuite {
       "MATCH_RECOGNIZE (MEASURES RUNNING COUNT(A.*) AS r, FINAL SUM(A.value) AS f PATTERN (A))")
     assert(ms.map(m => (m.func, m.isFinal)) == Seq(("COUNT", false), ("SUM", true)))
   }
+
+  test("{- -} exclusion omits rows from ALL ROWS output but not from matching") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 9, "error", 2.0),
+      Event(2, ts(1), 9, "error", 4.0),
+      Event(3, ts(2), 9, "error", 6.0),
+      Event(4, ts(3), 9, "ok", 9.0)
+    ).toDS()
+    def sql(pattern: String): String = s"""MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(E.*) AS ne, SUM(E.value) AS se
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ($pattern)
+        DEFINE E AS event_type = 'error', R AS event_type <> 'error')"""
+    // excluded E rows: only R emitted, but its RUNNING measures saw
+    // every E (ne = 3, se = 12), and row_in_match keeps position 4
+    val out = MatchRecognize
+      .detectBatchAllRowsWithMeasures(events, sql("{- E+ -} R"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("classifier") == "R")
+    assert(r.getAs[Long]("row_in_match") == 4L)
+    assert(r.getAs[Long]("ne") == 3L && r.getAs[Double]("se") == 12.0)
+    // ONE ROW PER MATCH ignores exclusion: the match still spans all 4
+    val one = MatchRecognize.detectBatch(events, sql("{- E+ -} R")).collect()
+    assert(one.length == 1 && one.head.event_ids == Seq(1L, 2L, 3L, 4L))
+    // plain ALL ROWS (no measures): same single R row
+    val plain = MatchRecognize.detectBatchAllRows(events, sql("{- E+ -} R"))
+      .select("classifier").collect().map(_.getString(0)).toSeq
+    assert(plain == Seq("R"))
+    // malformed exclusions are loud
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, sql("{- E+ R"))
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, sql("{- {- E+ -} -} R"))
+    }
+    // a variable both inside and outside an exclusion is ambiguous
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, sql("{- E -} E R"))
+    }
+  }
+
+  test("{- -} exclusion applies to generic relations too") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a", 10.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "a", 20.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "b", 30.0)
+    ).toDF("uid", "t", "cat", "amt")
+    val out = MatchRecognize.detectRelation(df, """MATCH_RECOGNIZE (
+        PARTITION BY uid ORDER BY t
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ({- A+ -} B)
+        DEFINE A AS cat = 'a', B AS cat = 'b')""")
+      .collect()
+    assert(out.map(_.getAs[String]("classifier")).toSeq == Seq("B"))
+    assert(out.head.getAs[Long]("row_in_match") == 3L)
+  }
 }
