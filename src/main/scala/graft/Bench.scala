@@ -46,7 +46,12 @@ object Bench {
     "q_flagship_ds_rollup",
     "q_flagship_ds_channels",
     "q_corpus_funnel",
-    "q_dedup_clusters"
+    "q_dedup_clusters",
+    // late round-10 additions: semantic dedup (cluster + within-cluster
+    // near-dup), the IVF-SQ8 quantized ANN, and banded fuzzy decon
+    "q_dedup_semantic",
+    "q_ann_ivf_sq8",
+    "q_decontaminate_fuzzy"
   )
 
   def main(args: Array[String]): Unit = {

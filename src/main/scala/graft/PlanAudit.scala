@@ -28,7 +28,11 @@ object PlanAudit {
       "q_flagship_idle_customers", "q_ann_ivf",
       // 1-row broadcast scalar subqueries (threshold / max / corpus total)
       "q_flagship_important_stock", "q_flagship_top_supplier",
-      "q_text_unigram_logprob", "q_corpus_card"
+      "q_text_unigram_logprob", "q_corpus_card",
+      // k-row broadcast codebook / query-set crosses (same pattern as
+      // q_ann_ivf/q_ann_brute_force): the broadcast side is k or
+      // nQueries rows, independent of corpus size
+      "q_ann_sq8", "q_ann_ivf_sq8", "q_dedup_semantic"
     )
     // Queries whose predicates MUST reach the parquet scan — every
     // selective filter over a base-table column. A regression here

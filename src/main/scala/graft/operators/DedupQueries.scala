@@ -223,14 +223,21 @@ object DedupQueries extends QueryModule {
         val n = e.count()
         val step = math.max(1L, n / k)
         // deterministic seed codebook: evenly-spaced vec_ids, same
-        // rule as the IVF builder's seed pass
+        // rule as the IVF builder's seed pass — and like that pass the
+        // <= k seed rows come to the driver (k x dim, independent of
+        // corpus size) so numbering needs no partitionless window
+        import s.implicits._
         val cents = e
           .filter(pmod(col("vec_id"), lit(step)) === 0)
           .orderBy(col("vec_id"))
           .limit(k)
-          .withColumn("list_id",
-            row_number().over(Window.orderBy(col("vec_id"))) - 1)
-          .select(col("list_id"), col("v").as("cv"), col("n2").as("cn2"))
+          .select(col("vec_id"), col("v"), col("n2"))
+          .collect()
+          .sortBy(_.getLong(0))
+          .zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](1), r.getDouble(2)) }
+          .toSeq
+          .toDF("list_id", "cv", "cn2")
         // nearest-centroid assignment: broadcast argmin of squared
         // euclidean, rounded so both engines collapse near-ties the
         // same way, ties to the lower list id
