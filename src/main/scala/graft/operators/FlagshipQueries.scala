@@ -1022,6 +1022,61 @@ object FlagshipQueries extends QueryModule {
         FROM per_year
       """)
     ),
+    // TPC-DS Q47-ish shape — deviation-from-mean with neighbor
+    // context: monthly brand revenue joined against its own yearly
+    // average (a whole-partition window), kept when it strays >20%
+    // from the mean, with the adjacent months via lag/lead for trend
+    // context. One fact scan, one shuffle on the brand key; the year
+    // mean is a window over <= 12 rows per (brand, year) cell and the
+    // sums are exact integer cents, so the ratio is engine-identical.
+    QueryDef(
+      "q_flagship_ds_deviation",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val monthly = t.lineitem
+          .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"))
+          .agg(Money.sumWideUnits(Money.cents(col("l_extendedprice"))).as("units"))
+        val wYear = Window.partitionBy(col("p_brand"), col("yr"))
+        val wSeq = Window.partitionBy(col("p_brand")).orderBy(col("yr"), col("mo"))
+        monthly
+          .withColumn("avg_units", avg(col("units")).over(wYear))
+          .withColumn("ratio", round(col("units") / col("avg_units"), 6))
+          .withColumn("prev_units", lag(col("units"), 1).over(wSeq))
+          .withColumn("next_units", lead(col("units"), 1).over(wSeq))
+          .filter(col("ratio") > 1.2 || col("ratio") < 0.8)
+          .select(col("p_brand"), col("yr"), col("mo"),
+            (col("units") / 100.0).as("revenue"), col("ratio"),
+            (col("prev_units") / 100.0).as("prev_revenue"),
+            (col("next_units") / 100.0).as("next_revenue"))
+      },
+      Some(s"""
+        WITH monthly AS (
+          SELECT p_brand, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(month(o_orderdate) AS BIGINT) AS mo,
+                 ${Money.sumWideUnitsSql(Money.centsSql("l_extendedprice"))} AS units
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2, 3
+        ), scored AS (
+          SELECT p_brand, yr, mo, units,
+                 round(units / avg(units) OVER (PARTITION BY p_brand, yr), 6) AS ratio,
+                 lag(units, 1)  OVER (PARTITION BY p_brand ORDER BY yr, mo) AS prev_units,
+                 lead(units, 1) OVER (PARTITION BY p_brand ORDER BY yr, mo) AS next_units
+          FROM monthly
+        )
+        SELECT p_brand, yr, mo, units / 100.0 AS revenue, ratio,
+               prev_units / 100.0 AS prev_revenue,
+               next_units / 100.0 AS next_revenue
+        FROM scored WHERE ratio > 1.2 OR ratio < 0.8
+      """)
+    ),
     // TPC-DS Q88-ish shape — multi-band census in ONE scan: eight
     // conditional counts over disjoint quantity bands (each also
     // discount-bounded), emitted as one row. The alternative — eight
