@@ -1273,8 +1273,108 @@ object MatchRecognize {
     */
   def detectRelationStream(df: DataFrame, sql: String,
       watermarkDelay: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spec = parseRelation(df, sql)
+    excludeRows(
+      relationStreamRun(df, spec, watermarkDelay, spec.outSchema) {
+        (m, matchNo) =>
+          m.rows.zip(m.labels).zipWithIndex.map { case ((ev, lab), i) =>
+            Row.fromSeq(ev.row.toSeq ++ Seq(matchNo, (i + 1).toLong, lab))
+          }
+      },
+      spec)
+  }
+
+  /** Streaming ONE ROW PER MATCH with MEASURES over ANY relation: the
+    * state machinery of [[detectRelationStream]], but each completed
+    * match emits a single row (PARTITION BY columns, match_no, the
+    * measures) computed in-operator from the match's own rows — the
+    * stream stays a plain append sink, no post-hoc aggregation query.
+    * Measure semantics mirror the batch [[detectRelationWithMeasures]]
+    * path: SUBSET label filters, COUNT skips NULLs (COUNT(V.*) counts
+    * rows), SUM/AVG over zero non-null values are NULL, FIRST/LAST by
+    * match position, and RUNNING/FINAL collapse in one-row mode.
+    */
+  def detectRelationStreamWithMeasures(df: DataFrame, sql: String,
+      watermarkDelay: String): DataFrame = {
+    val spec = parseRelation(df, sql)
+    val schema = df.schema
+    val measures = parseMeasures(sql)
+    require(measures.nonEmpty, "MEASURES clause is empty")
+    val subsets = parseSubsets(sql)
+    val pvars = patternVarNames(spec.pattern)
+    def actualIdx(c: String): Int = {
+      val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      require(i >= 0, s"unknown column in MEASURES: $c " +
+        s"(input columns: ${schema.fieldNames.mkString(", ")})")
+      i
+    }
+    val plans: Seq[(Measure, Set[String], Int)] = measures.map { ms =>
+      val labs = resolveMeasureVar(ms.variable, subsets, pvars).toSet
+      val idx =
+        if (ms.column == "*") {
+          require(ms.func == "COUNT",
+            s"${ms.func}(${ms.variable}.*) — '*' only combines with COUNT")
+          -1
+        } else actualIdx(ms.column)
+      (ms, labs, idx)
+    }
+    val outSchema = StructType(
+      spec.partIdx.map(schema(_)) ++
+        Seq(org.apache.spark.sql.types.StructField("match_no", LongType,
+          nullable = false)) ++
+        plans.map { case (ms, _, idx) =>
+          val dt = ms.func match {
+            case "COUNT" => LongType
+            case "SUM" | "AVG" => org.apache.spark.sql.types.DoubleType
+            case _ => schema(idx).dataType
+          }
+          org.apache.spark.sql.types.StructField(ms.alias, dt, nullable = true)
+        })
+    val partIdx = spec.partIdx
+    // batch-parity numeric coercion: Spark's cast-to-double keeps
+    // numbers and numeric strings, everything else becomes NULL (and
+    // is skipped by SUM/AVG)
+    def numOf(x: Any): java.lang.Double = x match {
+      case null => null
+      case n: java.lang.Number => n.doubleValue()
+      case s: String =>
+        try java.lang.Double.valueOf(s.trim)
+        catch { case _: NumberFormatException => null }
+      case _ => null
+    }
+    val anyOrd: Ordering[Any] =
+      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    relationStreamRun(df, spec, watermarkDelay, outSchema) { (m, matchNo) =>
+      val keyVals = partIdx.map(m.rows.head.row.get)
+      val measureVals: Seq[Any] = plans.map { case (ms, labs, idx) =>
+        val rows = m.rows.zip(m.labels).collect {
+          case (ev, lab) if labs(lab) => ev.row
+        }
+        val vals = if (idx < 0) Nil else rows.map(_.get(idx))
+        val nn = vals.filter(_ != null)
+        lazy val nums = nn.map(numOf).filter(_ != null).map(_.doubleValue())
+        ms.func match {
+          case "COUNT" => if (idx < 0) rows.size.toLong else nn.size.toLong
+          case "SUM" => if (nums.isEmpty) null else nums.sum
+          case "AVG" => if (nums.isEmpty) null else nums.sum / nums.size
+          case "FIRST" => vals.headOption.orNull
+          case "LAST" => vals.lastOption.orNull
+          case "MIN" => if (nn.isEmpty) null else nn.min(anyOrd)
+          case "MAX" => if (nn.isEmpty) null else nn.max(anyOrd)
+        }
+      }
+      Seq(Row.fromSeq(keyVals ++ Seq(matchNo) ++ measureVals))
+    }
+  }
+
+  /** The shared streaming NFA runner: watermark-ordered buffering,
+    * WITHIN-bounded partials, idle prev-cell retirement — emission
+    * shape is the caller's (all-rows vs one-row-with-measures).
+    */
+  private def relationStreamRun(df: DataFrame, spec: RelSpec,
+      watermarkDelay: String, outSchema: StructType)(
+      emitMatch: (CepCore.Match[REv], Long) => Seq[Row]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val schema = df.schema
     require(schema(spec.orderIdx.head).dataType == TimestampType,
       "detectRelationStream needs the first ORDER BY column to be " +
@@ -1307,9 +1407,8 @@ object MatchRecognize {
     val keyEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(keySchema)
     val stateEnc: org.apache.spark.sql.Encoder[RelNfaState] =
       Encoders.kryo[RelNfaState]
-    val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(spec.outSchema)
-    excludeRows(
-      df.withWatermark(spec.orderCols.head, watermarkDelay)
+    val outEnc: org.apache.spark.sql.Encoder[Row] = Encoders.row(outSchema)
+    df.withWatermark(spec.orderCols.head, watermarkDelay)
       .groupByKey((r: Row) => Row.fromSeq(partIdx.map(r.get)))(keyEnc)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
@@ -1344,9 +1443,7 @@ object MatchRecognize {
           var matchNo = st0.matchNo
           val outRows = (expiredMatches ++ matches).flatMap { m =>
             matchNo += 1
-            m.rows.zip(m.labels).zipWithIndex.map { case ((ev, lab), i) =>
-              Row.fromSeq(ev.row.toSeq ++ Seq(matchNo, (i + 1).toLong, lab))
-            }
+            emitMatch(m, matchNo)
           }
           if (young.isEmpty && nfa1.partials.isEmpty &&
             (!pattern.needsPrev || state.hasTimedOut))
@@ -1372,7 +1469,6 @@ object MatchRecognize {
               state.setTimeoutTimestamp(math.max(wakes.min, wm + 1))
           }
           outRows.iterator
-      }(stateEnc, outEnc),
-      spec)
+      }(stateEnc, outEnc)
   }
 }

@@ -325,6 +325,53 @@ class CepGenericSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("detectRelationStreamWithMeasures equals batch measures on out-of-order input") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val sql = """MATCH_RECOGNIZE (
+        PARTITION BY sym
+        ORDER BY ts
+        MEASURES COUNT(S.*) AS n_all, SUM(UP.price) AS sum_up,
+                 FIRST(UP.seqno) AS first_seq, LAST(UP.price) AS last_p,
+                 MAX(UP.price) AS max_p
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (UP{2})
+        SUBSET S = (UP)
+        DEFINE UP AS price > PREV(price))"""
+    val rows = Seq( // arrival order scrambled vs event time
+      ("acme", t(3), 3L, 11.0), ("acme", t(1), 1L, 10.0),
+      ("acme", t(5), 5L, 15.0), ("acme", t(2), 2L, 12.0),
+      ("acme", t(4), 4L, 13.0))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("sym"), r.getAs[Long]("match_no"),
+        r.getAs[Long]("n_all"), r.getAs[Double]("sum_up"),
+        r.getAs[Long]("first_seq"), r.getAs[Double]("last_p"),
+        r.getAs[Double]("max_p"))
+    val batch = MatchRecognize
+      .detectRelationWithMeasures(rows.toDF("sym", "ts", "seqno", "price"), sql)
+      .collect().map(key).toSet
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val q = MatchRecognize
+      .detectRelationStreamWithMeasures(
+        in.toDS().toDF("sym", "ts", "seqno", "price"), sql, "30 seconds")
+      .writeStream.format("memory").queryName("rel_stream_ms_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      in.addData(("zzz", t(60), 0L, 0.0))
+      q.processAllAvailable()
+      in.addData(("zzz", t(120), 0L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM rel_stream_ms_out")
+        .collect().map(key).toSet
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("detectRelation: loud errors for unknown columns and bad WITHIN") {
     import spark.implicits._
     val df = Seq((1L, "a", "x")).toDF("k", "o", "v")
