@@ -219,6 +219,58 @@ object TextQueries extends QueryModule {
         WHERE rn = 1
       """)
     ),
+    // N-gram novelty: the share of a document's (distinct) trigram
+    // shingles that appear NOWHERE else in the corpus — the
+    // diversity/novelty weight a mixture sampler feeds on (a doc full
+    // of corpus-wide boilerplate scores ~0, genuinely new text ~1).
+    // One shingle-keyed shuffle: document-frequency counts collapse
+    // map-side, and the join back is one df row per (doc, shingle), so
+    // a hot boilerplate shingle costs its row count, never a blowup.
+    QueryDef(
+      "q_text_novelty",
+      (s, dir) => {
+        graft.functions.SketchExpressions.register(s)
+        val t = tables(s, dir)
+        val sh = t.documents
+          .select(
+            col("doc_id"),
+            explode(
+              graft.functions.SketchExpressions.word_shingles(col("text"))
+            ).as("sh")
+          )
+        val dft = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        sh.join(dft, "sh")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            count(when(col("df") === 1, 1)).as("n_unique")
+          )
+          .select(
+            col("doc_id"),
+            col("n_shingles"),
+            col("n_unique"),
+            round(col("n_unique").cast("double") / col("n_shingles"), 6)
+              .as("novelty")
+          )
+      },
+      Some("""
+        WITH sh AS (
+          SELECT doc_id, unnest(shingles) AS sh FROM (
+            SELECT doc_id,
+                   list_distinct([array_to_string(words[i:i+2], ' ')
+                                  for i in range(1, len(words) - 1)]) AS shingles
+            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+        ), dft AS (
+          SELECT sh, count(*) AS df FROM sh GROUP BY sh
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(*) FILTER (WHERE df = 1) AS BIGINT) AS n_unique,
+               round(count(*) FILTER (WHERE df = 1) * 1.0 / count(*), 6) AS novelty
+        FROM sh JOIN dft USING (sh)
+        GROUP BY doc_id
+      """)
+    ),
     // Multimodal plumbing: opaque binary payload + typed metadata.
     // The "decode" is a deterministic fake (see MediaPipeline for the
     // real stub behind mapPartitions); the Spark-side schema, batch
