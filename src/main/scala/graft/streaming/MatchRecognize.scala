@@ -592,12 +592,39 @@ object MatchRecognize {
   }
 
   /** Run a MATCH_RECOGNIZE text over a batch of events. */
-  def detectBatch(events: Dataset[Event], sql: String): Dataset[Cep.Match] =
+  def detectBatch(events: Dataset[Event], sql: String): Dataset[Cep.Match] = {
+    requireMode(sql, allRows = false, "detectBatch")
+    detectBatchCore(events, sql)
+  }
+
+  private def detectBatchCore(events: Dataset[Event],
+      sql: String): Dataset[Cep.Match] =
     Cep.detectBatch(events, parse(events.sparkSession, sql))
 
   /** Streaming form — same parse, the NFA's keyed-state path. */
-  def detectStream(events: Dataset[Event], sql: String): Dataset[Cep.Match] =
+  def detectStream(events: Dataset[Event], sql: String): Dataset[Cep.Match] = {
+    requireMode(sql, allRows = false, "detectStream")
     Cep.detectStream(events, parse(events.sparkSession, sql))
+  }
+
+  private val perMatchRe =
+    raw"(?is)\b(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\b".r
+
+  /** Validate the query's ONE ROW / ALL ROWS PER MATCH clause (when
+    * present) against the output shape of the API actually called — an
+    * output-mode clause contradicting the entry point would otherwise
+    * be silently ignored, the exact reinterpretation this front-end
+    * promises not to do.
+    */
+  private def requireMode(sql: String, allRows: Boolean, api: String): Unit =
+    perMatchRe.findFirstMatchIn(balancedBody(sql, "MATCH_RECOGNIZE"))
+      .map(_.group(1).toUpperCase.startsWith("ALL"))
+      .foreach { asked =>
+        require(asked == allRows,
+          s"$api emits ${if (allRows) "ALL ROWS" else "ONE ROW"} PER MATCH " +
+            s"but the query requests ${if (asked) "ALL ROWS" else "ONE ROW"} " +
+            "PER MATCH — call the detect* variant matching the clause")
+      }
 
   // ---- MEASURES -------------------------------------------------------
 
@@ -628,7 +655,7 @@ object MatchRecognize {
       case Some(m) => m.end
       case None => return Seq.empty
     }
-    val end = raw"(?is)\b(AFTER\s+MATCH|PATTERN|ONE\s+ROW|WITHIN)\b".r
+    val end = raw"(?is)\b(AFTER\s+MATCH|PATTERN|ONE\s+ROW|ALL\s+ROWS|WITHIN)\b".r
       .findFirstMatchIn(body.substring(at))
       .map(_.start + at)
       .getOrElse(body.length)
@@ -815,13 +842,15 @@ object MatchRecognize {
     * events: one row per match with (key, start_ts, end_ts) plus the
     * measure columns.
     */
-  def detectBatchWithMeasures(events: Dataset[Event], sql: String): DataFrame =
+  def detectBatchWithMeasures(events: Dataset[Event], sql: String): DataFrame = {
+    requireMode(sql, allRows = false, "detectBatchWithMeasures")
     withMeasures(
-      detectBatch(events, sql).toDF(),
+      detectBatchCore(events, sql).toDF(),
       events.toDF(),
       parseMeasures(sql),
       parseSubsets(sql),
       Some(patternVarNames(parse(events.sparkSession, sql))))
+  }
 
   /** ALL ROWS PER MATCH output mode (SQL-standard counterpart of the
     * default ONE ROW PER MATCH): one output row per MATCHED INPUT ROW,
@@ -832,6 +861,7 @@ object MatchRecognize {
     * standard's per-partition numbering).
     */
   def detectBatchAllRows(events: Dataset[Event], sql: String): DataFrame = {
+    requireMode(sql, allRows = true, "detectBatchAllRows")
     val full = allRowsFull(events, sql)
     val ex = parse(events.sparkSession, sql).excluded
     // {- -} exclusion: matched rows omitted from ALL ROWS output (they
@@ -842,7 +872,7 @@ object MatchRecognize {
 
   private def allRowsFull(events: Dataset[Event], sql: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = detectBatch(events, sql).toDF()
+    val m = detectBatchCore(events, sql).toDF()
     val w = Window
       .partitionBy(col("key"))
       .orderBy(
@@ -877,6 +907,7 @@ object MatchRecognize {
     import org.apache.spark.sql.expressions.Window
     // measures run over the FULL match relation — SQL:2016 exclusion
     // only omits rows from OUTPUT; excluded rows still feed aggregates
+    requireMode(sql, allRows = true, "detectBatchAllRowsWithMeasures")
     val base = allRowsFull(events, sql)
     val parsed = parse(events.sparkSession, sql)
     val measures = parseMeasures(sql)
@@ -1006,6 +1037,7 @@ object MatchRecognize {
     * (same hot-key-safe design as [[Cep.detectBatch]]).
     */
   def detectRelation(df: DataFrame, sql: String): DataFrame = {
+    requireMode(sql, allRows = true, "detectRelation")
     val spec = parseRelation(df, sql)
     excludeRows(runRelationBatch(df, spec), spec)
   }
@@ -1184,6 +1216,7 @@ object MatchRecognize {
     * well-spread.
     */
   def detectRelationWithMeasures(df: DataFrame, sql: String): DataFrame = {
+    requireMode(sql, allRows = false, "detectRelationWithMeasures")
     val spec = parseRelation(df, sql)
     val measures = parseMeasures(sql)
     require(measures.nonEmpty, "MEASURES clause is empty")
@@ -1273,6 +1306,7 @@ object MatchRecognize {
     */
   def detectRelationStream(df: DataFrame, sql: String,
       watermarkDelay: String): DataFrame = {
+    requireMode(sql, allRows = true, "detectRelationStream")
     val spec = parseRelation(df, sql)
     excludeRows(
       relationStreamRun(df, spec, watermarkDelay, spec.outSchema) {
@@ -1296,6 +1330,7 @@ object MatchRecognize {
     */
   def detectRelationStreamWithMeasures(df: DataFrame, sql: String,
       watermarkDelay: String): DataFrame = {
+    requireMode(sql, allRows = false, "detectRelationStreamWithMeasures")
     val spec = parseRelation(df, sql)
     val schema = df.schema
     val measures = parseMeasures(sql)

@@ -589,6 +589,37 @@ class MatchRecognizeSpec extends AnyFunSuite {
     }
   }
 
+  test("ONE ROW / ALL ROWS PER MATCH clause is validated against the API called") {
+    import spark.implicits._
+    val events = Seq(Event(1, ts(0), 9, "error", 2.0),
+      Event(2, ts(1), 9, "ok", 9.0)).toDS()
+    def sql(mode: String): String = s"""MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES COUNT(E.*) AS ne
+        $mode
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (E R)
+        DEFINE E AS event_type = 'error', R AS event_type <> 'error')"""
+    // a matching clause is accepted by both surfaces
+    assert(MatchRecognize
+      .detectBatchAllRowsWithMeasures(events, sql("ALL ROWS PER MATCH"))
+      .count() == 2)
+    assert(MatchRecognize
+      .detectBatchWithMeasures(events, sql("ONE ROW PER MATCH"))
+      .count() == 1)
+    // a contradicting clause throws instead of being silently ignored
+    val e1 = intercept[IllegalArgumentException] {
+      MatchRecognize.detectBatchWithMeasures(events, sql("ALL ROWS PER MATCH"))
+    }
+    assert(e1.getMessage.contains("ONE ROW PER MATCH"))
+    intercept[IllegalArgumentException] {
+      MatchRecognize.detectBatchAllRows(events, sql("ONE ROW PER MATCH"))
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognize.detectBatch(events, sql("ALL ROWS PER MATCH"))
+    }
+  }
+
   test("{- -} exclusion applies to generic relations too") {
     import spark.implicits._
     val df = Seq(
