@@ -83,6 +83,27 @@ object AggregateQueries extends QueryModule {
         FROM orders GROUP BY o_orderstatus
       """)
     ),
+    // HLL++ approximate distinct — the cardinality tool that replaces
+    // exact countDistinct at 100 TB: the sketch is a fixed-size,
+    // merge-commutative register array, so partials merge map-side and
+    // the answer is PARTITIONING-INVARIANT (the spec proves the same
+    // value under repartition). rsd=0.01 keeps the error well inside
+    // the 2% band the spec bounds vs the exact count. Rows-only check:
+    // DuckDB's approx_count_distinct is a different sketch, so there is
+    // no cross-engine hash oracle by construction.
+    QueryDef(
+      "q_agg_approx_distinct",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.orders
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
+            count(lit(1)).as("n")
+          )
+      },
+      None // sketch-specific value — spec-bounded vs exact instead
+    ),
     // Statistical aggregates.
     QueryDef(
       "q_agg_stats",

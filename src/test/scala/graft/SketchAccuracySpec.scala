@@ -59,4 +59,31 @@ class SketchAccuracySpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / math.max(1.0, exact) < 0.02,
       s"approx=$approx exact=$exact")
   }
+
+  test("q_agg_approx_distinct: within 2% of exact and partitioning-invariant") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_agg_approx_distinct")(spark, dir)
+      .collect().map(r => r.getAs[String]("o_orderstatus") ->
+        r.getAs[Long]("approx_cust")).toMap
+    val exact = Engine.Tables(spark, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("uniq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet)
+    rows.foreach { case (k, approx) =>
+      val e = exact(k)
+      assert(math.abs(approx - e).toDouble / e < 0.02,
+        s"status $k: approx=$approx exact=$e")
+    }
+    // the HLL registers merge commutatively: any partitioning of the
+    // same rows must sketch to the same value (the scale guarantee)
+    val repart = Engine.Tables(spark, dir).orders
+      .repartition(7, col("o_custkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"))
+      .collect().map(r => r.getAs[String]("o_orderstatus") ->
+        r.getAs[Long]("approx_cust")).toMap
+    assert(repart == rows, "sketch value changed under repartitioning")
+  }
 }
