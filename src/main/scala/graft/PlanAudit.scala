@@ -26,9 +26,10 @@ object PlanAudit {
     val crossAllowed = Set(
       "q_join_static_contains", "q_join_cross", "q_ann_brute_force", "q_ann_lsh",
       "q_flagship_idle_customers", "q_ann_ivf",
-      // 1-row broadcast scalar subqueries (threshold / max / corpus total)
+      // 1-row broadcast scalar subqueries (threshold / max / corpus
+      // total / z-order quantization bounds)
       "q_flagship_important_stock", "q_flagship_top_supplier",
-      "q_text_unigram_logprob", "q_corpus_card",
+      "q_text_unigram_logprob", "q_corpus_card", "q_layout_zorder",
       // k-row broadcast codebook / query-set crosses (same pattern as
       // q_ann_ivf/q_ann_brute_force): the broadcast side is k or
       // nQueries rows, independent of corpus size

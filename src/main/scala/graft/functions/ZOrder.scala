@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) curve helpers for multi-dimensional data layout.
+  *
+  * At 100 TB the dominant scan cost is files that cannot be skipped: a
+  * table laid out by one column prunes on that column only. Writing in
+  * Z-value order clusters BOTH dimensions into every file, so parquet
+  * min/max footer stats stay narrow on each and predicates on either
+  * column skip most files (the Delta/Iceberg OPTIMIZE ZORDER BY
+  * technique, from Morton 1966).
+  *
+  * Everything here is integer arithmetic — quantization is integral
+  * division against broadcast 1-row min/max bounds and the interleave
+  * is shifts and adds of disjoint bits — so Z-values are bit-identical
+  * across engines and the layout stats are exactly oracle-checkable.
+  */
+object ZOrder {
+
+  /** Quantize an integral column onto [0, 2^bits): scale the offset
+    * from `min` by the value range using integer arithmetic only.
+    * `min`/`max` are columns (typically 1-row broadcast scalars).
+    */
+  def quantize(x: Column, min: Column, max: Column, bits: Int): Column = {
+    // ((x - min) * buckets) div (range + 1): integral and exact — the
+    // numerator is reduced to an exact multiple before dividing, so
+    // the double division is exact (q*b / b == q for q, b < 2^53)
+    // instead of a truncation that could land one off at a boundary
+    val num = (x - min) * lit(1L << bits)
+    val den = max - min + lit(1L)
+    ((num - pmod(num, den)) / den).cast("long")
+  }
+
+  /** Interleave the low `bits` bits of two quantized dims into a
+    * 2·bits Z-value: bit j of `a` lands at 2j, of `b` at 2j+1. The
+    * per-bit terms occupy disjoint positions, so plain addition
+    * assembles the word.
+    */
+  def interleave(a: Column, b: Column, bits: Int): Column =
+    (0 until bits)
+      .map { j =>
+        shiftleft(shiftright(a, j).bitwiseAND(lit(1L)), 2 * j) +
+          shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), 2 * j + 1)
+      }
+      .reduce(_ + _)
+
+  /** The same quantize+interleave in DuckDB SQL (for oracles). */
+  def interleaveSql(a: String, b: String, bits: Int): String =
+    (0 until bits)
+      .map(j => s"((($a >> $j) & 1) << ${2 * j}) + ((($b >> $j) & 1) << ${2 * j + 1})")
+      .mkString("(", " + ", ")")
+
+  def quantizeSql(x: String, min: String, max: String, bits: Int): String =
+    s"((($x) - ($min)) * ${1L << bits} // (($max) - ($min) + 1))"
+}

@@ -463,6 +463,61 @@ object PipelineQueries extends QueryModule {
       },
       None // banding recall is probabilistic — spec-checked vs exact
     ),
+    // Z-order (Morton) layout stats: quantize two dimensions onto an
+    // 8-bit grid against broadcast 1-row bounds, interleave the bits,
+    // and report per-Z-bucket counts + min/max of BOTH dims. Narrow
+    // per-bucket ranges on both columns are exactly what makes parquet
+    // footer stats skip files for predicates on either dimension at
+    // 100 TB (the Delta/Iceberg OPTIMIZE ZORDER technique) — the write
+    // path is repartitionByRange(zvalue); this query is the layout's
+    // verifiable core. All arithmetic is integral, so the oracle is an
+    // exact hash match.
+    QueryDef(
+      "q_layout_zorder",
+      (s, dir) => {
+        import graft.functions.ZOrder
+        val t = tables(s, dir)
+        val li = t.lineitem.select(
+          datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+            .cast("long").as("d_day"),
+          col("l_partkey").as("pk")
+        )
+        val bounds = li.agg(
+          min(col("d_day")).as("dmin"), max(col("d_day")).as("dmax"),
+          min(col("pk")).as("pmin"), max(col("pk")).as("pmax"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("z", ZOrder.interleave(
+            ZOrder.quantize(col("d_day"), col("dmin"), col("dmax"), 8),
+            ZOrder.quantize(col("pk"), col("pmin"), col("pmax"), 8), 8))
+          .groupBy(shiftright(col("z"), 6).as("zbucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("d_day")).as("min_day"), max(col("d_day")).as("max_day"),
+            min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"))
+      },
+      Some(s"""
+        WITH li AS (
+          SELECT CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS d_day,
+                 l_partkey AS pk
+          FROM lineitem
+        ), b AS (
+          SELECT min(d_day) AS dmin, max(d_day) AS dmax,
+                 min(pk) AS pmin, max(pk) AS pmax
+          FROM li
+        ), z AS (
+          SELECT d_day, pk,
+                 ${graft.functions.ZOrder.interleaveSql(
+                   graft.functions.ZOrder.quantizeSql("d_day", "dmin", "dmax", 8),
+                   graft.functions.ZOrder.quantizeSql("pk", "pmin", "pmax", 8),
+                   8)} AS zv
+          FROM li, b
+        )
+        SELECT zv // 64 AS zbucket, count(*) AS n,
+               min(d_day) AS min_day, max(d_day) AS max_day,
+               min(pk) AS min_pk, max(pk) AS max_pk
+        FROM z GROUP BY 1
+      """)
+    ),
     // Epoch upsampling (domain-weighted mixture): rare domains repeat
     // more epochs per training pass. A per-row explode of a tiny
     // sequence — scan-local fan-out, no shuffle, the standard way to
