@@ -497,6 +497,34 @@ object MatchRecognize {
   private val skipRe =
     raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW)".r
 
+  /** Clause-presence strictness: WITHIN or AFTER MATCH text that the
+    * supported subset cannot parse must THROW — a `WITHIN INTERVAL '2'
+    * WEEK` falling back to unbounded, or an `AFTER MATCH SKIP TO FIRST
+    * A` falling back to the default skip, would silently change query
+    * semantics (the reinterpretation this front-end promises not to
+    * do). Presence checks are quote-aware like the clause extractors.
+    */
+  private def requireKnownClauses(body: String): Unit = {
+    def presentOutsideQuotes(re: scala.util.matching.Regex): Option[Int] =
+      re.findAllMatchIn(body)
+        .find(m => body.substring(0, m.start).count(_ == '\'') % 2 == 0)
+        .map(_.start)
+    presentOutsideQuotes(raw"(?is)\bWITHIN\b".r).foreach { at =>
+      if (withinRe.findFirstMatchIn(body).isEmpty)
+        throw new IllegalArgumentException(
+          "unsupported WITHIN clause (subset is WITHIN INTERVAL '<n>' " +
+            "SECOND|MINUTE|HOUR|DAY): " +
+            body.substring(at).linesIterator.next().trim)
+    }
+    presentOutsideQuotes(raw"(?is)\bAFTER\s+MATCH\b".r).foreach { at =>
+      if (skipRe.findFirstMatchIn(body).isEmpty)
+        throw new IllegalArgumentException(
+          "unsupported AFTER MATCH clause (subset is AFTER MATCH SKIP TO " +
+            "NEXT ROW | AFTER MATCH SKIP PAST LAST ROW): " +
+            body.substring(at).linesIterator.next().trim)
+    }
+  }
+
   /** Parse MATCH_RECOGNIZE text into a [[Cep.SequencePattern]]. */
   def parse(spark: SparkSession, sql: String): Cep.SequencePattern = {
     val body = balancedBody(sql, "MATCH_RECOGNIZE")
@@ -514,6 +542,7 @@ object MatchRecognize {
           "arbitrary ordering columns)")
     }
 
+    requireKnownClauses(body)
     val skip = skipRe.findFirstMatchIn(body) match {
       case Some(m) if m.group(1).toUpperCase.startsWith("TO") => Cep.SkipToNext
       case _ => Cep.SkipPastLastEvent // SQL default: SKIP PAST LAST ROW
@@ -1088,6 +1117,7 @@ object MatchRecognize {
     val partIdx = partCols.map(resolve)
     val orderIdx = orderCols.map(resolve)
 
+    requireKnownClauses(body)
     val skip = skipRe.findFirstMatchIn(body) match {
       case Some(m) if m.group(1).toUpperCase.startsWith("TO") => Cep.SkipToNext
       case _ => Cep.SkipPastLastEvent // SQL default: SKIP PAST LAST ROW

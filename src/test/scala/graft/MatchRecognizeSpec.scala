@@ -589,6 +589,33 @@ class MatchRecognizeSpec extends AnyFunSuite {
     }
   }
 
+  test("unparseable WITHIN / AFTER MATCH clauses throw, not silently default") {
+    def sql(clause: String): String = s"""MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      $clause
+      PATTERN (A B)
+      DEFINE A AS event_type = 'error', B AS event_type = 'error')"""
+    // WEEK is outside the unit subset: must NOT fall back to unbounded
+    val e1 = intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, sql("WITHIN INTERVAL '2' WEEK"))
+    }
+    assert(e1.getMessage.contains("WITHIN"))
+    // SKIP TO FIRST A is standard syntax we do not support: must NOT
+    // fall back to the default skip strategy
+    val e2 = intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, sql("AFTER MATCH SKIP TO FIRST A"))
+    }
+    assert(e2.getMessage.contains("AFTER MATCH"))
+    // the supported forms still parse
+    MatchRecognize.parse(spark, sql("WITHIN INTERVAL '30' MINUTE"))
+    MatchRecognize.parse(spark, sql("AFTER MATCH SKIP TO NEXT ROW"))
+    // and a quoted literal containing the keyword is not a clause
+    MatchRecognize.parse(spark, s"""MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      PATTERN (A)
+      DEFINE A AS event_type = 'within after match')""")
+  }
+
   test("ONE ROW / ALL ROWS PER MATCH clause is validated against the API called") {
     import spark.implicits._
     val events = Seq(Event(1, ts(0), 9, "error", 2.0),
