@@ -497,6 +497,82 @@ object MatchRecognize {
   private val skipRe =
     raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW)".r
 
+  /** Full-coverage validation of the MATCH_RECOGNIZE body: every
+    * non-whitespace character must fall inside a recognized clause
+    * span, computed with the SAME boundary rules the per-clause
+    * extractors use. A typo'd clause name or a clause outside the
+    * subset is stray text the regex extractors would silently skip —
+    * here it throws with the offending snippet.
+    */
+  private def requireFullCoverage(body: String): Unit = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    def quoteOk(at: Int): Boolean =
+      body.substring(0, at).count(_ == '\'') % 2 == 0
+    def firstMatch(re: scala.util.matching.Regex) =
+      re.findAllMatchIn(body).find(m => quoteOk(m.start))
+    // PARTITION BY / ORDER BY: to the next clause keyword
+    Seq("PARTITION", "ORDER").foreach { head =>
+      firstMatch(raw"(?is)\b$head\s+BY\b".r).foreach { m =>
+        val end = clauseKwRe.findFirstMatchIn(body.substring(m.end))
+          .map(_.start + m.end).getOrElse(body.length)
+        spans += ((m.start, end))
+      }
+    }
+    // MEASURES: same end rule as parseMeasures
+    firstMatch(raw"(?is)\bMEASURES\b".r).foreach { m =>
+      val end =
+        raw"(?is)\b(AFTER\s+MATCH|PATTERN|ONE\s+ROW|ALL\s+ROWS|WITHIN)\b".r
+          .findFirstMatchIn(body.substring(m.end))
+          .map(_.start + m.end).getOrElse(body.length)
+      spans += ((m.start, end))
+    }
+    // self-delimiting clauses: their own full regex match
+    Seq(perMatchRe, skipRe, withinRe).foreach(re =>
+      firstMatch(re).foreach(m => spans += ((m.start, m.end))))
+    // PATTERN ( ... ): keyword through the balanced close paren
+    firstMatch(raw"(?is)\bPATTERN\b".r).foreach { m =>
+      var i = m.end
+      while (i < body.length && body(i).isWhitespace) i += 1
+      var depth = 0
+      var inQuote = false
+      var close = -1
+      var j = i
+      while (j < body.length && close < 0) {
+        body(j) match {
+          case '\'' => inQuote = !inQuote
+          case '(' if !inQuote => depth += 1
+          case ')' if !inQuote => depth -= 1; if (depth == 0) close = j
+          case _ => ()
+        }
+        j += 1
+      }
+      if (close > 0) spans += ((m.start, close + 1))
+    }
+    // SUBSET: to DEFINE (same rule as parseSubsets)
+    firstMatch(raw"(?is)\bSUBSET\b".r).foreach { m =>
+      val end = raw"(?is)\bDEFINE\b".r.findFirstMatchIn(body.substring(m.end))
+        .map(_.start + m.end).getOrElse(body.length)
+      spans += ((m.start, end))
+    }
+    // DEFINE: last clause, runs to end of body
+    val defAt = keywordAt(body, "DEFINE")
+    if (defAt >= 0) spans += ((defAt, body.length))
+
+    val covered = new Array[Boolean](body.length)
+    spans.result().foreach { case (s, e) =>
+      var i = math.max(0, s)
+      while (i < math.min(e, body.length)) { covered(i) = true; i += 1 }
+    }
+    val stray = body.indices.find(i => !covered(i) && !body(i).isWhitespace)
+    stray.foreach { from =>
+      val snippet = body.substring(from, math.min(from + 40, body.length))
+        .linesIterator.next().trim
+      throw new IllegalArgumentException(
+        "unrecognized text in MATCH_RECOGNIZE (not part of any supported " +
+          s"clause): '$snippet'")
+    }
+  }
+
   /** Clause-presence strictness: WITHIN or AFTER MATCH text that the
     * supported subset cannot parse must THROW — a `WITHIN INTERVAL '2'
     * WEEK` falling back to unbounded, or an `AFTER MATCH SKIP TO FIRST
@@ -543,6 +619,7 @@ object MatchRecognize {
     }
 
     requireKnownClauses(body)
+    requireFullCoverage(body)
     val skip = skipRe.findFirstMatchIn(body) match {
       case Some(m) if m.group(1).toUpperCase.startsWith("TO") => Cep.SkipToNext
       case _ => Cep.SkipPastLastEvent // SQL default: SKIP PAST LAST ROW
@@ -1118,6 +1195,7 @@ object MatchRecognize {
     val orderIdx = orderCols.map(resolve)
 
     requireKnownClauses(body)
+    requireFullCoverage(body)
     val skip = skipRe.findFirstMatchIn(body) match {
       case Some(m) if m.group(1).toUpperCase.startsWith("TO") => Cep.SkipToNext
       case _ => Cep.SkipPastLastEvent // SQL default: SKIP PAST LAST ROW

@@ -614,6 +614,18 @@ class MatchRecognizeSpec extends AnyFunSuite {
       PARTITION BY user_id ORDER BY ts
       PATTERN (A)
       DEFINE A AS event_type = 'within after match')""")
+    // stray text between clauses (a typo'd or unsupported clause) is
+    // rejected by full-coverage validation, not silently skipped
+    val e3 = intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark,
+        sql("WITHIN INTERVAL '30' MINUTE MEASURS COUNT(A.*) AS n"))
+    }
+    assert(e3.getMessage.contains("unrecognized text"))
+    val e4 = intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark,
+        sql("WITHIN INTERVAL '30' MINUTE ALL ROW PER MATCH"))
+    }
+    assert(e4.getMessage.contains("unrecognized text"))
   }
 
   test("ONE ROW / ALL ROWS PER MATCH clause is validated against the API called") {
