@@ -1272,6 +1272,69 @@ object CepQueries extends QueryModule {
         WHERE event_type = 'error' AND p_type = 'error'
           AND ts - p_ts <= INTERVAL 30 MINUTE
       """)
+    ),
+    // AFTER MATCH SKIP TO LAST <var> (reference AfterMatchSkipStrategy
+    // .skipToLast): matching resumes AT the last X row of the emitted
+    // match, so X{3} over an error run of length L chains with stride
+    // 2 — starts at offsets 0, 2, 4, ... while three rows remain.
+    // (SKIP PAST LAST ROW strides 3; SKIP TO NEXT ROW strides 1 — the
+    // three strategies are observably distinct on this pattern.) The
+    // oracle enumerates the stride-2 starts per gaps-and-islands error
+    // run.
+    QueryDef(
+      "q_cep_sql_skip_last",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatch(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO LAST X
+              PATTERN (X{3})
+              DEFINE X AS event_type = 'error'
+            )
+          """)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("first_id"),
+            element_at(col("event_ids"), 2).as("mid_id"),
+            element_at(col("event_ids"), 3).as("last_id")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        err AS (
+          SELECT user_id, event_id, rn,
+                 rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM o WHERE event_type = 'error'
+        ),
+        runs AS (
+          SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern
+          FROM err GROUP BY user_id, grp
+        ),
+        starts AS (
+          SELECT user_id, srn + 2 * u.k AS m1
+          FROM runs, unnest(range((ern - srn - 2) // 2 + 1)) AS u(k)
+          WHERE ern - srn >= 2
+        )
+        SELECT s.user_id,
+               a.event_id AS first_id, b.event_id AS mid_id,
+               c.event_id AS last_id
+        FROM starts s
+        JOIN o a ON a.user_id = s.user_id AND a.rn = s.m1
+        JOIN o b ON b.user_id = s.user_id AND b.rn = s.m1 + 1
+        JOIN o c ON c.user_id = s.user_id AND c.rn = s.m1 + 2
+      """)
     )
   )
 }

@@ -47,6 +47,15 @@ object Cep {
   val SkipToNext: CepCore.SkipToNext.type = CepCore.SkipToNext
   val SkipPastLastEvent: CepCore.SkipPastLastEvent.type = CepCore.SkipPastLastEvent
 
+  /** Skip-to-variable strategies (reference AfterMatchSkipStrategy
+    * .skipToFirst/.skipToLast): resume AT the first/last row the
+    * variable matched in the emitted match.
+    */
+  def SkipToFirst(variable: String): CepCore.SkipToFirst =
+    CepCore.SkipToFirst(variable)
+  def SkipToLast(variable: String): CepCore.SkipToLast =
+    CepCore.SkipToLast(variable)
+
   type Step = CepCore.Step[Event]
   type Group = CepCore.Group[Event]
   type SequencePattern = CepCore.SequencePattern[Event]

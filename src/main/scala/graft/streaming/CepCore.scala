@@ -116,6 +116,15 @@ object CepCore {
   case object NoSkip extends SkipStrategy
   case object SkipToNext extends SkipStrategy
   case object SkipPastLastEvent extends SkipStrategy
+  /** Resume matching AT the first/last row the named variable matched
+    * in the emitted match (reference AfterMatchSkipStrategy
+    * .skipToFirst/.skipToLast): partials starting before that row are
+    * discarded, overlap beyond it is allowed. A boundary equal to the
+    * match's own start cannot make progress and throws, as does a
+    * variable that matched no row (both mirror the reference).
+    */
+  final case class SkipToFirst(variable: String) extends SkipStrategy
+  final case class SkipToLast(variable: String) extends SkipStrategy
 
   /** A sequence pattern over elements (steps and groups); see
     * [[Cep.SequencePattern]] for the semantics of `strict` and `skip`.
@@ -225,7 +234,11 @@ object CepCore {
       /** Which [[SequencePattern.branches]] alternative this partial
         * runs on (0 when the pattern has no alternation).
         */
-      branch: Int = 0
+      branch: Int = 0,
+      /** Per-row sequence numbers, parallel to `rows` — the skip-to-
+        * variable strategies prune on the boundary row's seq.
+        */
+      rowSeqs: Seq[Long] = Seq.empty
   )
 
   /** NFA state for one key. `prev` is the last row this key's ordered
@@ -248,7 +261,7 @@ object CepCore {
   // alternatives emitting the same span prefer the earlier one (the
   // regex-standard ordered-choice rule)
   private final case class Emit[E](startSeq: Long, lastSeq: Long, branch: Int,
-      m: Match[E])
+      m: Match[E], rowSeqs: Seq[Long])
 
   /** Advance the NFA over time-ordered events, returning completed
     * matches (in emission order) and the surviving state. `tsMs`
@@ -297,7 +310,7 @@ object CepCore {
       if (p.inLoop && p.stepIdx < steps.size && steps(p.stepIdx).greedy &&
         completable(p))
         Some(Emit(p.startSeq, p.lastSeq, p.branch,
-          Match(p.startTs, p.lastTs, p.rows, p.labels)))
+          Match(p.startTs, p.lastTs, p.rows, p.labels), p.rowSeqs))
       else None
     }
 
@@ -315,7 +328,7 @@ object CepCore {
       if (negationPending(p) &&
         closure(steps, p.stepIdx + 1, false).exists(_._1 == steps.size))
         Some(Emit(p.startSeq, p.lastSeq, p.branch,
-          Match(p.startTs, p.lastTs, p.rows, p.labels)))
+          Match(p.startTs, p.lastTs, p.rows, p.labels), p.rowSeqs))
       else None
     }
 
@@ -349,10 +362,11 @@ object CepCore {
           consumed = true
           val ids = p.rows :+ e
           val labs = p.labels :+ steps(i).name
+          val sq = p.rowSeqs :+ s
           if (steps(i).oneOrMore) {
             val looping =
               p.copy(stepIdx = i, inLoop = true, lastTs = ts, lastSeq = s,
-                rows = ids, labels = labs)
+                rows = ids, labels = labs, rowSeqs = sq)
             succ += looping
             // allowCombinations: between iterations the loop may also
             // SKIP this matching event and take a later one — keep a
@@ -363,13 +377,15 @@ object CepCore {
             // reluctant loop that can already exit to the accept state
             // emits at this length too
             if (!steps(i).greedy && closure(steps, i, true).exists(_._1 == n))
-              emits += Emit(p.startSeq, s, p.branch, Match(p.startTs, ts, ids, labs))
+              emits += Emit(p.startSeq, s, p.branch,
+                Match(p.startTs, ts, ids, labs), sq)
           } else {
             val next =
               p.copy(stepIdx = i + 1, inLoop = false, lastTs = ts, lastSeq = s,
-                rows = ids, labels = labs)
+                rows = ids, labels = labs, rowSeqs = sq)
             if (closure(steps, i + 1, false).exists(_._1 == n))
-              emits += Emit(p.startSeq, s, p.branch, Match(p.startTs, ts, ids, labs))
+              emits += Emit(p.startSeq, s, p.branch,
+                Match(p.startTs, ts, ids, labs), sq)
             if (i + 1 < n) succ += next
             // followedByAny: the take did not consume the ignore edge —
             // keep a branch pinned AT this step (epsilon moves already
@@ -382,7 +398,7 @@ object CepCore {
             // branch above already emitted/advanced
             steps(i).loopBackTo.foreach { j =>
               succ += p.copy(stepIdx = j, inLoop = false, lastTs = ts,
-                lastSeq = s, rows = ids, labels = labs)
+                lastSeq = s, rows = ids, labels = labs, rowSeqs = sq)
             }
           }
         }
@@ -423,7 +439,7 @@ object CepCore {
             // event that cleared the notNext).
             if (closure(steps, i + 1, false).exists(_._1 == n))
               emitsB += Emit(p.startSeq, p.lastSeq, p.branch,
-                Match(p.startTs, p.lastTs, p.rows, p.labels))
+                Match(p.startTs, p.lastTs, p.rows, p.labels), p.rowSeqs)
             if (i + 1 < n) {
               val p2 = p.copy(stepIdx = i + 1)
               val (consumed2, succ2, emits2) = consume(p2, e, prev, ts, s)
@@ -517,6 +533,24 @@ object CepCore {
             if (em.lastSeq >= s) freshAllowed = false
             rest = rest.tail.filter(_.startSeq > em.lastSeq)
           }
+        case SkipToFirst(v) =>
+          var rest = candidates
+          while (rest.nonEmpty) {
+            val em = rest.head
+            out += em.m
+            val b = skipBoundary(em, v, first = true)
+            pending = pending.filter(_.startSeq >= b)
+            rest = rest.tail.filter(_.startSeq >= b)
+          }
+        case SkipToLast(v) =>
+          var rest = candidates
+          while (rest.nonEmpty) {
+            val em = rest.head
+            out += em.m
+            val b = skipBoundary(em, v, first = false)
+            pending = pending.filter(_.startSeq >= b)
+            rest = rest.tail.filter(_.startSeq >= b)
+          }
       }
       partials = if (freshAllowed) pending ++ freshSucc.result() else pending
       prevE = Some(e)
@@ -556,7 +590,7 @@ object CepCore {
           && completableFrom(steps, p.stepIdx + 1, false))
       }
       .map(p => Emit(p.startSeq, p.lastSeq, p.branch,
-        Match(p.startTs, p.lastTs, p.rows, p.labels)))
+        Match(p.startTs, p.lastTs, p.rows, p.labels), p.rowSeqs))
       .sortBy(em => (em.startSeq, em.lastSeq, em.branch))
     pattern.skip match {
       case NoSkip => emits.map(_.m)
@@ -572,6 +606,41 @@ object CepCore {
           rest = rest.filter(_.startSeq > head.lastSeq)
         }
         out.result()
+      case SkipToFirst(v) =>
+        skipToVarFlush(emits, v, first = true)
+      case SkipToLast(v) =>
+        skipToVarFlush(emits, v, first = false)
     }
+  }
+
+  private def skipToVarFlush[E](emits: Seq[Emit[E]], v: String,
+      first: Boolean): Seq[Match[E]] = {
+    val out = Seq.newBuilder[Match[E]]
+    var rest = emits
+    while (rest.nonEmpty) {
+      val head = rest.head
+      out += head.m
+      val b = skipBoundary(head, v, first)
+      rest = rest.tail.filter(_.startSeq >= b)
+    }
+    out.result()
+  }
+
+  /** The resume boundary of a skip-to-variable strategy: the seq of
+    * the first/last row the variable matched. No such row, or a
+    * boundary at the match's own start (no progress possible), throws
+    * — the reference AfterMatchSkipStrategy does the same.
+    */
+  private def skipBoundary[E](em: Emit[E], v: String, first: Boolean): Long = {
+    val what = s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} $v"
+    val idx =
+      if (first) em.m.labels.indexOf(v) else em.m.labels.lastIndexOf(v)
+    if (idx < 0) throw new IllegalArgumentException(
+      s"$what: the variable matched no row of the emitted match")
+    val b = em.rowSeqs(idx)
+    if (b == em.startSeq) throw new IllegalArgumentException(
+      s"$what points at the match's own start row — matching cannot " +
+        "advance past it")
+    b
   }
 }

@@ -495,7 +495,37 @@ object MatchRecognize {
     raw"(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)".r
 
   private val skipRe =
-    raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW)".r
+    raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW|TO\s+FIRST\s+[A-Za-z_][A-Za-z_0-9]*|TO\s+LAST\s+[A-Za-z_][A-Za-z_0-9]*)".r
+
+  /** AFTER MATCH SKIP clause → strategy; absent clause is the SQL
+    * default SKIP PAST LAST ROW. TO FIRST/LAST <var> map to the
+    * skip-to-variable strategies (variable validated against the
+    * pattern by the caller).
+    */
+  private def parseSkip(body: String): CepCore.SkipStrategy =
+    skipRe.findFirstMatchIn(body) match {
+      case Some(m) =>
+        val g = m.group(1).toUpperCase.replaceAll("\\s+", " ")
+        if (g.startsWith("TO NEXT")) CepCore.SkipToNext
+        else if (g.startsWith("PAST")) CepCore.SkipPastLastEvent
+        else if (g.startsWith("TO FIRST"))
+          CepCore.SkipToFirst(g.substring("TO FIRST ".length))
+        else CepCore.SkipToLast(g.substring("TO LAST ".length))
+      case None => CepCore.SkipPastLastEvent
+    }
+
+  /** A skip-to-variable strategy must name a pattern variable. */
+  private def validateSkipVar[E](p: CepCore.SequencePattern[E]): Unit = {
+    val vars = patternVarNames(p)
+    def check(v: String): Unit = require(vars(v),
+      s"AFTER MATCH SKIP TO FIRST/LAST references undefined pattern " +
+        s"variable $v (pattern variables: ${vars.toSeq.sorted.mkString(", ")})")
+    p.skip match {
+      case CepCore.SkipToFirst(v) => check(v)
+      case CepCore.SkipToLast(v) => check(v)
+      case _ => ()
+    }
+  }
 
   /** Full-coverage validation of the MATCH_RECOGNIZE body: every
     * non-whitespace character must fall inside a recognized clause
@@ -620,10 +650,7 @@ object MatchRecognize {
 
     requireKnownClauses(body)
     requireFullCoverage(body)
-    val skip = skipRe.findFirstMatchIn(body) match {
-      case Some(m) if m.group(1).toUpperCase.startsWith("TO") => Cep.SkipToNext
-      case _ => Cep.SkipPastLastEvent // SQL default: SKIP PAST LAST ROW
-    }
+    val skip = parseSkip(body)
 
     val withinMs = withinRe.findFirstMatchIn(body) match {
       case Some(m) =>
@@ -654,8 +681,10 @@ object MatchRecognize {
       mkStep[Event](uname, pred, quant, defined.exists(_.usesPrev))
     }
     val (alts, excluded) = parsePattern(patBody, mkEv)
-    Cep.SequencePattern(alts.head, withinMs, strict = true, skip = skip,
-      orElse = alts.tail, excluded = excluded)
+    val pat = Cep.SequencePattern(alts.head, withinMs, strict = true,
+      skip = skip, orElse = alts.tail, excluded = excluded)
+    validateSkipVar(pat)
+    pat
   }
 
   /** Extract `DEFINE var AS predicate, ...` as (VAR → predicate text).
@@ -1196,10 +1225,7 @@ object MatchRecognize {
 
     requireKnownClauses(body)
     requireFullCoverage(body)
-    val skip = skipRe.findFirstMatchIn(body) match {
-      case Some(m) if m.group(1).toUpperCase.startsWith("TO") => Cep.SkipToNext
-      case _ => Cep.SkipPastLastEvent // SQL default: SKIP PAST LAST ROW
-    }
+    val skip = parseSkip(body)
     val withinMs = withinRe.findFirstMatchIn(body) match {
       case Some(m) =>
         val n = m.group(1).toLong
@@ -1233,6 +1259,7 @@ object MatchRecognize {
     val (alts, excluded) = parsePattern(balancedBody(body, "PATTERN"), mkRel)
     val pattern = CepCore.SequencePattern[REv](alts.head, withinMs,
       strict = true, skip = skip, orElse = alts.tail, excluded = excluded)
+    validateSkipVar(pattern)
 
     val outSchema = StructType(schema.fields.toSeq ++ Seq(
       org.apache.spark.sql.types.StructField("match_no", LongType, nullable = false),
@@ -1562,10 +1589,12 @@ object MatchRecognize {
             REv(r, conv(r).asInstanceOf[InternalRow], clock(r))
           def hydrate(p: CepCore.PartialMatch[Row]): CepCore.PartialMatch[REv] =
             CepCore.PartialMatch(p.stepIdx, p.inLoop, p.startTs, p.lastTs,
-              p.startSeq, p.lastSeq, p.rows.map(toREv), p.labels, p.branch)
+              p.startSeq, p.lastSeq, p.rows.map(toREv), p.labels, p.branch,
+              p.rowSeqs)
           def dehydrate(p: CepCore.PartialMatch[REv]): CepCore.PartialMatch[Row] =
             CepCore.PartialMatch(p.stepIdx, p.inLoop, p.startTs, p.lastTs,
-              p.startSeq, p.lastSeq, p.rows.map(_.row), p.labels, p.branch)
+              p.startSeq, p.lastSeq, p.rows.map(_.row), p.labels, p.branch,
+              p.rowSeqs)
           val st0 = state.getOption
             .getOrElse(RelNfaState(Seq.empty, Seq.empty, 0L, None, 0L))
           val wm = state.getCurrentWatermarkMs()

@@ -600,10 +600,10 @@ class MatchRecognizeSpec extends AnyFunSuite {
       MatchRecognize.parse(spark, sql("WITHIN INTERVAL '2' WEEK"))
     }
     assert(e1.getMessage.contains("WITHIN"))
-    // SKIP TO FIRST A is standard syntax we do not support: must NOT
-    // fall back to the default skip strategy
+    // an AFTER MATCH form outside the subset must NOT fall back to
+    // the default skip strategy
     val e2 = intercept[IllegalArgumentException] {
-      MatchRecognize.parse(spark, sql("AFTER MATCH SKIP TO FIRST A"))
+      MatchRecognize.parse(spark, sql("AFTER MATCH SKIP TO NEXT MATCH"))
     }
     assert(e2.getMessage.contains("AFTER MATCH"))
     // the supported forms still parse
@@ -657,6 +657,55 @@ class MatchRecognizeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       MatchRecognize.detectBatch(events, sql("ALL ROWS PER MATCH"))
     }
+  }
+
+  test("AFTER MATCH SKIP TO FIRST/LAST <var> resumes at the variable's row") {
+    // SKIP TO LAST X on X{3}: a 6-error run chains with stride 2
+    val last = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO LAST X
+      PATTERN (X{3})
+      DEFINE X AS event_type = 'error')"""
+    val errs = (1 to 6).map(i => ev(i, i, "error")) :+ ev(7, 7, "view")
+    assert(run(last, errs) == Seq(Seq(1L, 2L, 3L), Seq(3L, 4L, 5L)))
+    // SKIP TO FIRST B on (A B{2}) with A = any row: the boundary is
+    // the first B, one row past the start — overlapping chains allowed
+    val first = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO FIRST B
+      PATTERN (A B{2})
+      DEFINE B AS event_type = 'error')"""
+    val mixed = Seq(ev(1, 1, "view"), ev(2, 2, "error"), ev(3, 3, "error"),
+      ev(4, 4, "error"))
+    assert(run(first, mixed) == Seq(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)))
+    // an undefined skip variable is a parse error
+    val e1 = intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        AFTER MATCH SKIP TO LAST Z
+        PATTERN (X{3})
+        DEFINE X AS event_type = 'error')""")
+    }
+    assert(e1.getMessage.contains("undefined pattern variable Z"))
+    // a boundary at the match's own start cannot make progress
+    val e2 = intercept[IllegalArgumentException] {
+      run("""MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        AFTER MATCH SKIP TO FIRST X
+        PATTERN (X{3})
+        DEFINE X AS event_type = 'error')""", errs)
+    }
+    assert(e2.getMessage.contains("match's own start"))
+    // a skip variable that matched no row of the emitted match throws
+    val e3 = intercept[IllegalArgumentException] {
+      run("""MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        AFTER MATCH SKIP TO LAST B
+        PATTERN (A B?)
+        DEFINE A AS event_type = 'error', B AS event_type = 'promo')""",
+        Seq(ev(1, 1, "error"), ev(2, 2, "view")))
+    }
+    assert(e3.getMessage.contains("matched no row"))
   }
 
   test("{- -} exclusion applies to generic relations too") {
