@@ -53,4 +53,45 @@ class ZOrderSpec extends AnyFunSuite {
     assert(sortedStats / pkRange > 0.5,
       s"1-dim sort unexpectedly clustered pk: ${sortedStats / pkRange}")
   }
+
+  test("z-ordered WRITE produces parquet files narrow on both dimensions") {
+    import graft.functions.ZOrder
+    val li = Engine.Tables(spark, dir).lineitem.select(
+      datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+        .cast("long").as("d_day"),
+      col("l_partkey").as("pk"))
+    val bounds = li.agg(
+      min(col("d_day")).as("dmin"), max(col("d_day")).as("dmax"),
+      min(col("pk")).as("pmin"), max(col("pk")).as("pmax"))
+    val z = li.crossJoin(broadcast(bounds))
+      .withColumn("z", ZOrder.interleave(
+        ZOrder.quantize(col("d_day"), col("dmin"), col("dmax"), 8),
+        ZOrder.quantize(col("pk"), col("pmin"), col("pmax"), 8), 8))
+      .select(col("d_day"), col("pk"), col("z"))
+    val out = "/tmp/graft_zorder_write_spec"
+    // the production layout: range-partition on the Morton value, sort
+    // within partitions, one parquet file per partition — each file's
+    // footer min/max stays narrow on BOTH columns
+    z.repartitionByRange(32, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(out)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        (max(col("d_day")) - min(col("d_day"))).as("day_spread"),
+        (max(col("pk")) - min(col("pk"))).as("pk_spread"))
+      .collect()
+    assert(perFile.length >= 16, s"expected many files, got ${perFile.length}")
+    val g = li.agg(
+      (max(col("d_day")) - min(col("d_day"))).as("dr"),
+      (max(col("pk")) - min(col("pk"))).as("pr")).collect()(0)
+    def avgOf(c: String) =
+      perFile.map(_.getAs[Long](c).toDouble).sum / perFile.length
+    val dayFrac = avgOf("day_spread") / g.getLong(0)
+    val pkFrac = avgOf("pk_spread") / g.getLong(1)
+    // 32 range partitions over a 16-bit z: each file spans ~1/sqrt(32)
+    // of each dimension's range at worst; demand well under 40%
+    assert(dayFrac < 0.4, s"file day spread $dayFrac")
+    assert(pkFrac < 0.4, s"file pk spread $pkFrac")
+  }
 }
