@@ -104,6 +104,27 @@ object AggregateQueries extends QueryModule {
       },
       None // sketch-specific value — spec-bounded vs exact instead
     ),
+    // Approximate percentiles (Greenwald-Khanna): the quantile tool at
+    // scale — a bounded-size mergeable summary instead of a full sort.
+    // Sketch-specific values (DuckDB's approx_quantile is t-digest), so
+    // rows-only; SketchAccuracySpec bounds the error vs the exact
+    // percentile.
+    QueryDef(
+      "q_agg_approx_percentiles",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(5000))
+              .as("p50"),
+            percentile_approx(col("l_extendedprice"), lit(0.95), lit(5000))
+              .as("p95"),
+            count(lit(1)).as("n")
+          )
+      },
+      None // sketch-specific value — spec-bounded vs exact instead
+    ),
     // Statistical aggregates.
     QueryDef(
       "q_agg_stats",

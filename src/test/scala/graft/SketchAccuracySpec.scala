@@ -86,4 +86,24 @@ class SketchAccuracySpec extends AnyFunSuite {
         r.getAs[Long]("approx_cust")).toMap
     assert(repart == rows, "sketch value changed under repartitioning")
   }
+
+  test("q_agg_approx_percentiles: within 2% of the exact per-group percentiles") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q_agg_approx_percentiles")(spark, dir)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val exact = Engine.Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, (a50, a95)) =>
+      val (e50, e95) = exact(k)
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"$k p50 approx=$a50 exact=$e50")
+      assert(math.abs(a95 - e95) / e95 < 0.02, s"$k p95 approx=$a95 exact=$e95")
+    }
+  }
 }
