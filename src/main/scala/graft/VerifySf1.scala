@@ -17,15 +17,23 @@ package graft
   *
   * Usage: runMain graft.VerifySf1 [srcDir] [sf1Dir] [outDir] [jsonOut]
   *                                [--gates-only] [--rescale]
+  *                                [--only=gate1,gate2]
   * `--rescale` forces probe regeneration (after a ScaleUp fixture
   * change); `--gates-only` skips the Verify+DuckDB phase and re-runs
   * just the scale gates (iteration path — the committed
   * CORRECTNESS_sf1.json stays whatever the last full run wrote).
+  * `--only=...` restricts to the named gates and MERGES their results
+  * into the existing SCALECHECK_sf1.json instead of clobbering the
+  * other gates' evidence.
   * Exits nonzero if any oracle-checked query or scale gate fails.
   */
 object VerifySf1 {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("--")).toSet
+    val onlyGates: Set[String] = flags.collectFirst {
+      case f if f.startsWith("--only=") =>
+        f.substring("--only=".length).split(",").map(_.trim).toSet
+    }.getOrElse(Set.empty)
     val pos = args.filterNot(_.startsWith("--"))
     val src = pos.headOption.getOrElse("/root/testdata/sf0.1")
     val sf1 = pos.lift(1).getOrElse("/tmp/graft_sf1")
@@ -48,15 +56,27 @@ object VerifySf1 {
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
     spark.sparkContext.setLogLevel("WARN")
     val gates =
-      try Sf1Gates.run(spark, sf1)
+      try Sf1Gates.run(spark, sf1, only = onlyGates)
       finally spark.stop()
     gates.foreach(g =>
       println(s"[sf1-gate] ${if (g.pass) "PASS" else "FAIL"} ${g.name}: ${g.detail}"))
-    val gateJson = gates
-      .map(g => s"""  "${g.name}": {"pass": ${g.pass}, "detail": "${g.detail}"}""")
-      .mkString("{\n", ",\n", "\n}")
+    // entry lines for this run, merged over any prior file when --only
+    // restricted the run (the untouched gates keep their evidence)
+    val entryRe = """"([a-z0-9_]+)": \{"pass".*\}""".r
+    val prior: Seq[(String, String)] = {
+      val p = java.nio.file.Paths.get("SCALECHECK_sf1.json")
+      if (onlyGates.nonEmpty && java.nio.file.Files.exists(p))
+        entryRe.findAllMatchIn(java.nio.file.Files.readString(p))
+          .map(m => m.group(1) -> m.matched).toSeq
+      else Seq.empty
+    }
+    val fresh = gates.map(g =>
+      g.name -> s""""${g.name}": {"pass": ${g.pass}, "detail": "${g.detail}"}""")
+    val merged = (prior.filterNot(p => fresh.exists(_._1 == p._1)) ++ fresh)
+      .sortBy(_._1)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALECHECK_sf1.json"), gateJson)
+      java.nio.file.Paths.get("SCALECHECK_sf1.json"),
+      merged.map("  " + _._2).mkString("{\n", ",\n", "\n}"))
     sys.exit(if (rc != 0 || gates.exists(!_.pass)) 1 else 0)
   }
 }

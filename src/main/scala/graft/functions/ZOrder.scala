@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) curve helpers for multi-dimensional data layout.
@@ -45,6 +45,38 @@ object ZOrder {
           shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), 2 * j + 1)
       }
       .reduce(_ + _)
+
+  /** Write `df` to parquet in Z-order on two LONG-castable columns —
+    * the OPTIMIZE ZORDER BY operator surface (Delta/Iceberg's data
+    * layout command; reference: the same file-skipping goal the
+    * engine's clustered sinks serve). One extra aggregate pass
+    * computes the global min/max bounds (broadcast as a 1-row frame,
+    * the same shape OPTIMIZE uses); rows are then range-partitioned
+    * and sorted on the Morton value so every output file's parquet
+    * footer min/max stays narrow on BOTH dimensions and predicates on
+    * either column skip most files. At 100 TB, `numFiles` derives
+    * from data volume / target file size (e.g. 1 GB files); the
+    * Z-value computation itself is pure per-row column arithmetic —
+    * no extra shuffle beyond the one range partitioning any ordered
+    * write needs. Proven by ZOrderSpec: per-file narrowness on both
+    * dimensions via this entry point.
+    */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
+      bits: Int = 8, numFiles: Int = 32): Unit = {
+    val a = col(colA).cast("long")
+    val b = col(colB).cast("long")
+    val bounds = df.agg(
+      min(a).as("__amin"), max(a).as("__amax"),
+      min(b).as("__bmin"), max(b).as("__bmax"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("__z", interleave(
+        quantize(a, col("__amin"), col("__amax"), bits),
+        quantize(b, col("__bmin"), col("__bmax"), bits), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__amin", "__amax", "__bmin", "__bmax", "__z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** The same quantize+interleave in DuckDB SQL (for oracles). */
   def interleaveSql(a: String, b: String, bits: Int): String =

@@ -1335,6 +1335,206 @@ object CepQueries extends QueryModule {
         JOIN o b ON b.user_id = s.user_id AND b.rn = s.m1 + 1
         JOIN o c ON c.user_id = s.user_id AND c.rn = s.m1 + 2
       """)
+    ),
+    // Grouped alternation (round-11): PATTERN ((E|V)+ P) — the group
+    // compiles to ONE ordered-choice NFA step (CepCore.Step.choices),
+    // so every loop iteration may take a different variable and each
+    // consumed row is labeled with the choice that matched (reference:
+    // Calcite's row-pattern grammar accepts grouped alternation;
+    // Flink's NFA runs it via GroupPattern branching). The emitted
+    // label string is part of the oracle check — the DuckDB regex
+    // match substring must equal the classifier sequence exactly.
+    QueryDef(
+      "q_cep_sql_group_alt",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatch(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN ((E|V)+ P)
+              DEFINE E AS event_type = 'error',
+                     V AS event_type = 'view',
+                     P AS event_type = 'purchase'
+            )
+          """)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("first_id"),
+            element_at(col("event_ids"), -1).as("close_id"),
+            (size(col("event_ids")) - 1).cast("long").as("n_run"),
+            array_join(col("step_names"), "").as("labs")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        s AS (
+          SELECT user_id,
+                 string_agg(CASE event_type WHEN 'error' THEN 'E'
+                            WHEN 'view' THEN 'V' WHEN 'purchase' THEN 'P'
+                            ELSE 'X' END, '' ORDER BY rn) AS str
+          FROM o GROUP BY user_id
+        ),
+        pos AS (
+          SELECT user_id, str,
+                 unnest(range(1, CAST(length(str) AS BIGINT) + 1)) AS i
+          FROM s
+        ),
+        mm AS (
+          SELECT user_id, i AS srn,
+                 regexp_extract(substr(str, CAST(i AS INT)), '^[EV]+P') AS hit
+          FROM pos
+          WHERE regexp_matches(substr(str, CAST(i AS INT)), '^[EV]+P')
+        )
+        SELECT mm.user_id, f.event_id AS first_id, l.event_id AS close_id,
+               CAST(length(mm.hit) - 1 AS BIGINT) AS n_run,
+               mm.hit AS labs
+        FROM mm
+        JOIN o f ON f.user_id = mm.user_id AND f.rn = mm.srn
+        JOIN o l ON l.user_id = mm.user_id
+                AND l.rn = mm.srn + length(mm.hit) - 1
+      """)
+    ),
+    // Bare `AFTER MATCH SKIP TO <var>` (round-11): the SQL-standard
+    // shorthand for SKIP TO LAST <var> (reference Calcite grammar;
+    // StreamExecMatch.java:90 compiles it to skipToLast). Same X{3}
+    // pattern and stride-2 oracle as q_cep_sql_skip_last — the two
+    // queries' identical output IS the equivalence proof.
+    QueryDef(
+      "q_cep_sql_skip_to_var",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatch(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO X
+              PATTERN (X{3})
+              DEFINE X AS event_type = 'error'
+            )
+          """)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("first_id"),
+            element_at(col("event_ids"), 2).as("mid_id"),
+            element_at(col("event_ids"), 3).as("last_id")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        err AS (
+          SELECT user_id, event_id, rn,
+                 rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM o WHERE event_type = 'error'
+        ),
+        runs AS (
+          SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern
+          FROM err GROUP BY user_id, grp
+        ),
+        starts AS (
+          SELECT user_id, srn + 2 * u.k AS m1
+          FROM runs, unnest(range((ern - srn - 2) // 2 + 1)) AS u(k)
+          WHERE ern - srn >= 2
+        )
+        SELECT s.user_id,
+               a.event_id AS first_id, b.event_id AS mid_id,
+               c.event_id AS last_id
+        FROM starts s
+        JOIN o a ON a.user_id = s.user_id AND a.rn = s.m1
+        JOIN o b ON b.user_id = s.user_id AND b.rn = s.m1 + 1
+        JOIN o c ON c.user_id = s.user_id AND c.rn = s.m1 + 2
+      """)
+    ),
+    // SUBSET union variable as a skip target (round-11): PATTERN
+    // ((E|V){3}) with SUBSET U = (E, V) and AFTER MATCH SKIP TO LAST U
+    // — the boundary is the last row matched to ANY member label, here
+    // the 3rd row of each match, so matches chain with stride 2 over
+    // runs of errors-OR-views (SKIP PAST LAST ROW would stride 3 —
+    // the strategies are observably distinct). Exercises both the
+    // quantified choice group ((E|V){3} unrolls to three choice steps)
+    // and subset resolution in the skip strategy. Classifier labels of
+    // all three rows are part of the oracle check.
+    QueryDef(
+      "q_cep_sql_skip_subset",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatch(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO LAST U
+              PATTERN ((E|V){3})
+              SUBSET U = (E, V)
+              DEFINE E AS event_type = 'error',
+                     V AS event_type = 'view'
+            )
+          """)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("first_id"),
+            element_at(col("event_ids"), 2).as("mid_id"),
+            element_at(col("event_ids"), 3).as("last_id"),
+            array_join(col("step_names"), "").as("labs")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type,
+                 CASE event_type WHEN 'error' THEN 'E' ELSE 'V' END AS lab,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        ev AS (
+          SELECT user_id, event_id, rn, lab,
+                 rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+          FROM o WHERE event_type IN ('error', 'view')
+        ),
+        runs AS (
+          SELECT user_id, grp, min(rn) AS srn, max(rn) AS ern
+          FROM ev GROUP BY user_id, grp
+        ),
+        starts AS (
+          SELECT user_id, srn + 2 * u.k AS m1
+          FROM runs, unnest(range((ern - srn - 2) // 2 + 1)) AS u(k)
+          WHERE ern - srn >= 2
+        )
+        SELECT s.user_id,
+               a.event_id AS first_id, b.event_id AS mid_id,
+               c.event_id AS last_id,
+               a.lab || b.lab || c.lab AS labs
+        FROM starts s
+        JOIN ev a ON a.user_id = s.user_id AND a.rn = s.m1
+        JOIN ev b ON b.user_id = s.user_id AND b.rn = s.m1 + 1
+        JOIN ev c ON c.user_id = s.user_id AND c.rn = s.m1 + 2
+      """)
     )
   )
 }

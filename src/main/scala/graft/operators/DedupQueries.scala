@@ -104,6 +104,151 @@ object DedupQueries extends QueryModule {
     WHERE round(inter * 1.0 / (sz1 + sz2 - inter), 6) >= 0.8
   """
 
+  /** Target rows per semantic-dedup cluster. k is derived as
+    * ceil(N / target) so the within-cluster pairwise cost per cluster
+    * (~target² cosine evaluations) is a CONSTANT as the corpus grows —
+    * the property the SemDeDup shape needs at 100 TB.
+    */
+  val SemanticTargetClusterRows = 512L
+
+  /** Floor keeps tiny corpora from degenerating to one cluster; cap
+    * bounds the driver-collected / broadcast codebook (k × dim ≈ 64 MB
+    * at 65536 × 128 doubles). Past the cap a deployment shards the
+    * codebook (hierarchical two-level assignment) or swaps the
+    * within-cluster all-pairs for the bucketed ANN candidate
+    * generator — neither changes this operator's plan shape.
+    */
+  val SemanticMinK = 32L
+  val SemanticMaxK = 65536L
+
+  /** Derived cluster count — integer ceil, mirrored exactly by the
+    * oracle SQL's `ceil(count(*) / 512.0)` (both are exact up to 2^52
+    * rows, far past any corpus row count).
+    */
+  def semanticK(n: Long): Int =
+    math.max(
+      SemanticMinK,
+      math.min(SemanticMaxK, (n + SemanticTargetClusterRows - 1) / SemanticTargetClusterRows)
+    ).toInt
+
+  /** Nearest-centroid assignment for semantic dedup: (cluster_id,
+    * vec_id, v, n2) for EVERY vector, pre-drop. Shared by the
+    * q_dedup_semantic query and the sf1 cluster-size gate (which
+    * asserts on assignment sizes, not the survivor counts the query
+    * outputs).
+    */
+  private[graft] def semanticAssign(s: SparkSession, dir: String): (DataFrame, Int, Long) = {
+    graft.functions.SketchExpressions.register(s)
+    import graft.functions.SketchExpressions.dot_product
+    import org.apache.spark.sql.expressions.Window
+    val t = tables(s, dir)
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", dot_product(col("v"), col("v")))
+    val n = e.count()
+    val k = semanticK(n)
+    val step = math.max(1L, n / k)
+    // deterministic seed codebook: evenly-spaced vec_ids, same
+    // rule as the IVF builder's seed pass — and like that pass the
+    // <= k seed rows come to the driver (k x dim, bounded by
+    // SemanticMaxK independent of corpus size) so numbering needs no
+    // partitionless window
+    import s.implicits._
+    val cents = e
+      .filter(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("v"), col("n2"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1), r.getDouble(2)) }
+      .toSeq
+      .toDF("list_id", "cv", "cn2")
+    // nearest-centroid assignment: broadcast argmin of squared
+    // euclidean, rounded so both engines collapse near-ties the
+    // same way, ties to the lower list id
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("rd"), col("list_id"))
+    val asg = e.crossJoin(broadcast(cents))
+      .withColumn("rd", round(
+        col("n2") - lit(2.0) * dot_product(col("v"), col("cv")) + col("cn2"), 6))
+      .withColumn("__rn", row_number().over(aw))
+      .filter(col("__rn") === 1)
+      .select(col("list_id").as("cluster_id"), col("vec_id"),
+        col("v"), col("n2"))
+    (asg, k, n)
+  }
+
+  private[graft] def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SketchExpressions.dot_product
+    val tau = 0.8
+    val (asg, _, _) = semanticAssign(s, dir)
+    // within-cluster near-dup: b is dropped when a lower-id
+    // cluster-mate sits within the cosine threshold
+    val a = asg.select(col("cluster_id"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("n2").as("an"))
+    val b = asg.select(col("cluster_id"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("n2").as("bn"))
+    val dropped = b.join(a, Seq("cluster_id"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(dot_product(col("av"), col("bv")) /
+        sqrt(col("an") * col("bn")), 6) >= tau)
+      .select(col("b_id")).distinct()
+    asg.join(dropped, col("vec_id") === col("b_id"), "left_anti")
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("vec_id"))
+  }
+
+  /** The k derivation (greatest/least/ceil) mirrors semanticK exactly;
+    * seeds use row_number <= k instead of LIMIT so k can come from the
+    * kk CTE.
+    */
+  private val semanticOracle = s"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_inner_product(embedding::DOUBLE[],
+                                embedding::DOUBLE[]) AS n2
+      FROM embeddings
+    ),
+    kk AS (
+      SELECT greatest($SemanticMinK, least($SemanticMaxK,
+               CAST(ceil(count(*) / $SemanticTargetClusterRows.0) AS BIGINT))) AS k,
+             count(*) AS n
+      FROM e
+    ),
+    seeds AS (
+      SELECT vec_id, v, n2 FROM (
+        SELECT vec_id, v, n2, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM e
+        WHERE vec_id % (SELECT greatest(1, n // k) FROM kk) = 0
+      ) WHERE rn <= (SELECT k FROM kk)
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+             v AS cv, n2 AS cn2
+      FROM seeds
+    ),
+    asg AS (
+      SELECT vec_id, v, n2, list_id FROM (
+        SELECT e.vec_id, e.v, e.n2, c.list_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(e.n2 - 2.0 * list_inner_product(e.v, c.cv)
+                                + c.cn2, 6), c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT CAST(b.list_id AS BIGINT) AS cluster_id, b.vec_id
+    FROM asg b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM asg a
+      WHERE a.list_id = b.list_id AND a.vec_id < b.vec_id
+        AND round(list_inner_product(a.v, b.v) /
+                  sqrt(a.n2 * b.n2), 6) >= 0.8
+    )
+  """
+
   def defs: Seq[QueryDef] = Seq(
     // Exact dedup: hash-groupBy on content digest, keep min doc_id.
     QueryDef(
@@ -198,109 +343,28 @@ object DedupQueries extends QueryModule {
     // embedding space, then drop within-cluster near-duplicates above
     // a cosine threshold, keeping the lowest id of each similar set.
     // The cluster step bounds the pairwise work — the all-pairs cost
-    // is (N/k)^2 per cluster instead of N^2, and k scales with N so
-    // cluster size stays fixed at 100 TB. Plan shape: the k x dim
-    // codebook is a broadcast (argmin assignment is a narrow
-    // pipeline), the within-cluster self-join shuffles on cluster_id
-    // (AQE skew-split is the backstop for a hot cluster). Seeds are
-    // the evenly-spaced vec_ids — deterministic, so the whole
-    // operator is exactly oracle-checkable; the production path would
-    // refine the same codebook with the IVF builder's Lloyd
-    // iterations (SimilarityQueries.ivfTopK), which only changes the
-    // centroid values, not the plan.
+    // is (N/k)^2 per cluster instead of N^2, and k is DERIVED from the
+    // corpus size (k ≈ N / SemanticTargetClusterRows, floor 32) so the
+    // per-cluster row count — and with it the pairwise work per
+    // cluster — stays fixed as the corpus grows. The cap at
+    // SemanticMaxK bounds the driver/broadcast codebook (k × dim);
+    // past the cap a deployment shards the codebook hierarchically or
+    // swaps the within-cluster all-pairs for the bucketed ANN verify
+    // (SimilarityQueries), which changes the candidate generator, not
+    // this plan shape. Plan shape: the k x dim codebook is a broadcast
+    // (argmin assignment is a narrow pipeline), the within-cluster
+    // self-join shuffles on cluster_id (AQE skew-split is the backstop
+    // for a hot cluster). Seeds are the evenly-spaced vec_ids —
+    // deterministic, so the whole operator (including the k
+    // derivation, mirrored in the oracle SQL) is exactly
+    // oracle-checkable; the production path would refine the same
+    // codebook with the IVF builder's Lloyd iterations
+    // (SimilarityQueries.ivfTopK), which only changes the centroid
+    // values, not the plan.
     QueryDef(
       "q_dedup_semantic",
-      (s, dir) => {
-        graft.functions.SketchExpressions.register(s)
-        import graft.functions.SketchExpressions.dot_product
-        import org.apache.spark.sql.expressions.Window
-        val k = 32
-        val tau = 0.8
-        val t = tables(s, dir)
-        val e = t.embeddings
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .withColumn("n2", dot_product(col("v"), col("v")))
-        val n = e.count()
-        val step = math.max(1L, n / k)
-        // deterministic seed codebook: evenly-spaced vec_ids, same
-        // rule as the IVF builder's seed pass — and like that pass the
-        // <= k seed rows come to the driver (k x dim, independent of
-        // corpus size) so numbering needs no partitionless window
-        import s.implicits._
-        val cents = e
-          .filter(pmod(col("vec_id"), lit(step)) === 0)
-          .orderBy(col("vec_id"))
-          .limit(k)
-          .select(col("vec_id"), col("v"), col("n2"))
-          .collect()
-          .sortBy(_.getLong(0))
-          .zipWithIndex
-          .map { case (r, i) => (i, r.getSeq[Double](1), r.getDouble(2)) }
-          .toSeq
-          .toDF("list_id", "cv", "cn2")
-        // nearest-centroid assignment: broadcast argmin of squared
-        // euclidean, rounded so both engines collapse near-ties the
-        // same way, ties to the lower list id
-        val aw = Window.partitionBy(col("vec_id"))
-          .orderBy(col("rd"), col("list_id"))
-        val asg = e.crossJoin(broadcast(cents))
-          .withColumn("rd", round(
-            col("n2") - lit(2.0) * dot_product(col("v"), col("cv")) + col("cn2"), 6))
-          .withColumn("__rn", row_number().over(aw))
-          .filter(col("__rn") === 1)
-          .select(col("list_id").as("cluster_id"), col("vec_id"),
-            col("v"), col("n2"))
-        // within-cluster near-dup: b is dropped when a lower-id
-        // cluster-mate sits within the cosine threshold
-        val a = asg.select(col("cluster_id"), col("vec_id").as("a_id"),
-          col("v").as("av"), col("n2").as("an"))
-        val b = asg.select(col("cluster_id"), col("vec_id").as("b_id"),
-          col("v").as("bv"), col("n2").as("bn"))
-        val dropped = b.join(a, Seq("cluster_id"))
-          .filter(col("a_id") < col("b_id"))
-          .filter(round(dot_product(col("av"), col("bv")) /
-            sqrt(col("an") * col("bn")), 6) >= tau)
-          .select(col("b_id")).distinct()
-        asg.join(dropped, col("vec_id") === col("b_id"), "left_anti")
-          .select(col("cluster_id").cast("long").as("cluster_id"),
-            col("vec_id"))
-      },
-      Some("""
-        WITH e AS (
-          SELECT vec_id, embedding::DOUBLE[] AS v,
-                 list_inner_product(embedding::DOUBLE[],
-                                    embedding::DOUBLE[]) AS n2
-          FROM embeddings
-        ),
-        seeds AS (
-          SELECT vec_id, v, n2 FROM e
-          WHERE vec_id % (SELECT greatest(1, count(*) // 32) FROM e) = 0
-          ORDER BY vec_id LIMIT 32
-        ),
-        cents AS (
-          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
-                 v AS cv, n2 AS cn2
-          FROM seeds
-        ),
-        asg AS (
-          SELECT vec_id, v, n2, list_id FROM (
-            SELECT e.vec_id, e.v, e.n2, c.list_id,
-                   row_number() OVER (
-                     PARTITION BY e.vec_id
-                     ORDER BY round(e.n2 - 2.0 * list_inner_product(e.v, c.cv)
-                                    + c.cn2, 6), c.list_id) AS rn
-            FROM e CROSS JOIN cents c
-          ) WHERE rn = 1
-        )
-        SELECT CAST(b.list_id AS BIGINT) AS cluster_id, b.vec_id
-        FROM asg b
-        WHERE NOT EXISTS (
-          SELECT 1 FROM asg a
-          WHERE a.list_id = b.list_id AND a.vec_id < b.vec_id
-            AND round(list_inner_product(a.v, b.v) /
-                      sqrt(a.n2 * b.n2), 6) >= 0.8
-        )
-      """)
+      (s, dir) => semanticDedup(s, dir),
+      Some(semanticOracle)
     ),
     // Dedup-cluster canonicalization — the step every corpus dedup
     // actually ships: near-dup PAIRS alone don't dedup; transitive

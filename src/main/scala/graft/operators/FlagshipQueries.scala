@@ -930,6 +930,72 @@ object FlagshipQueries extends QueryModule {
         GROUP BY channel, p_brand
       """)
     ),
+    // TPC-DS Q35/Q69 shape — multi-EXISTS customer census: a semi
+    // channel (urgent orders), a DISJUNCTION of two exists channels
+    // (returned lineitems OR open orders), and an anti channel (no
+    // low-priority orders), aggregated per (nation, segment).
+    // Decorrelation breadth is the point: Catalyst rewrites the
+    // conjunct EXISTS to a LeftSemi, the OR'd pair to ExistenceJoins
+    // (flag columns OR'd in the filter — the rewrite a disjunction
+    // forces, since a semi-join can't express OR), and the NOT EXISTS
+    // to a LeftAnti; every orders-side build broadcasts at dim scale
+    // and the lineitem probe stays a shuffle join. At 100 TB each
+    // channel is one hash join keyed on custkey — no correlated
+    // re-execution per row (reference
+    // flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:76-86).
+    QueryDef(
+      "q_flagship_ds_exists_census",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.customer.createOrReplaceTempView("customer_census")
+        t.orders.createOrReplaceTempView("orders_census")
+        t.lineitem.createOrReplaceTempView("lineitem_census")
+        s.sql("""
+          SELECT c_nationkey AS nation, c_mktsegment AS segment,
+                 count(*) AS n,
+                 round(avg(c_acctbal), 4) AS avg_bal,
+                 min(c_acctbal) AS min_bal,
+                 max(c_acctbal) AS max_bal
+          FROM customer_census c
+          WHERE EXISTS (SELECT 1 FROM orders_census o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+            AND (EXISTS (SELECT 1 FROM orders_census o
+                         JOIN lineitem_census l ON l.l_orderkey = o.o_orderkey
+                         WHERE o.o_custkey = c.c_custkey
+                           AND l.l_returnflag = 'R')
+                 OR EXISTS (SELECT 1 FROM orders_census o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderstatus = 'O'))
+            AND NOT EXISTS (SELECT 1 FROM orders_census o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '5-LOW')
+          GROUP BY c_nationkey, c_mktsegment
+        """)
+      },
+      Some("""
+        SELECT c_nationkey AS nation, c_mktsegment AS segment,
+               count(*) AS n,
+               round(avg(c_acctbal), 4) AS avg_bal,
+               min(c_acctbal) AS min_bal,
+               max(c_acctbal) AS max_bal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+          AND (EXISTS (SELECT 1 FROM orders o
+                       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                       WHERE o.o_custkey = c.c_custkey
+                         AND l.l_returnflag = 'R')
+               OR EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'O'))
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '5-LOW')
+        GROUP BY c_nationkey, c_mktsegment
+      """)
+    ),
     // TPC-DS Q67-ish shape — OVER-window share-of-total on an
     // aggregate: part revenue within its brand, each part's share of
     // the brand total and brand-local rank, top 3 per brand. The

@@ -195,8 +195,17 @@ object FormatQueries extends QueryModule {
       )
   }
 
+  /** Avro round-trip (reference flink-formats/flink-avro). Spark 4.1
+    * bundles the Avro FileFormat classes inside spark-sql but ships no
+    * DataSourceRegister service entry for the short name "avro" in this
+    * distribution, so the format is addressed by its full class name —
+    * same reader/writer code path the short name would resolve to.
+    */
+  private val avroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q_source_csv_roundtrip", (s, dir) => roundTrip(s, dir, "csv"), Some(oracle)),
+    QueryDef("q_source_avro_roundtrip", (s, dir) => roundTrip(s, dir, avroFormat), Some(oracle)),
     QueryDef("q_source_json_roundtrip", (s, dir) => roundTrip(s, dir, "json"), Some(oracle)),
     QueryDef("q_source_orc_roundtrip", (s, dir) => roundTrip(s, dir, "orc"), Some(oracle)),
     QueryDef("q_source_jdbc_roundtrip", (s, dir) => jdbcRoundTrip(s, dir), Some(oracle)),

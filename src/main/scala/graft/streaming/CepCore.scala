@@ -60,8 +60,26 @@ object CepCore {
         * survive, as before.
         */
       needsPrev: Boolean = false,
-      loopBackTo: Option[Int] = None
+      loopBackTo: Option[Int] = None,
+      /** Ordered-choice alternation WITHIN one step — SQL `(A|B)`,
+        * `(A|B)+`, `(A|B){n}` with single-variable alternatives
+        * (reference: the Calcite row-pattern grammar accepts grouped
+        * alternation; Flink's NFA runs it via GroupPattern branching).
+        * Each consumed row is labeled with the FIRST choice whose
+        * predicate accepts (regex-standard ordered choice), so every
+        * loop iteration may take a different variable. When non-empty,
+        * `predicate` must be the choices' disjunction and `name` is
+        * display-only.
+        */
+      choices: Seq[(String, (Option[E], E) => Boolean)] = Seq.empty
   ) extends Elem[E] {
+    /** The label to record for a row this step just consumed. */
+    def labelFor(prev: Option[E], e: E): String =
+      if (choices.isEmpty) name
+      else choices.find(_._2(prev, e)).map(_._1).getOrElse(name)
+    require(choices.isEmpty || (!negated && !anyMatch && until.isEmpty),
+      "choice steps (grouped alternation) cannot combine with " +
+        "negation, followedByAny, or until")
     require(times >= 1)
     require(times == 1 || (!optional && !oneOrMore),
       "times(n) cannot combine with optional/oneOrMore on one step")
@@ -122,9 +140,19 @@ object CepCore {
     * discarded, overlap beyond it is allowed. A boundary equal to the
     * match's own start cannot make progress and throws, as does a
     * variable that matched no row (both mirror the reference).
+    * `members` is the label set the boundary row may carry — the
+    * variable itself by default, or its SUBSET union members when the
+    * skip target is a SUBSET name (the reference Calcite grammar
+    * accepts union variables as skip targets).
     */
-  final case class SkipToFirst(variable: String) extends SkipStrategy
-  final case class SkipToLast(variable: String) extends SkipStrategy
+  final case class SkipToFirst(variable: String,
+      members: Set[String] = Set.empty) extends SkipStrategy {
+    def memberSet: Set[String] = if (members.isEmpty) Set(variable) else members
+  }
+  final case class SkipToLast(variable: String,
+      members: Set[String] = Set.empty) extends SkipStrategy {
+    def memberSet: Set[String] = if (members.isEmpty) Set(variable) else members
+  }
 
   /** A sequence pattern over elements (steps and groups); see
     * [[Cep.SequencePattern]] for the semantics of `strict` and `skip`.
@@ -361,7 +389,7 @@ object CepCore {
           !(steps(i).oneOrMore && untilHit(steps, i, e))) {
           consumed = true
           val ids = p.rows :+ e
-          val labs = p.labels :+ steps(i).name
+          val labs = p.labels :+ steps(i).labelFor(prev, e)
           val sq = p.rowSeqs :+ s
           if (steps(i).oneOrMore) {
             val looping =
@@ -533,21 +561,21 @@ object CepCore {
             if (em.lastSeq >= s) freshAllowed = false
             rest = rest.tail.filter(_.startSeq > em.lastSeq)
           }
-        case SkipToFirst(v) =>
+        case sk: SkipToFirst =>
           var rest = candidates
           while (rest.nonEmpty) {
             val em = rest.head
             out += em.m
-            val b = skipBoundary(em, v, first = true)
+            val b = skipBoundary(em, sk.variable, sk.memberSet, first = true)
             pending = pending.filter(_.startSeq >= b)
             rest = rest.tail.filter(_.startSeq >= b)
           }
-        case SkipToLast(v) =>
+        case sk: SkipToLast =>
           var rest = candidates
           while (rest.nonEmpty) {
             val em = rest.head
             out += em.m
-            val b = skipBoundary(em, v, first = false)
+            val b = skipBoundary(em, sk.variable, sk.memberSet, first = false)
             pending = pending.filter(_.startSeq >= b)
             rest = rest.tail.filter(_.startSeq >= b)
           }
@@ -606,35 +634,38 @@ object CepCore {
           rest = rest.filter(_.startSeq > head.lastSeq)
         }
         out.result()
-      case SkipToFirst(v) =>
-        skipToVarFlush(emits, v, first = true)
-      case SkipToLast(v) =>
-        skipToVarFlush(emits, v, first = false)
+      case sk: SkipToFirst =>
+        skipToVarFlush(emits, sk.variable, sk.memberSet, first = true)
+      case sk: SkipToLast =>
+        skipToVarFlush(emits, sk.variable, sk.memberSet, first = false)
     }
   }
 
   private def skipToVarFlush[E](emits: Seq[Emit[E]], v: String,
-      first: Boolean): Seq[Match[E]] = {
+      members: Set[String], first: Boolean): Seq[Match[E]] = {
     val out = Seq.newBuilder[Match[E]]
     var rest = emits
     while (rest.nonEmpty) {
       val head = rest.head
       out += head.m
-      val b = skipBoundary(head, v, first)
+      val b = skipBoundary(head, v, members, first)
       rest = rest.tail.filter(_.startSeq >= b)
     }
     out.result()
   }
 
   /** The resume boundary of a skip-to-variable strategy: the seq of
-    * the first/last row the variable matched. No such row, or a
+    * the first/last row whose label is in `members` (the variable
+    * itself, or the SUBSET's member labels). No such row, or a
     * boundary at the match's own start (no progress possible), throws
     * — the reference AfterMatchSkipStrategy does the same.
     */
-  private def skipBoundary[E](em: Emit[E], v: String, first: Boolean): Long = {
+  private def skipBoundary[E](em: Emit[E], v: String, members: Set[String],
+      first: Boolean): Long = {
     val what = s"AFTER MATCH SKIP TO ${if (first) "FIRST" else "LAST"} $v"
     val idx =
-      if (first) em.m.labels.indexOf(v) else em.m.labels.lastIndexOf(v)
+      if (first) em.m.labels.indexWhere(members)
+      else em.m.labels.lastIndexWhere(members)
     if (idx < 0) throw new IllegalArgumentException(
       s"$what: the variable matched no row of the emitted match")
     val b = em.rowSeqs(idx)

@@ -247,6 +247,13 @@ object MatchRecognize {
       extends PatTok
   private final case class GroupTok(vars: Seq[(String, Option[String])],
       oneOrMore: Boolean, times: Int) extends PatTok
+  /** Grouped alternation `(A|B)` with an optional quantifier on the
+    * group — compiles to a single ordered-choice NFA step
+    * ([[CepCore.Step.choices]]), so `(A|B)+` may take a different
+    * variable each iteration.
+    */
+  private final case class ChoiceTok(names: Seq[String],
+      quant: Option[String]) extends PatTok
 
   /** Split the PATTERN body on TOP-LEVEL `|` — SQL row-pattern
     * alternation (reference: the Calcite row-pattern grammar
@@ -392,10 +399,10 @@ object MatchRecognize {
     var i = 0
     def fail(what: String): Nothing = throw new IllegalArgumentException(
       s"unsupported PATTERN syntax '$what' in: $alt — supported subset is " +
-        "alternatives of VAR[+ | +? | * | ? | {n} | {n,m}] and one-level " +
-        "groups (VAR ...)[+ | +? | {n}], plus PERMUTE(term, ...) " +
-        "(no reluctant '*?', open-ended '{n,}', nested groups, or " +
-        "'*'/'?' on a group)")
+        "alternatives of VAR[+ | +? | * | ? | {n} | {n,m}], one-level " +
+        "groups (VAR ...)[+ | +? | {n}], grouped alternation " +
+        "(A|B)[+ | +? | * | ? | {n} | {n,m}], plus PERMUTE(term, ...) " +
+        "(no reluctant '*?', open-ended '{n,}', or nested groups)")
     def skipWs(): Unit = while (i < alt.length && alt(i).isWhitespace) i += 1
     // the quantifier starting exactly at position i, if any
     def quant(): Option[String] =
@@ -428,7 +435,24 @@ object MatchRecognize {
         if (close < 0) fail(alt.substring(i))
         val inner = alt.substring(i + 1, close)
         if (inner.contains("(")) fail(s"(${inner.trim}")
-        if (inner.contains("|")) fail(s"($inner)")
+        if (inner.contains("|")) {
+          // grouped alternation (A|B): single bare variables per
+          // alternative; any step quantifier may follow the group.
+          // Multi-variable alternatives ((A B|C)) stay out of scope —
+          // distribute them into top-level alternation instead.
+          val parts = inner.split("\\|", -1).map(_.trim).toSeq
+          val bare = raw"[A-Za-z_][A-Za-z_0-9]*".r
+          parts.foreach { p =>
+            if (!bare.matches(p))
+              throw new IllegalArgumentException(
+                s"unsupported grouped alternation '($inner)' in: $alt — " +
+                  "alternatives inside (...) must be single bare " +
+                  "variables; rewrite multi-variable alternatives as " +
+                  "top-level alternation")
+          }
+          i = close + 1
+          out += ChoiceTok(parts, quant())
+        } else {
         i = close + 1
         val q = quant()
         val vars = tokenize(inner).map {
@@ -440,7 +464,9 @@ object MatchRecognize {
                     "(...) support only fixed '{n}' quantifiers")
             }
             (n, vq)
-          case _: GroupTok => fail(inner) // unreachable: nested rejected above
+          // both unreachable: nested '(' and '|' rejected above
+          case _: GroupTok => fail(inner)
+          case _: ChoiceTok => fail(inner)
         }
         q match {
           case Some("+") | Some("+?") =>
@@ -452,6 +478,7 @@ object MatchRecognize {
               case _ => fail(s"(...)$b")
             }
           case Some(other) => fail(s"(...)$other")
+        }
         }
       } else {
         varRe.findPrefixMatchOf(alt.substring(i)) match {
@@ -477,6 +504,19 @@ object MatchRecognize {
       case VarTok(n, q) => mk(n, q)
       case GroupTok(vars, oneOrMore, times) =>
         CepCore.Group(vars.map { case (n, q) => mk(n, q) }, oneOrMore, times)
+      case ChoiceTok(names, q) =>
+        // one ordered-choice step: the merged predicate is the
+        // disjunction, per-row labels resolve to the first accepting
+        // choice; the group's quantifier applies to the step itself
+        // (so `(A|B)+` loops with SQL-default greedy semantics, same
+        // as `A+`)
+        val subs = names.map(n => mk(n, None))
+        val pairs = subs.map(s => (s.name, s.predicate))
+        mk(names.head, q).copy(
+          name = pairs.map(_._1).mkString("|"),
+          predicate = (p: Option[E], e: E) => pairs.exists(_._2(p, e)),
+          needsPrev = subs.exists(_.needsPrev),
+          choices = pairs)
     }
 
   /** Parse the full PATTERN body (alternation of group/var sequences)
@@ -495,35 +535,59 @@ object MatchRecognize {
     raw"(?is)WITHIN\s+INTERVAL\s+'(\d+)'\s+(SECOND|MINUTE|HOUR|DAY)".r
 
   private val skipRe =
-    raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW|TO\s+FIRST\s+[A-Za-z_][A-Za-z_0-9]*|TO\s+LAST\s+[A-Za-z_][A-Za-z_0-9]*)".r
+    raw"(?is)AFTER\s+MATCH\s+SKIP\s+(TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW|TO\s+FIRST\s+[A-Za-z_][A-Za-z_0-9]*|TO\s+LAST\s+[A-Za-z_][A-Za-z_0-9]*|TO\s+[A-Za-z_][A-Za-z_0-9]*)".r
 
   /** AFTER MATCH SKIP clause → strategy; absent clause is the SQL
     * default SKIP PAST LAST ROW. TO FIRST/LAST <var> map to the
-    * skip-to-variable strategies (variable validated against the
-    * pattern by the caller).
+    * skip-to-variable strategies; the bare `SKIP TO <var>` form is the
+    * SQL-standard shorthand for SKIP TO LAST <var> (the reference
+    * Calcite grammar accepts it; StreamExecMatch.java:90 compiles it
+    * to skipToLast). Variables — including SUBSET union names — are
+    * validated and resolved against the pattern by the caller.
     */
   private def parseSkip(body: String): CepCore.SkipStrategy =
     skipRe.findFirstMatchIn(body) match {
       case Some(m) =>
         val g = m.group(1).toUpperCase.replaceAll("\\s+", " ")
-        if (g.startsWith("TO NEXT")) CepCore.SkipToNext
-        else if (g.startsWith("PAST")) CepCore.SkipPastLastEvent
-        else if (g.startsWith("TO FIRST"))
+        if (g == "TO NEXT ROW") CepCore.SkipToNext
+        else if (g == "PAST LAST ROW") CepCore.SkipPastLastEvent
+        else if (g.startsWith("TO FIRST "))
           CepCore.SkipToFirst(g.substring("TO FIRST ".length))
-        else CepCore.SkipToLast(g.substring("TO LAST ".length))
+        else if (g.startsWith("TO LAST "))
+          CepCore.SkipToLast(g.substring("TO LAST ".length))
+        else CepCore.SkipToLast(g.substring("TO ".length))
       case None => CepCore.SkipPastLastEvent
     }
 
-  /** A skip-to-variable strategy must name a pattern variable. */
-  private def validateSkipVar[E](p: CepCore.SequencePattern[E]): Unit = {
+  /** A skip-to-variable target must name a pattern variable or a
+    * SUBSET union variable; a SUBSET target resolves to its member
+    * label set (boundary = first/last row matched to ANY member).
+    * Returns the pattern with the resolved strategy.
+    */
+  private def resolveSkipVar[E](p: CepCore.SequencePattern[E],
+      subsets: Map[String, Seq[String]]): CepCore.SequencePattern[E] = {
     val vars = patternVarNames(p)
-    def check(v: String): Unit = require(vars(v),
-      s"AFTER MATCH SKIP TO FIRST/LAST references undefined pattern " +
-        s"variable $v (pattern variables: ${vars.toSeq.sorted.mkString(", ")})")
+    def members(v: String): Set[String] =
+      if (vars(v)) Set(v)
+      else subsets.get(v) match {
+        case Some(ms) =>
+          ms.foreach(m => require(vars(m),
+            s"SUBSET $v references undefined pattern variable $m"))
+          ms.toSet
+        case None => throw new IllegalArgumentException(
+          s"AFTER MATCH SKIP TO [FIRST|LAST] references undefined " +
+            s"pattern variable $v (pattern variables: " +
+            s"${vars.toSeq.sorted.mkString(", ")}" +
+            (if (subsets.isEmpty) ""
+             else s"; subsets: ${subsets.keys.toSeq.sorted.mkString(", ")}") +
+            ")")
+      }
     p.skip match {
-      case CepCore.SkipToFirst(v) => check(v)
-      case CepCore.SkipToLast(v) => check(v)
-      case _ => ()
+      case CepCore.SkipToFirst(v, _) =>
+        p.copy(skip = CepCore.SkipToFirst(v, members(v)))
+      case CepCore.SkipToLast(v, _) =>
+        p.copy(skip = CepCore.SkipToLast(v, members(v)))
+      case _ => p
     }
   }
 
@@ -625,8 +689,10 @@ object MatchRecognize {
     presentOutsideQuotes(raw"(?is)\bAFTER\s+MATCH\b".r).foreach { at =>
       if (skipRe.findFirstMatchIn(body).isEmpty)
         throw new IllegalArgumentException(
-          "unsupported AFTER MATCH clause (subset is AFTER MATCH SKIP TO " +
-            "NEXT ROW | AFTER MATCH SKIP PAST LAST ROW): " +
+          "unsupported AFTER MATCH clause (accepted forms: AFTER MATCH " +
+            "SKIP TO NEXT ROW | SKIP PAST LAST ROW | SKIP TO FIRST <var> " +
+            "| SKIP TO LAST <var> | SKIP TO <var>, where <var> is a " +
+            "pattern variable or SUBSET union variable): " +
             body.substring(at).linesIterator.next().trim)
     }
   }
@@ -683,8 +749,7 @@ object MatchRecognize {
     val (alts, excluded) = parsePattern(patBody, mkEv)
     val pat = Cep.SequencePattern(alts.head, withinMs, strict = true,
       skip = skip, orElse = alts.tail, excluded = excluded)
-    validateSkipVar(pat)
-    pat
+    resolveSkipVar(pat, parseSubsets(sql))
   }
 
   /** Extract `DEFINE var AS predicate, ...` as (VAR → predicate text).
@@ -847,9 +912,11 @@ object MatchRecognize {
     * included) — the namespace MEASURES variables resolve against.
     */
   private def patternVarNames[E](p: CepCore.SequencePattern[E]): Set[String] = {
+    def names(s: CepCore.Step[E]): Seq[String] =
+      if (s.choices.isEmpty) Seq(s.name) else s.choices.map(_._1)
     def of(e: CepCore.Elem[E]): Seq[String] = e match {
-      case s: CepCore.Step[E] => Seq(s.name)
-      case g: CepCore.Group[E] => g.steps.map(_.name)
+      case s: CepCore.Step[E] => names(s)
+      case g: CepCore.Group[E] => g.steps.flatMap(names)
     }
     (p.elems +: p.orElse).flatten.flatMap(of).toSet
   }
@@ -979,12 +1046,15 @@ object MatchRecognize {
     */
   def detectBatchWithMeasures(events: Dataset[Event], sql: String): DataFrame = {
     requireMode(sql, allRows = false, "detectBatchWithMeasures")
+    // parse once: the same bound pattern feeds the NFA run and the
+    // measure-variable namespace
+    val pat = parse(events.sparkSession, sql)
     withMeasures(
-      detectBatchCore(events, sql).toDF(),
+      Cep.detectBatch(events, pat).toDF(),
       events.toDF(),
       parseMeasures(sql),
       parseSubsets(sql),
-      Some(patternVarNames(parse(events.sparkSession, sql))))
+      Some(patternVarNames(pat)))
   }
 
   /** ALL ROWS PER MATCH output mode (SQL-standard counterpart of the
@@ -997,17 +1067,19 @@ object MatchRecognize {
     */
   def detectBatchAllRows(events: Dataset[Event], sql: String): DataFrame = {
     requireMode(sql, allRows = true, "detectBatchAllRows")
-    val full = allRowsFull(events, sql)
-    val ex = parse(events.sparkSession, sql).excluded
+    val pat = parse(events.sparkSession, sql)
+    val full = allRowsFull(events, pat)
+    val ex = pat.excluded
     // {- -} exclusion: matched rows omitted from ALL ROWS output (they
     // still matched — row_in_match keeps its position in the full match)
     if (ex.isEmpty) full
     else full.filter(!col("classifier").isin(ex.toSeq: _*))
   }
 
-  private def allRowsFull(events: Dataset[Event], sql: String): DataFrame = {
+  private def allRowsFull(events: Dataset[Event],
+      pat: Cep.SequencePattern): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = detectBatchCore(events, sql).toDF()
+    val m = Cep.detectBatch(events, pat).toDF()
     val w = Window
       .partitionBy(col("key"))
       .orderBy(
@@ -1043,8 +1115,8 @@ object MatchRecognize {
     // measures run over the FULL match relation — SQL:2016 exclusion
     // only omits rows from OUTPUT; excluded rows still feed aggregates
     requireMode(sql, allRows = true, "detectBatchAllRowsWithMeasures")
-    val base = allRowsFull(events, sql)
     val parsed = parse(events.sparkSession, sql)
+    val base = allRowsFull(events, parsed)
     val measures = parseMeasures(sql)
     if (measures.isEmpty) return detectBatchAllRows(events, sql)
     val subsets = parseSubsets(sql)
@@ -1257,9 +1329,10 @@ object MatchRecognize {
       mkStep[REv](uname, pred, quant, defined.exists(_.usesPrev))
     }
     val (alts, excluded) = parsePattern(balancedBody(body, "PATTERN"), mkRel)
-    val pattern = CepCore.SequencePattern[REv](alts.head, withinMs,
-      strict = true, skip = skip, orElse = alts.tail, excluded = excluded)
-    validateSkipVar(pattern)
+    val pattern = resolveSkipVar(
+      CepCore.SequencePattern[REv](alts.head, withinMs,
+        strict = true, skip = skip, orElse = alts.tail, excluded = excluded),
+      parseSubsets(sql))
 
     val outSchema = StructType(schema.fields.toSeq ++ Seq(
       org.apache.spark.sql.types.StructField("match_no", LongType, nullable = false),
@@ -1501,15 +1574,31 @@ object MatchRecognize {
           org.apache.spark.sql.types.StructField(ms.alias, dt, nullable = true)
         })
     val partIdx = spec.partIdx
-    // batch-parity numeric coercion: Spark's cast-to-double keeps
-    // numbers and numeric strings, everything else becomes NULL (and
-    // is skipped by SUM/AVG)
+    // batch-parity numeric coercion: Spark's string→double cast is
+    // Java parseDouble (which accepts '1d', '0x1p3', 'Infinity') PLUS
+    // case-insensitive special literals ('inf', 'infinity', 'nan' —
+    // Cast.processFloatingPointSpecialLiterals) that parseDouble alone
+    // rejects; everything else becomes NULL (and is skipped by
+    // SUM/AVG). Verified against spark.sql cast behavior so the
+    // streaming measures agree with the batch detectRelationWithMeasures
+    // path on every string input.
     def numOf(x: Any): java.lang.Double = x match {
       case null => null
       case n: java.lang.Number => n.doubleValue()
       case s: String =>
-        try java.lang.Double.valueOf(s.trim)
-        catch { case _: NumberFormatException => null }
+        val t = s.trim
+        try java.lang.Double.valueOf(t)
+        catch {
+          case _: NumberFormatException =>
+            t.toLowerCase match {
+              case "inf" | "+inf" | "infinity" | "+infinity" =>
+                java.lang.Double.valueOf(Double.PositiveInfinity)
+              case "-inf" | "-infinity" =>
+                java.lang.Double.valueOf(Double.NegativeInfinity)
+              case "nan" => java.lang.Double.valueOf(Double.NaN)
+              case _ => null
+            }
+        }
       case _ => null
     }
     val anyOrd: Ordering[Any] =
@@ -1541,6 +1630,28 @@ object MatchRecognize {
     * WITHIN-bounded partials, idle prev-cell retirement — emission
     * shape is the caller's (all-rows vs one-row-with-measures).
     */
+  /** Diagnostic probe for the streaming NFA's per-key state sizes —
+    * the quantities the 100-TB deployment must keep bounded: live
+    * partial matches (bounded by the WITHIN horizon via per-event and
+    * per-watermark retirement) and the out-of-order row buffer
+    * (bounded by the watermark delay). Off by default (one volatile
+    * read per key per micro-batch when disabled); local-mode only —
+    * on a multi-executor cluster each executor observes its own keys,
+    * so the gate that uses this runs on local[n] where all state
+    * shares the JVM.
+    */
+  object CepStateProbe {
+    @volatile var enabled = false
+    val maxPartials = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxBuffer = new java.util.concurrent.atomic.AtomicLong(0)
+    def reset(): Unit = { maxPartials.set(0); maxBuffer.set(0) }
+    private[streaming] def observe(partials: Int, buffer: Int): Unit =
+      if (enabled) {
+        maxPartials.getAndAccumulate(partials.toLong, math.max(_, _))
+        maxBuffer.getAndAccumulate(buffer.toLong, math.max(_, _))
+      }
+  }
+
   private def relationStreamRun(df: DataFrame, spec: RelSpec,
       watermarkDelay: String, outSchema: StructType)(
       emitMatch: (CepCore.Match[REv], Long) => Seq[Row]): DataFrame = {
@@ -1617,6 +1728,7 @@ object MatchRecognize {
             matchNo += 1
             emitMatch(m, matchNo)
           }
+          CepStateProbe.observe(nfa1.partials.size, young.size)
           if (young.isEmpty && nfa1.partials.isEmpty &&
             (!pattern.needsPrev || state.hasTimedOut))
             // nothing buffered, no live partials, and either PREV is

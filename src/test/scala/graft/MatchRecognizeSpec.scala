@@ -257,8 +257,11 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(bad("((A B)+ C)").contains("("))
     // a '*'- or '?'-quantified group is not expressible as a Group
     assert(bad("(A B)*").contains("*"))
-    // alternation inside a group is outside the subset
-    assert(bad("(A | B) C").contains("|"))
+    // grouped alternation is supported for SINGLE-variable
+    // alternatives only; multi-variable alternatives must be rewritten
+    // as top-level alternation, not silently reassociated
+    assert(bad("(A B | A) C").contains("single bare"))
+    assert(bad("(A | B B) C").contains("single bare"))
     // a range-quantified group sub-step breaks the loop back-edge
     assert(bad("(A{1,2} B)+").contains("{1,2}"))
   }
@@ -347,6 +350,62 @@ class MatchRecognizeSpec extends AnyFunSuite {
       ev(3, 2, "error"), ev(4, 3, "view"),
       ev(5, 4, "error"), ev(6, 5, "view"))
     assert(run(sql, events) == Seq(Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("grouped alternation (E|V)+: mixed iterations, per-row choice labels") {
+    // each loop iteration may take a DIFFERENT variable, and every
+    // consumed row is labeled with the choice that matched it
+    val sql = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN ((E|V)+ P)
+      DEFINE E AS event_type = 'error', V AS event_type = 'view',
+             P AS event_type = 'purchase')"""
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 1, "view"), ev(3, 2, "error"),
+      ev(4, 3, "purchase"), ev(5, 4, "view"), ev(6, 5, "purchase"))
+    val p = MatchRecognize.parse(spark, sql)
+    val (m, st) = Cep.advance(p, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    val all = m ++ Cep.flush(p, 1L, st)
+    assert(all.map(_.event_ids) == Seq(
+      Seq(1L, 2L, 3L, 4L), Seq(2L, 3L, 4L), Seq(3L, 4L), Seq(5L, 6L)))
+    assert(all.map(_.step_names.mkString("")) ==
+      Seq("EVEP", "VEP", "EP", "VP"))
+    // a quantified choice group unrolls into that many choice steps
+    val twice = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN ((E|V){2})
+      DEFINE E AS event_type = 'error', V AS event_type = 'view')"""
+    val p2 = MatchRecognize.parse(spark, twice)
+    val (m2, st2) = Cep.advance(p2, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    val all2 = m2 ++ Cep.flush(p2, 1L, st2)
+    assert(all2.map(_.event_ids) == Seq(Seq(1L, 2L)))
+    assert(all2.head.step_names == Seq("E", "V"))
+  }
+
+  test("SUBSET union variable as a skip target") {
+    // SKIP TO LAST U with U = (E, V): boundary is the last row matched
+    // to ANY member — stride 2 over a mixed error/view run
+    val sql = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO LAST U
+      PATTERN ((E|V){3})
+      SUBSET U = (E, V)
+      DEFINE E AS event_type = 'error', V AS event_type = 'view')"""
+    val events = Seq(ev(1, 0, "error"), ev(2, 1, "view"), ev(3, 2, "view"),
+      ev(4, 3, "error"), ev(5, 4, "view"), ev(6, 5, "purchase"))
+    assert(run(sql, events) == Seq(Seq(1L, 2L, 3L), Seq(3L, 4L, 5L)))
+    // an undefined subset member still throws at resolution
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, """MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        AFTER MATCH SKIP TO LAST U
+        PATTERN (E V)
+        SUBSET U = (E, Z)
+        DEFINE E AS event_type = 'error', V AS event_type = 'view')""")
+    }
+    assert(e.getMessage.contains("undefined pattern variable Z"))
   }
 
   test("quote-aware clause extraction: literals with parens and keywords") {
@@ -603,9 +662,19 @@ class MatchRecognizeSpec extends AnyFunSuite {
     // an AFTER MATCH form outside the subset must NOT fall back to
     // the default skip strategy
     val e2 = intercept[IllegalArgumentException] {
-      MatchRecognize.parse(spark, sql("AFTER MATCH SKIP TO NEXT MATCH"))
+      MatchRecognize.parse(spark, sql("AFTER MATCH SKIP 2 ROWS"))
     }
     assert(e2.getMessage.contains("AFTER MATCH"))
+    // 'SKIP TO NEXT MATCH' parses the bare skip-to-variable prefix
+    // 'TO NEXT'; the trailing 'MATCH' is stray text — still a loud
+    // rejection, never a silent fallback
+    val e2b = intercept[IllegalArgumentException] {
+      MatchRecognize.parse(spark, sql("AFTER MATCH SKIP TO NEXT MATCH"))
+    }
+    assert(e2b.getMessage.contains("unrecognized text"))
+    // the bare SQL-standard shorthand SKIP TO <var> = SKIP TO LAST <var>
+    assert(MatchRecognize.parse(spark, sql("AFTER MATCH SKIP TO B")).skip ==
+      graft.streaming.CepCore.SkipToLast("B", Set("B")))
     // the supported forms still parse
     MatchRecognize.parse(spark, sql("WITHIN INTERVAL '30' MINUTE"))
     MatchRecognize.parse(spark, sql("AFTER MATCH SKIP TO NEXT ROW"))

@@ -60,22 +60,16 @@ class ZOrderSpec extends AnyFunSuite {
       datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01")))
         .cast("long").as("d_day"),
       col("l_partkey").as("pk"))
-    val bounds = li.agg(
-      min(col("d_day")).as("dmin"), max(col("d_day")).as("dmax"),
-      min(col("pk")).as("pmin"), max(col("pk")).as("pmax"))
-    val z = li.crossJoin(broadcast(bounds))
-      .withColumn("z", ZOrder.interleave(
-        ZOrder.quantize(col("d_day"), col("dmin"), col("dmax"), 8),
-        ZOrder.quantize(col("pk"), col("pmin"), col("pmax"), 8), 8))
-      .select(col("d_day"), col("pk"), col("z"))
     val out = "/tmp/graft_zorder_write_spec"
-    // the production layout: range-partition on the Morton value, sort
-    // within partitions, one parquet file per partition — each file's
-    // footer min/max stays narrow on BOTH columns
-    z.repartitionByRange(32, col("z"))
-      .sortWithinPartitions(col("z"))
-      .write.mode("overwrite").parquet(out)
-    val perFile = spark.read.parquet(out)
+    // the public operator surface: bounds pass + Morton value +
+    // range-partition + in-partition sort, one parquet file per
+    // partition — each file's footer min/max stays narrow on BOTH
+    // columns
+    ZOrder.writeZOrdered(li, "d_day", "pk", out, bits = 8, numFiles = 32)
+    val written = spark.read.parquet(out)
+    // the layout column is internal: the written schema is the input's
+    assert(written.columns.sorted.toSeq == Seq("d_day", "pk"))
+    val perFile = written
       .groupBy(input_file_name().as("f"))
       .agg(
         (max(col("d_day")) - min(col("d_day"))).as("day_spread"),
