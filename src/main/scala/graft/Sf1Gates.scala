@@ -192,20 +192,32 @@ object Sf1Gates {
       val (asg, k, n) = DedupQueries.semanticAssign(spark, dir)
       val expectedK = DedupQueries.semanticK(n)
       val agg = asg.groupBy(col("cluster_id")).count()
-        .agg(max(col("count")).as("mx"), count(lit(1)).as("nc"))
+        .agg(max(col("count")).as("mx"), count(lit(1)).as("nc"),
+          sum(col("count") * col("count")).as("work"))
         .collect().head
       val maxSize = agg.getLong(0)
       val nClusters = agg.getLong(1)
-      // expected cluster = N / k; allow 8x for assignment skew (AQE
-      // skew-split absorbs hot clusters in the self-join regardless)
-      val bound = 8L * math.max(DedupQueries.SemanticTargetClusterRows,
-        (n + k - 1) / k)
+      val pairWork = agg.getLong(2)
+      val avg = math.max(DedupQueries.SemanticTargetClusterRows, (n + k - 1) / k)
+      // Two bounds. (1) The COST model — what actually limits 100 TB:
+      // total within-cluster pairwise work Σ size² must stay within a
+      // constant factor of the balanced ideal N·avg (a fixed k would
+      // fail this at 100× data by 100×; derived k keeps it flat).
+      // (2) A max-cluster tail bound: random-seed Voronoi cells are
+      // heavy-tailed (max/avg grows ~log k, observed ~10x at k=40), so
+      // the per-cluster cap is 16x avg — loose enough for the tail,
+      // tight enough to catch degenerate collapse (a half-corpus
+      // cluster is ~20x at this probe). AQE skew-split absorbs the hot
+      // cluster inside the self-join either way.
+      val workBound = 8L * n * avg
+      val maxBound = 16L * avg
       Gate(
         "semantic_cluster_bound_sf1",
         k == expectedK && k > DedupQueries.SemanticMinK &&
-          maxSize <= bound && nClusters <= k,
+          pairWork <= workBound && maxSize <= maxBound && nClusters <= k,
         s"n=$n k=$k (floor=${DedupQueries.SemanticMinK}, derived) " +
-          s"clusters=$nClusters maxCluster=$maxSize bound=$bound"
+          s"clusters=$nClusters maxCluster=$maxSize (<= $maxBound) " +
+          s"pairWork=$pairWork (<= $workBound, balanced=${n * avg})"
       )
     }
 
