@@ -325,6 +325,56 @@ class CepGenericSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("grouped alternation (A|B)+ runs generically and streaming equals batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // ordered-choice loop over an arbitrary relation: runs of ups-or-
+    // flats closed by a drop, each row labeled with the choice taken
+    val sql = """MATCH_RECOGNIZE (
+        PARTITION BY sym
+        ORDER BY ts
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((UP|FLAT)+ DN)
+        DEFINE UP AS price > PREV(price),
+               FLAT AS price = PREV(price),
+               DN AS price < PREV(price))"""
+    val rows = Seq(
+      ("acme", t(1), 1L, 10.0), ("acme", t(2), 2L, 12.0),
+      ("acme", t(3), 3L, 12.0), ("acme", t(4), 4L, 13.0),
+      ("acme", t(5), 5L, 9.0), ("acme", t(6), 6L, 11.0),
+      ("acme", t(7), 7L, 8.0))
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("sym"), r.getAs[Long]("seqno"),
+        r.getAs[Long]("match_no"), r.getAs[Long]("row_in_match"),
+        r.getAs[String]("classifier"))
+    val batch = MatchRecognize
+      .detectRelation(rows.toDF("sym", "ts", "seqno", "price"), sql)
+      .collect().map(keyOf).toSet
+    // per-row choice labels: the first match is UP FLAT UP DN
+    assert(batch.map(x => (x._2, x._5)) ==
+      Set((2L, "UP"), (3L, "FLAT"), (4L, "UP"), (5L, "DN"), (6L, "UP"), (7L, "DN")))
+    val in = MemoryStream[(String, java.sql.Timestamp, Long, Double)]
+    val q = MatchRecognize
+      .detectRelationStream(in.toDS().toDF("sym", "ts", "seqno", "price"),
+        sql, "30 seconds")
+      .writeStream.format("memory").queryName("rel_stream_choice")
+      .outputMode("append").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      in.addData(("zzz", t(60), 0L, 0.0))
+      q.processAllAvailable()
+      in.addData(("zzz", t(120), 0L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT * FROM rel_stream_choice").collect().map(keyOf).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("detectRelationStreamWithMeasures equals batch measures on out-of-order input") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
