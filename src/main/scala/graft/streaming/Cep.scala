@@ -118,6 +118,33 @@ object Cep {
   def Group(steps: Seq[Step], oneOrMore: Boolean = false, times: Int = 1): Group =
     CepCore.Group[Event](steps, oneOrMore, times)
 
+  /** Grouped alternation as ONE ordered-choice step — the Scala-API
+    * form of SQL `(A|B)` with an optional quantifier (reference: the
+    * Calcite row-pattern grammar's grouped alternation). Each consumed
+    * row is labeled with the FIRST choice whose predicate accepts, so
+    * a quantified choice (`oneOrMore`, `times`) may take a different
+    * variable on every iteration — unlike `orElse` branch alternation,
+    * which fixes one alternative per match.
+    */
+  def Choice(
+      choices: Seq[(String, Event => Boolean)],
+      times: Int = 1,
+      optional: Boolean = false,
+      oneOrMore: Boolean = false,
+      greedy: Boolean = false,
+      timesMax: Int = 0
+  ): Step = {
+    require(choices.nonEmpty, "a choice step needs at least one choice")
+    val lifted = choices.map { case (n, p) =>
+      (n, (_: Option[Event], e: Event) => p(e))
+    }
+    CepCore.Step[Event](
+      choices.map(_._1).mkString("|"),
+      (prev, e) => lifted.exists(_._2(prev, e)),
+      times, optional, oneOrMore, greedy, timesMax,
+      choices = lifted)
+  }
+
   /** A sequence pattern: elements (steps or groups) matched in order;
     * `strict` demands the very next event match (Flink `next`),
     * otherwise non-matching events in between are skipped

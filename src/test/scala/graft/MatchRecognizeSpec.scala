@@ -339,6 +339,34 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(viaSql == Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(3L, 4L, 5L)))
   }
 
+  test("SQL grouped alternation (E|V)+ equals the Scala Choice API") {
+    val sql = """MATCH_RECOGNIZE (
+      PARTITION BY user_id ORDER BY ts
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN ((E|V)+ P)
+      DEFINE E AS event_type = 'error', V AS event_type = 'view',
+             P AS event_type = 'purchase')"""
+    val events = Seq(
+      ev(1, 0, "error"), ev(2, 1, "view"), ev(3, 2, "error"),
+      ev(4, 3, "purchase"))
+    val viaSql = run(sql, events)
+    val pattern = Cep.SequencePattern(
+      Seq(
+        Cep.Choice(Seq(
+          "E" -> ((e: Event) => e.event_type == "error"),
+          "V" -> ((e: Event) => e.event_type == "view")),
+          oneOrMore = true, greedy = true),
+        Cep.Step("P", _.event_type == "purchase")),
+      withinMs = Long.MaxValue, strict = true, skip = Cep.SkipToNext)
+    val (m, st) = Cep.advance(pattern, 1L, events, Cep.NfaState(Seq.empty, 0L))
+    val viaApi = (m ++ Cep.flush(pattern, 1L, st)).map(_.event_ids)
+    assert(viaSql == viaApi)
+    assert(viaSql == Seq(Seq(1L, 2L, 3L, 4L), Seq(2L, 3L, 4L), Seq(3L, 4L)))
+    // per-row labels follow the choice taken, in both surfaces
+    assert((m ++ Cep.flush(pattern, 1L, st)).head.step_names ==
+      Seq("E", "V", "E", "P"))
+  }
+
   test("SQL PATTERN group with times (A B){2}") {
     val sql = """MATCH_RECOGNIZE (
       PARTITION BY user_id ORDER BY ts
