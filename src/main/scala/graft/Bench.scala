@@ -55,7 +55,14 @@ object Bench {
     // round-11 additions: the 4-subquery decorrelation census and the
     // ordered-choice NFA loop over the full events table
     "q_flagship_ds_exists_census",
-    "q_cep_sql_group_alt"
+    "q_cep_sql_group_alt",
+    // round-11 additions: the ~n/stride chunk fanout over documents,
+    // the PQ encode+ADC pipeline, the multi-distinct profiler Expand,
+    // and the SCD2 history build
+    "q_chunk_overlap",
+    "q_ann_pq",
+    "q_profile_table",
+    "q_changelog_scd2"
   )
 
   def main(args: Array[String]): Unit = {

@@ -33,6 +33,7 @@ object Sf1Gates {
       "ann_ivf_recall_sf1" -> (() => annIvfRecall(spark, dir)),
       "ann_planted_recall_sf1" -> (() => plantedRecall(spark, dir)),
       "ann_sq8_planted_recall_sf1" -> (() => sq8PlantedRecall(spark, dir)),
+      "pq_planted_codes_sf1" -> (() => pqPlantedCodes(spark, dir)),
       "fuzzy_decon_sanity_sf1" -> (() => fuzzyDeconSanity(spark, dir)),
       "aqe_skew_split_sf1" -> (() => skewSplit(spark, dir)),
       "semantic_cluster_bound_sf1" -> (() => semanticClusterBound(spark, dir)),
@@ -153,6 +154,39 @@ object Sf1Gates {
         "ann_sq8_planted_recall_sf1",
         sq8 >= need && ivfSq8 >= need,
         s"planted=${expected.size} sq8=$sq8 ivf_sq8=$ivfSq8 (>= $need)"
+      )
+    }
+
+  /** PQ at sf1 volume: an ε-rotated planted neighbor must land on the
+    * SAME product-quantization codes as its query for ≥90% of plants —
+    * the property PQ compression guarantees (near-identical vectors
+    * collapse to one code word per subspace) and the reason the ADC
+    * distance between plant and query is the minimum any candidate can
+    * achieve. Rank-based recall would be hostage to code-collision
+    * tie-breaks on a large corpus; the code-identity property is the
+    * scale-stable assertion.
+    */
+  private def pqPlantedCodes(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      val q = SparkEntry.queries("q_embed_quantize_pq")(spark, dir)
+        .select("vec_id", "c0", "c1", "c2", "c3")
+        .filter(col("vec_id") < ScaleUp.PlantedQueries ||
+          (col("vec_id") >= ScaleUp.PlantOffset &&
+            col("vec_id") < ScaleUp.PlantOffset + ScaleUp.PlantedQueries))
+        .collect()
+        .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+        .toMap
+      val matches = (0L until ScaleUp.PlantedQueries.toLong).count { i =>
+        (q.get(i), q.get(i + ScaleUp.PlantOffset)) match {
+          case (Some(a), Some(b)) => a == b
+          case _ => false
+        }
+      }
+      val need = math.ceil(ScaleUp.PlantedQueries * 0.9).toInt
+      Gate(
+        "pq_planted_codes_sf1",
+        matches >= need,
+        s"planted=${ScaleUp.PlantedQueries} codeMatch=$matches (>= $need)"
       )
     }
 

@@ -44,6 +44,46 @@ object ChangelogQueries extends QueryModule {
         FROM ranked WHERE rn = 1 AND chg != '-D'
       """)
     ),
+    // SCD Type-2 dimension build: the same synthetic changelog, but
+    // instead of collapsing to latest state (normalize), keep every
+    // version with its validity interval — deletes close the previous
+    // version's interval and emit nothing. The standard CDC→warehouse
+    // materialization of the reference's changelog semantics.
+    QueryDef(
+      "q_changelog_scd2",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val changelog = t.events.select(
+          col("user_id"),
+          col("event_type"),
+          col("event_id"),
+          col("value"),
+          when(col("event_id") % 10 === 9, lit(ChangelogOps.Delete))
+            .otherwise(lit(ChangelogOps.UpdateAfter))
+            .as(ChangelogOps.ChangeCol)
+        )
+        ChangelogOps
+          .scd2(changelog, Seq("user_id", "event_type"), col("event_id"))
+          .select(
+            col("user_id"), col("event_type"), col("event_id"), col("value"),
+            col("effective_from"), col("effective_to"), col("is_current"))
+      },
+      Some("""
+        WITH changelog AS (
+          SELECT user_id, event_type, event_id, value,
+                 CASE WHEN event_id % 10 = 9 THEN '-D' ELSE '+U' END AS chg
+          FROM events
+        ), seq AS (
+          SELECT *, lead(event_id) OVER (PARTITION BY user_id, event_type
+                                         ORDER BY event_id) AS effective_to
+          FROM changelog
+        )
+        SELECT user_id, event_type, event_id, value,
+               event_id AS effective_from, effective_to,
+               effective_to IS NULL AS is_current
+        FROM seq WHERE chg != '-D'
+      """)
+    ),
     // CUMULATE window TVF (reference StreamExecWindowAggregate with
     // cumulative slices): expanding windows from a 1h base, growing in
     // 20-min steps — each event lands in every cumulation step whose

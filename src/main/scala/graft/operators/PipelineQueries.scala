@@ -91,6 +91,92 @@ object PipelineQueries extends QueryModule {
       .dropDuplicatesWithinWatermark("dedup_key")
 
   def defs: Seq[QueryDef] = Seq(
+    // Context-window chunking: split every document into overlapping
+    // fixed-size token windows (size 8, stride 6 — the RAG/embedding
+    // prep shape; real pipelines use 512/384 with a subword tokenizer,
+    // the windowing math is identical). Scan-local explode — rows fan
+    // out ~n_tokens/stride per doc with no shuffle, so the operator is
+    // embarrassingly parallel at any corpus size; the chunk hash is
+    // the dedup/join key downstream stages use.
+    QueryDef(
+      "q_chunk_overlap",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val C = 8 // chunk size (tokens)
+        val S = 6 // stride (tokens) -> overlap C-S=2
+        val words = split(col("text"), " ")
+        t.documents
+          .select(col("doc_id"), words.as("w"), size(words).as("n"))
+          .withColumn(
+            "k",
+            explode(sequence(lit(0), ((col("n") - 1) / lit(S)).cast("int"))))
+          .select(
+            col("doc_id"),
+            col("k").as("chunk_idx"),
+            (col("k") * S).as("chunk_start"),
+            size(slice(col("w"), col("k") * S + 1, lit(C)))
+              .as("n_chunk_tokens"),
+            md5(array_join(slice(col("w"), col("k") * S + 1, lit(C)), " "))
+              .as("chunk_hash"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 len(string_split(text, ' ')) AS n
+          FROM documents
+        ), ks AS (
+          SELECT doc_id, w, n,
+                 unnest(generate_series(0, CAST((n - 1) // 6 AS BIGINT))) AS k
+          FROM d
+        )
+        SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+               CAST(k * 6 AS INT) AS chunk_start,
+               CAST(len(w[k*6+1 : least(k*6+8, n)]) AS INT) AS n_chunk_tokens,
+               md5(array_to_string(w[k*6+1 : least(k*6+8, n)], ' ')) AS chunk_hash
+        FROM ks
+      """)
+    ),
+    // Table profiler (the data-quality census every ingest runs before
+    // training): per-column row count, null count, exact distinct
+    // count, and min/max — one pass over the table. The distinct
+    // counts ride Spark's Expand (one shuffled pass for all columns,
+    // map-side partials); min/max are computed on the native type and
+    // cast to string only for the uniform report schema, so numeric
+    // columns profile numerically, not lexicographically. The 100 TB
+    // variant swaps count_distinct for the HLL sketch already
+    // registered as q_agg_approx_distinct.
+    QueryDef(
+      "q_profile_table",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val cols = Seq("doc_id", "lang", "source", "n_chars")
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+            count_distinct(col(c)).as(s"${c}__distinct"),
+            min(col(c)).cast("string").as(s"${c}__min"),
+            max(col(c)).cast("string").as(s"${c}__max"))
+        }
+        val one = t.documents.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = cols
+          .map(c => s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+          .mkString(", ")
+        one.select(
+          col("n_rows"),
+          expr(s"stack(${cols.size}, $stackArgs) AS " +
+            "(column_name, n_null, n_distinct, min_value, max_value)"))
+      },
+      Some(Seq("doc_id", "lang", "source", "n_chars").map { c =>
+        s"""
+        SELECT count(*) AS n_rows, '$c' AS column_name,
+               CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               count(DISTINCT $c) AS n_distinct,
+               CAST(min($c) AS VARCHAR) AS min_value,
+               CAST(max($c) AS VARCHAR) AS max_value
+        FROM documents"""
+      }.mkString(" UNION ALL "))
+    ),
     // Deterministic Bernoulli sampling: keep ~20% of documents by a
     // hash of the key. Scan-local (no shuffle, no state, no rand()
     // nondeterminism across retries) — the only sampling shape that is

@@ -368,6 +368,146 @@ object SimilarityQueries extends QueryModule {
       .filter(col("rnk") <= k)
   }
 
+  /** Product quantization (the Faiss PQ/ADC layout): the vector is cut
+    * into `m` subvectors and each subvector is replaced by the id of
+    * its nearest codeword in a per-subspace codebook — dim doubles
+    * become m small ints (64×8B → 4×1B here), the 128× compression
+    * that makes billion-vector indexes fit in memory. The codebook is
+    * the subvectors of `numCodes` deterministic evenly-spaced seed
+    * rows (the same seed rule as the IVF/SemDeDup codebooks, no Lloyd
+    * refinement) — a deliberate trade: real deployments k-means-train
+    * the codebook, but the fixed-seed variant makes every code and
+    * every ADC distance EXACTLY reproducible, so unlike trained PQ
+    * this one carries a real DuckDB hash oracle.
+    *
+    * All distances are per-subspace squared euclidean rounded to 1e-6
+    * with ties to the lower code id, and cross-subspace sums happen in
+    * fixed subspace order — bit-identical across engines and
+    * partitionings.
+    */
+  final case class PqModel(codebook: DataFrame, m: Int, subDim: Int)
+
+  /** Build the per-subspace codebook: (sub_id, code_id, cw, cwn2).
+    * k×m subvector rows — broadcast-size, independent of corpus size.
+    */
+  def pqCodebook(emb: DataFrame, m: Int = 4, numCodes: Int = 16): PqModel = {
+    graft.functions.SketchExpressions.register(emb.sparkSession)
+    val s = emb.sparkSession
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    val step = math.max(1L, n / numCodes)
+    // numCodes×dim doubles to the driver — the same size-independent
+    // codebook footprint the IVF index keeps
+    val seedRows = e
+      .filter(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id"))
+      .limit(numCodes)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Double](0))
+    val dim = seedRows.head.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    import s.implicits._
+    val cb = seedRows.zipWithIndex.toSeq
+      .flatMap { case (v, i) =>
+        (0 until m).map(j => (j, i, v.slice(j * subDim, (j + 1) * subDim)))
+      }
+      .toDF("sub_id", "code_id", "cw")
+      .withColumn("cwn2", dot(col("cw"), col("cw")))
+    PqModel(cb, m, subDim)
+  }
+
+  /** Encode every vector: per-subspace argmin against the broadcast
+    * codebook. One narrow pass over the corpus (rows fan out ×m, join
+    * is a broadcast hash on sub_id) — no shuffle of the corpus itself
+    * beyond the per-(vec,sub) argmin window, which repartitions on
+    * vec_id exactly once.
+    */
+  def pqEncode(emb: DataFrame, model: PqModel): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val subs = e
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(model.m - 1)),
+          j => slice(col("v"), j * model.subDim + 1, lit(model.subDim))))
+          .as(Seq("sub_id", "sv")))
+      .withColumn("svn2", dot(col("sv"), col("sv")))
+    val w = Window.partitionBy(col("vec_id"), col("sub_id"))
+      .orderBy(col("d2"), col("code_id"))
+    subs
+      .join(broadcast(model.codebook), "sub_id")
+      .withColumn("d2",
+        round(col("svn2") - lit(2.0) * dot(col("sv"), col("cw")) + col("cwn2"), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("sub_id"), col("code_id"), col("d2"))
+  }
+
+  /** Code digest + reconstruction error per vector — the oracle-facing
+    * shape: codes pivoted to fixed columns, the cross-subspace error
+    * summed in fixed subspace order (no order-dependent double sums).
+    */
+  def pqQuantize(emb: DataFrame, m: Int = 4, numCodes: Int = 16): DataFrame = {
+    val model = pqCodebook(emb, m, numCodes)
+    val codes = pqEncode(emb, model)
+    def at(j: Int, c: String): Column = max(when(col("sub_id") === j, col(c)))
+    codes
+      .groupBy(col("vec_id"))
+      .agg(
+        at(0, "code_id").cast("int").as("c0"),
+        at(1, "code_id").cast("int").as("c1"),
+        at(2, "code_id").cast("int").as("c2"),
+        at(3, "code_id").cast("int").as("c3"),
+        round(at(0, "d2") + at(1, "d2") + at(2, "d2") + at(3, "d2"), 6)
+          .as("recon_dist2"))
+  }
+
+  /** ADC search (asymmetric distance computation): the query stays
+    * full-precision; per query a lookup table of m×k per-subspace
+    * distances is built against the codebook, and a candidate's
+    * distance is the fixed-order sum of LUT entries its codes select.
+    * The scale shape is the whole point: the corpus-side scan touches
+    * ONLY the m-byte codes (equi-join on (sub_id, code_id) against a
+    * broadcast LUT of |Q|·m·k rows), floats never travel.
+    */
+  def pqTopK(
+      emb: DataFrame,
+      nQueries: Int,
+      k: Int,
+      m: Int = 4,
+      numCodes: Int = 16
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val model = pqCodebook(emb, m, numCodes)
+    val codes = pqEncode(emb, model)
+      .select(col("vec_id").as("cand_id"), col("sub_id"), col("code_id"))
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val lut = e
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("v"), j * model.subDim + 1, lit(model.subDim))))
+          .as(Seq("sub_id", "qsv")))
+      .withColumn("qsvn2", dot(col("qsv"), col("qsv")))
+      .join(broadcast(model.codebook), "sub_id")
+      .withColumn("qd2",
+        round(col("qsvn2") - lit(2.0) * dot(col("qsv"), col("cw")) + col("cwn2"), 6))
+      .select(col("q_id"), col("sub_id"), col("code_id"), col("qd2"))
+    def at(j: Int): Column = max(when(col("sub_id") === j, col("qd2")))
+    val scored = codes
+      .join(broadcast(lut), Seq("sub_id", "code_id"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(round(at(0) + at(1) + at(2) + at(3), 6).as("adc_dist2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist2"), col("cand_id"))
+    scored
+      .select(col("q_id"), col("cand_id"), col("adc_dist2"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_brute_force",
@@ -484,6 +624,103 @@ object SimilarityQueries extends QueryModule {
           FROM scored)
         WHERE rnk <= 5
       """)
+    ),
+    // Product quantization with the deterministic seed codebook: every
+    // code and the per-vector reconstruction error are engine-exact
+    // (rounded per-subspace distances, fixed-order cross-subspace sum),
+    // so PQ gets a real hash oracle — the compressed-corpus dual of
+    // q_embed_quantize_sq8.
+    QueryDef(
+      "q_embed_quantize_pq",
+      (s, dir) => pqQuantize(tables(s, dir).embeddings),
+      Some(pqQuantizeOracle)
+    ),
+    // ADC search over the PQ codes: LUT per query against the m-byte
+    // codes. Exactly oracle-checkable for the same reason.
+    QueryDef(
+      "q_ann_pq",
+      (s, dir) => pqTopK(tables(s, dir).embeddings, 10, 5),
+      Some(pqTopKOracle)
     )
   )
+
+  /** Shared oracle CTE prefix: the seed codebook (sub_id, code_id, c,
+    * cn2) and the per-(vec, subspace) argmin assignment — the SQL
+    * mirror of pqCodebook + pqEncode (m=4, k=16, subDim=16).
+    */
+  private val pqAsgCtes = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM e),
+    seeds AS (
+      SELECT vec_id, v FROM (
+        SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM e
+        WHERE vec_id % (SELECT greatest(1, n // 16) FROM nn) = 0
+      ) WHERE rn <= 16
+    ),
+    cw AS (
+      SELECT sub.j AS sub_id,
+             row_number() OVER (PARTITION BY sub.j ORDER BY vec_id) - 1 AS code_id,
+             v[sub.j*16+1 : sub.j*16+16] AS c
+      FROM seeds CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) sub
+    ),
+    cw2 AS (SELECT sub_id, code_id, c,
+                   list_inner_product(c, c) AS cn2 FROM cw),
+    subs AS (
+      SELECT e.vec_id, sub.j AS sub_id, v[sub.j*16+1 : sub.j*16+16] AS sv
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) sub
+    ),
+    subs2 AS (SELECT vec_id, sub_id, sv,
+                     list_inner_product(sv, sv) AS svn2 FROM subs),
+    asg AS (
+      SELECT vec_id, sub_id, code_id, d2 FROM (
+        SELECT s.vec_id, s.sub_id, c.code_id,
+               round(s.svn2 - 2.0*list_inner_product(s.sv, c.c) + c.cn2, 6) AS d2,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+                 ORDER BY round(s.svn2 - 2.0*list_inner_product(s.sv, c.c)
+                                + c.cn2, 6), c.code_id) AS rn
+        FROM subs2 s JOIN cw2 c ON s.sub_id = c.sub_id
+      ) WHERE rn = 1
+    )"""
+
+  private val pqQuantizeOracle = s"""
+    $pqAsgCtes
+    SELECT vec_id,
+           CAST(max(CASE WHEN sub_id = 0 THEN code_id END) AS INT) AS c0,
+           CAST(max(CASE WHEN sub_id = 1 THEN code_id END) AS INT) AS c1,
+           CAST(max(CASE WHEN sub_id = 2 THEN code_id END) AS INT) AS c2,
+           CAST(max(CASE WHEN sub_id = 3 THEN code_id END) AS INT) AS c3,
+           round(max(CASE WHEN sub_id = 0 THEN d2 END)
+               + max(CASE WHEN sub_id = 1 THEN d2 END)
+               + max(CASE WHEN sub_id = 2 THEN d2 END)
+               + max(CASE WHEN sub_id = 3 THEN d2 END), 6) AS recon_dist2
+    FROM asg GROUP BY vec_id
+  """
+
+  private val pqTopKOracle = s"""
+    $pqAsgCtes,
+    lut AS (
+      SELECT q.vec_id AS q_id, s.sub_id, c.code_id,
+             round(s.svn2 - 2.0*list_inner_product(s.sv, c.c) + c.cn2, 6) AS qd2
+      FROM subs2 s
+      JOIN e q ON q.vec_id = s.vec_id AND q.vec_id < 10
+      JOIN cw2 c ON s.sub_id = c.sub_id
+    ),
+    scored AS (
+      SELECT l.q_id, a.vec_id AS cand_id,
+             round(max(CASE WHEN a.sub_id = 0 THEN l.qd2 END)
+                 + max(CASE WHEN a.sub_id = 1 THEN l.qd2 END)
+                 + max(CASE WHEN a.sub_id = 2 THEN l.qd2 END)
+                 + max(CASE WHEN a.sub_id = 3 THEN l.qd2 END), 6) AS adc_dist2
+      FROM asg a
+      JOIN lut l ON l.sub_id = a.sub_id AND l.code_id = a.code_id
+      WHERE l.q_id != a.vec_id
+      GROUP BY l.q_id, a.vec_id
+    )
+    SELECT q_id, cand_id, adc_dist2, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY adc_dist2, cand_id) AS INT) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+  """
 }

@@ -39,6 +39,36 @@ object ChangelogOps {
   def dropUpdateBefore(changelog: DataFrame): DataFrame =
     changelog.filter(col(ChangeCol) =!= UpdateBefore)
 
+  /** SCD Type-2 dimension build: turn a keyed changelog into validity
+    * intervals — one row per state version carrying
+    * [effective_from, effective_to) in the changelog's own ordering
+    * domain, effective_to NULL while the version is still open, and an
+    * is_current flag. A -D closes the preceding version's interval but
+    * emits no row of its own; -U rows carry no new state and are
+    * dropped (same rule as normalize). This is the warehouse-side dual
+    * of ChangelogNormalize: normalize keeps only the latest state,
+    * scd2 keeps the full history queryable by as-of predicates
+    * (`WHERE from <= v AND (to IS NULL OR v < to)`).
+    *
+    * Scale shape: one shuffle on pk for the lead() window — the same
+    * partitioning a temporal-join probe of the result would use.
+    *
+    * `ordering` must be a single unique per-key ordering column
+    * (version, sequence number, event time); its value is what lands
+    * in effective_from/effective_to.
+    */
+  def scd2(changelog: DataFrame, pk: Seq[String], ordering: Column): DataFrame = {
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(ordering)
+    changelog
+      .filter(col(ChangeCol) =!= UpdateBefore)
+      .withColumn("__eff_to", lead(ordering, 1).over(w))
+      .filter(col(ChangeCol) =!= Delete)
+      .withColumn("effective_from", ordering)
+      .withColumnRenamed("__eff_to", "effective_to")
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop(ChangeCol)
+  }
+
   /** Upsert sink for a streaming changelog: per micro-batch, merge the
     * batch into the keyed parquet target (read current → union batch →
     * normalize → rewrite). foreachBatch is the documented Spark
