@@ -62,7 +62,8 @@ object Bench {
     "q_chunk_overlap",
     "q_ann_pq",
     "q_profile_table",
-    "q_changelog_scd2"
+    "q_changelog_scd2",
+    "q_ann_ivf_pq"
   )
 
   def main(args: Array[String]): Unit = {

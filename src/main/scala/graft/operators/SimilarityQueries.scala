@@ -508,6 +508,95 @@ object SimilarityQueries extends QueryModule {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF-PQ composite (the Faiss IVFPQ layout, the index family behind
+    * billion-scale ANN): a coarse quantizer routes each vector to one
+    * of `nLists` cells, and inside the cells only the m-byte PQ codes
+    * are stored; a query probes its `nProbe` nearest cells and scores
+    * candidates by ADC against a per-query LUT. The scan payload of a
+    * probe is (nProbe/nLists)·N·m bytes — the composite of the two
+    * reductions that make 100 TB vector search tractable.
+    *
+    * Both quantizers here use the deterministic evenly-spaced seed rule
+    * (coarse centroids = the full seed vectors whose subvectors are the
+    * PQ codebook), every argmin rounds to 1e-6 with id tie-breaks, and
+    * cross-subspace sums run in fixed order — so unlike the float
+    * IVF/IVF-SQ8 paths (Lloyd-refined, recall-gated) this composite is
+    * EXACTLY oracle-checkable end to end.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      nQueries: Int,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      numCodes: Int = 16
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nLists == numCodes, "coarse centroids reuse the PQ seed rows")
+    val model = pqCodebook(emb, m, numCodes)
+    val e = graft.CacheScope.cached(emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", dot(col("v"), col("v"))))
+    // coarse centroids: the FULL seed vectors (k×dim to the driver, the
+    // standard coarse-codebook footprint)
+    val n = e.count()
+    val step = math.max(1L, n / nLists)
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents = e
+      .filter(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id"))
+      .limit(nLists)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Double](0))
+      .zipWithIndex.toSeq
+      .map { case (v, i) => (i, v) }
+      .toDF("list_id", "cv")
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    def coarse(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cd2"), col("list_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cd2",
+          round(col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"), 6))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= keep)
+        .select(col(idCol), col("list_id"))
+    }
+    val cellAsg = coarse(e, "vec_id", 1)
+    val probes = coarse(
+      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"),
+        col("v"), col("n2")),
+      "q_id", nProbe)
+    val codes = pqEncode(emb, model)
+      .select(col("vec_id"), col("sub_id"), col("code_id"))
+      .join(cellAsg, "vec_id")
+    val lut = e
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("v"), j * model.subDim + 1, lit(model.subDim))))
+          .as(Seq("sub_id", "qsv")))
+      .withColumn("qsvn2", dot(col("qsv"), col("qsv")))
+      .join(broadcast(model.codebook), "sub_id")
+      .withColumn("qd2",
+        round(col("qsvn2") - lit(2.0) * dot(col("qsv"), col("cw")) + col("cwn2"), 6))
+      .select(col("q_id"), col("sub_id"), col("code_id"), col("qd2"))
+    def at(j: Int): Column = max(when(col("sub_id") === j, col("qd2")))
+    val scored = codes
+      .join(broadcast(probes), "list_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "sub_id", "code_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(at(0) + at(1) + at(2) + at(3), 6).as("adc_dist2"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist2"), col("vec_id"))
+    scored
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("adc_dist2"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_brute_force",
@@ -641,6 +730,13 @@ object SimilarityQueries extends QueryModule {
       "q_ann_pq",
       (s, dir) => pqTopK(tables(s, dir).embeddings, 10, 5),
       Some(pqTopKOracle)
+    ),
+    // IVF-PQ: probe nProbe seed cells, ADC over the cells' codes — the
+    // only IVF variant with a full hash oracle (seed coarse quantizer).
+    QueryDef(
+      "q_ann_ivf_pq",
+      (s, dir) => ivfPqTopK(tables(s, dir).embeddings, 10, 5),
+      Some(ivfPqOracle)
     )
   )
 
@@ -714,6 +810,66 @@ object SimilarityQueries extends QueryModule {
                  + max(CASE WHEN a.sub_id = 3 THEN l.qd2 END), 6) AS adc_dist2
       FROM asg a
       JOIN lut l ON l.sub_id = a.sub_id AND l.code_id = a.code_id
+      WHERE l.q_id != a.vec_id
+      GROUP BY l.q_id, a.vec_id
+    )
+    SELECT q_id, cand_id, adc_dist2, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY adc_dist2, cand_id) AS INT) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+  """
+
+  /** IVF-PQ: the PQ CTEs plus the coarse seed centroids (the same seed
+    * rows, used whole), per-vector cell assignment, nProbe=4 query
+    * probes, and ADC restricted to the probed cells.
+    */
+  private val ivfPqOracle = s"""
+    $pqAsgCtes,
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS cv,
+             list_inner_product(v, v) AS cn2
+      FROM seeds
+    ),
+    cellasg AS (
+      SELECT vec_id, list_id FROM (
+        SELECT e.vec_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_inner_product(e.v, e.v)
+                       - 2.0*list_inner_product(e.v, c.cv) + c.cn2, 6),
+                 c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, list_id FROM (
+        SELECT e.vec_id AS q_id, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_inner_product(e.v, e.v)
+                       - 2.0*list_inner_product(e.v, c.cv) + c.cn2, 6),
+                 c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    lut AS (
+      SELECT q.vec_id AS q_id, s.sub_id, c.code_id,
+             round(s.svn2 - 2.0*list_inner_product(s.sv, c.c) + c.cn2, 6) AS qd2
+      FROM subs2 s
+      JOIN e q ON q.vec_id = s.vec_id AND q.vec_id < 10
+      JOIN cw2 c ON s.sub_id = c.sub_id
+    ),
+    scored AS (
+      SELECT l.q_id, a.vec_id AS cand_id,
+             round(max(CASE WHEN a.sub_id = 0 THEN l.qd2 END)
+                 + max(CASE WHEN a.sub_id = 1 THEN l.qd2 END)
+                 + max(CASE WHEN a.sub_id = 2 THEN l.qd2 END)
+                 + max(CASE WHEN a.sub_id = 3 THEN l.qd2 END), 6) AS adc_dist2
+      FROM asg a
+      JOIN cellasg ca ON ca.vec_id = a.vec_id
+      JOIN probes p ON p.list_id = ca.list_id
+      JOIN lut l ON l.q_id = p.q_id AND l.sub_id = a.sub_id
+                AND l.code_id = a.code_id
       WHERE l.q_id != a.vec_id
       GROUP BY l.q_id, a.vec_id
     )

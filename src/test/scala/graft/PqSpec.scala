@@ -81,6 +81,37 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ agrees with full ADC on shared pairs and finds the plant") {
+    CacheScope.scoped {
+      val full = SimilarityQueries.pqTopK(emb, 10, 5)
+        .select("q_id", "cand_id", "adc_dist2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val ivf = SimilarityQueries.ivfPqTopK(emb, 10, 5)
+        .select("q_id", "cand_id", "adc_dist2", "rnk").collect()
+      // 5 results per query, and the ADC distance of any pair both
+      // variants return must be identical (same codes, same LUT)
+      ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to 5))
+      }
+      ivf.foreach { r =>
+        full.get((r.getLong(0), r.getLong(1))).foreach { d =>
+          assert(d == r.getDouble(2), s"ADC drift on ${r.getLong(0)}->${r.getLong(1)}")
+        }
+      }
+      // the ε-scaled plant lands in its query's own cell (identical
+      // direction → same coarse argmin), which the query always probes
+      val plant = emb.filter(col("vec_id") === 3)
+        .withColumn("vec_id", lit(99999L))
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(1.000001f)))
+      val top = SimilarityQueries.ivfPqTopK(emb.unionByName(plant), 10, 5)
+        .filter(col("q_id") === 3)
+        .collect()
+      assert(top.map(_.getAs[Long]("cand_id")).contains(99999L),
+        "planted near-dup must survive the cell probe and win ADC")
+    }
+  }
+
   test("ADC distances match a driver-side recomputation for q=0") {
     CacheScope.scoped {
       val model = SimilarityQueries.pqCodebook(emb)
