@@ -289,6 +289,30 @@ object AggregateQueries extends QueryModule {
         FROM supplier GROUP BY s_nationkey
       """)
     ),
+    // PIVOT: rows→columns reshaping over an explicit value list (the
+    // explicit list matters at scale — it keeps the plan static instead
+    // of a two-pass distinct scan; Spark compiles it to one hash
+    // aggregate with a CASE per cell, no shuffle beyond the groupBy).
+    QueryDef(
+      "q_agg_pivot",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.events
+          .withColumn("bucket", pmod(col("user_id"), lit(8)))
+          .groupBy(col("bucket"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(round(sum(col("value")), 4))
+      },
+      Some("""
+        SELECT user_id % 8 AS bucket,
+               round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS click,
+               round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS error,
+               round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4) AS purchase,
+               round(sum(CASE WHEN event_type = 'signup' THEN value END), 4) AS signup,
+               round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view
+        FROM events GROUP BY 1
+      """)
+    ),
     // GROUPING SETS via the SQL surface (Catalyst Expand node —
     // reference StreamExecExpand.java:38).
     QueryDef(

@@ -177,6 +177,71 @@ object PipelineQueries extends QueryModule {
         FROM documents"""
       }.mkString(" UNION ALL "))
     ),
+    // Equi-width histogram of a numeric column (the profiler's
+    // distribution view): bounds from ONE 1-row aggregate broadcast to
+    // the scan, bucketing is pure column arithmetic — scan-local at any
+    // corpus size, the same shape as the z-order quantizer.
+    QueryDef(
+      "q_profile_histogram",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val bounds = t.documents
+          .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        t.documents
+          .crossJoin(broadcast(bounds))
+          .withColumn("width", (col("hi") - col("lo")) / lit(10.0))
+          .withColumn("bucket",
+            when(col("width") > 0,
+              least(lit(9), floor((col("n_chars") - col("lo")) / col("width")).cast("int")))
+              .otherwise(lit(0)))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("n_chars")).as("b_min"),
+            max(col("n_chars")).as("b_max"))
+      },
+      Some("""
+        WITH bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
+                        FROM documents)
+        SELECT CASE WHEN (hi - lo) / 10.0 > 0
+                    THEN least(9, CAST(floor((n_chars - lo) / ((hi - lo) / 10.0)) AS INT))
+                    ELSE 0 END AS bucket,
+               count(*) AS n, min(n_chars) AS b_min, max(n_chars) AS b_max
+        FROM documents CROSS JOIN bounds
+        GROUP BY 1
+      """)
+    ),
+    // Percentile outlier gate (the length-filter every corpus prep
+    // runs): keep documents whose n_chars sits inside the exact
+    // [p1, p99] band. The percentile pair is one 1-row aggregate
+    // broadcast to a scan-local filter; at 100 TB swap the exact
+    // percentile for the GK sketch already registered as
+    // q_agg_approx_percentiles — the plan shape is unchanged.
+    // Bounds round to 4 decimals on both engines so the comparison
+    // classifies boundary rows identically.
+    QueryDef(
+      "q_quality_outlier_filter",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val pcts = t.documents.agg(
+          round(expr("percentile(n_chars, 0.01)"), 4).as("p_lo"),
+          round(expr("percentile(n_chars, 0.99)"), 4).as("p_hi"))
+        t.documents
+          .crossJoin(broadcast(pcts))
+          .filter(col("n_chars") >= col("p_lo") && col("n_chars") <= col("p_hi"))
+          .select(col("doc_id"), col("n_chars"), col("p_lo"), col("p_hi"))
+      },
+      Some("""
+        WITH pcts AS (
+          SELECT round(quantile_cont(n_chars, 0.01), 4) AS p_lo,
+                 round(quantile_cont(n_chars, 0.99), 4) AS p_hi
+          FROM documents
+        )
+        SELECT doc_id, n_chars, p_lo, p_hi
+        FROM documents CROSS JOIN pcts
+        WHERE n_chars >= p_lo AND n_chars <= p_hi
+      """)
+    ),
     // Deterministic Bernoulli sampling: keep ~20% of documents by a
     // hash of the key. Scan-local (no shuffle, no state, no rand()
     // nondeterminism across retries) — the only sampling shape that is

@@ -69,6 +69,75 @@ object ChangelogOps {
       .drop(ChangeCol)
   }
 
+  /** One incremental SCD2 fold step: merge a micro-batch of changelog
+    * rows into an existing Type-2 history. The stored history is fully
+    * replayable — every version row becomes a +U at its own
+    * effective_from, and a closed version with NO successor version
+    * starting exactly at its effective_to must have been closed by a
+    * delete, so a -D is synthesized at that point. Folding batches
+    * through this is therefore exactly associative with running scd2
+    * over the whole changelog at once (Scd2Spec proves the parity),
+    * which is what makes the streaming sink restart- and
+    * replay-safe without storing tombstone rows.
+    */
+  def scd2Merge(
+      history: Option[DataFrame],
+      batch: DataFrame,
+      pk: Seq[String],
+      orderingCol: String
+  ): DataFrame = {
+    val replayed = history match {
+      case None => batch
+      case Some(h) =>
+        val metaCols = Set("effective_from", "effective_to", "is_current")
+        val dataCols = h.columns.filterNot(metaCols).toSeq
+        val reborn = h
+          .select(dataCols.map(col): _*)
+          .withColumn(ChangeCol, lit(UpdateAfter))
+        val succ = h.select(
+          (pk.map(c => col(c).as(s"__s_$c")) :+
+            col("effective_from").as("__s_from")): _*)
+        val closedByDelete = h
+          .filter(col("effective_to").isNotNull)
+          .join(
+            succ,
+            pk.map(c => col(c) === col(s"__s_$c")).reduce(_ && _) &&
+              col("effective_to") === col("__s_from"),
+            "left_anti")
+          .withColumn(orderingCol, col("effective_to"))
+          .select(dataCols.map(col): _*)
+          .withColumn(ChangeCol, lit(Delete))
+        reborn.unionByName(closedByDelete).unionByName(batch)
+    }
+    scd2(replayed, pk, col(orderingCol))
+  }
+
+  /** SCD2 sink for a streaming changelog: per micro-batch, fold the
+    * batch into the Type-2 history parquet via scd2Merge (read current
+    * → replay + batch → rebuild → atomic rename). On a lakehouse
+    * target the rebuild becomes a MERGE over the touched keys only.
+    */
+  def scd2Sink(
+      changelog: DataFrame,
+      path: String,
+      pk: Seq[String],
+      orderingCol: String
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changelog.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val existing =
+        try Some(spark.read.parquet(path))
+        catch { case _: Throwable => None }
+      val merged = scd2Merge(existing, batch, pk, orderingCol)
+      merged.write.mode("overwrite").parquet(s"$path.tmp")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration
+      )
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path.tmp"), new org.apache.hadoop.fs.Path(path))
+      ()
+    }
+
   /** Upsert sink for a streaming changelog: per micro-batch, merge the
     * batch into the keyed parquet target (read current → union batch →
     * normalize → rewrite). foreachBatch is the documented Spark
