@@ -313,6 +313,40 @@ object AggregateQueries extends QueryModule {
         FROM events GROUP BY 1
       """)
     ),
+    // UNPIVOT: columns→rows reshaping (inverse of PIVOT; reference
+    // models this as a Correlate over an inline VALUES — Spark compiles
+    // `Dataset.unpivot` to a single Expand node: one pass, no shuffle,
+    // output = rows × measures, so it scales linearly with the scan).
+    QueryDef(
+      "q_agg_unpivot",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem
+          .filter(col("l_orderkey") < 200)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("l_quantity").as("qty"),
+            col("l_extendedprice").as("price"),
+            col("l_discount").as("disc"),
+            col("l_tax").as("tax")
+          )
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("qty"), col("price"), col("disc"), col("tax")),
+            "metric",
+            "val"
+          )
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, metric, val
+        FROM (SELECT l_orderkey, l_linenumber,
+                     l_quantity AS qty, l_extendedprice AS price,
+                     l_discount AS disc, l_tax AS tax
+              FROM lineitem WHERE l_orderkey < 200)
+        UNPIVOT (val FOR metric IN (qty, price, disc, tax))
+      """)
+    ),
     // GROUPING SETS via the SQL surface (Catalyst Expand node —
     // reference StreamExecExpand.java:38).
     QueryDef(

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule}
 import graft.functions.GapFunctions
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -995,6 +996,43 @@ object FlagshipQueries extends QueryModule {
                             AND o.o_orderpriority = '5-LOW')
         GROUP BY c_nationkey, c_mktsegment
       """)
+    ),
+    // TPC-DS Q88 shape — multi-range census: eight time-window counts
+    // with per-window predicates, presented as one row. The spec text
+    // (and the oracle below) writes this as EIGHT scalar subqueries
+    // cross-joined — eight scans. The Spark-first plan fuses them into
+    // ONE scan with conditional aggregation (count(CASE)), which is the
+    // rewrite that matters at 100 TB: 1× the I/O, map-side partials,
+    // zero shuffle beyond the single-row final agg.
+    QueryDef(
+      "q_flagship_ds_multirange",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val e = t.events
+          .filter(col("event_type") === "click")
+          .select(hour(col("ts")).as("h"), col("value"))
+        def bucket(i: Int): Column = {
+          val lo = i * 3
+          val hi = lo + 2
+          val thr = i * 25.0
+          count(when(col("h").between(lo, hi) && col("value") > thr, 1))
+            .as(s"h$i")
+        }
+        e.agg(bucket(0), bucket(1), bucket(2), bucket(3),
+              bucket(4), bucket(5), bucket(6), bucket(7))
+      },
+      Some {
+        val subs = (0 until 8).map { i =>
+          val lo = i * 3
+          val hi = lo + 2
+          val thr = i * 25.0
+          s"""(SELECT count(*) AS h$i FROM events
+               WHERE event_type = 'click'
+                 AND extract(hour FROM ts) BETWEEN $lo AND $hi
+                 AND value > $thr)"""
+        }
+        s"SELECT * FROM ${subs.mkString(", ")}"
+      }
     ),
     // TPC-DS Q67-ish shape — OVER-window share-of-total on an
     // aggregate: part revenue within its brand, each part's share of

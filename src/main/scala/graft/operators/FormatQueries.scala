@@ -54,6 +54,29 @@ object FormatQueries extends QueryModule {
     FROM orders GROUP BY o_orderstatus
   """
 
+  /** XML round-trip (reference flink-formats; Spark 4 bundles the XML
+    * source in spark-sql with the short name "xml" registered). rowTag
+    * is mandatory on both sides — the writer wraps rows in it, the
+    * reader splits on it; doubles survive exactly via the default
+    * java.lang.Double round-trip text form.
+    */
+  private def xmlRoundTrip(s: SparkSession, dir: String) = {
+    val src = tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val path = scratch("xml")
+    src.write.mode("overwrite").option("rowTag", "order").format("xml").save(path)
+    val back = s.read.schema(schema).option("rowTag", "order")
+      .format("xml").load(path)
+    back
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        Money.sumPrice(col("o_totalprice")).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key")
+      )
+  }
+
   /** JDBC source/sink (reference flink-connector-jdbc) against the
     * embedded Derby that ships with Spark: write over JDBC, read back
     * over JDBC, aggregate.
@@ -208,6 +231,7 @@ object FormatQueries extends QueryModule {
     QueryDef("q_source_avro_roundtrip", (s, dir) => roundTrip(s, dir, avroFormat), Some(oracle)),
     QueryDef("q_source_json_roundtrip", (s, dir) => roundTrip(s, dir, "json"), Some(oracle)),
     QueryDef("q_source_orc_roundtrip", (s, dir) => roundTrip(s, dir, "orc"), Some(oracle)),
+    QueryDef("q_source_xml_roundtrip", (s, dir) => xmlRoundTrip(s, dir), Some(oracle)),
     QueryDef("q_source_jdbc_roundtrip", (s, dir) => jdbcRoundTrip(s, dir), Some(oracle)),
     QueryDef(
       "q_source_csv_gzip_roundtrip",

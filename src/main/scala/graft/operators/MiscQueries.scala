@@ -76,6 +76,34 @@ object MiscQueries extends QueryModule {
         WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
       """)
     ),
+    // LATERAL correlated table subquery (reference models this as a
+    // Correlate over a TableFunction; ANSI LATERAL is the SQL surface).
+    // Catalyst decorrelates the per-row ORDER BY ... LIMIT 3 into a
+    // ranked window join — one shuffle on the join key, no nested-loop
+    // re-execution per outer row, which is what makes the shape safe at
+    // 100 TB (a literal per-row subquery re-scan would be O(N·M)).
+    QueryDef(
+      "q_lateral_topn",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.customer.createOrReplaceTempView("customer_lat")
+        t.orders.createOrReplaceTempView("orders_lat")
+        s.sql("""
+          SELECT c_custkey, o_orderkey, o_totalprice
+          FROM customer_lat,
+               LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+                        WHERE o_custkey = c_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey LIMIT 3)
+        """)
+      },
+      Some("""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                      WHERE o_custkey = c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 3)
+      """)
+    ),
     // Keyed deduplicate keep-first / keep-last (batch formulation of
     // StreamExecDeduplicate; the streaming form is
     // StreamingOps.dedupeKeepFirst).

@@ -444,6 +444,46 @@ object TextQueries extends QueryModule {
                round(sum(nll) / count(*), 4) < 3.41 AS keep
         FROM scored GROUP BY doc_id
       """)
+    ),
+    // Corpus heavy hitters (φ = 1%): Misra–Gries sketch proposes
+    // candidates in one O(capacity)-state pass, then an exact count
+    // over candidates only verifies — the propose-then-verify pattern
+    // (same as MinHash-LSH) makes the output exact and deterministic
+    // even though the sketch's surviving set is merge-order dependent.
+    // MG guarantee: capacity 256 bounds the undercount by n/256 < φ·n,
+    // so no true heavy hitter can be missed. At 100 TB the full-corpus
+    // group-by never happens — only ≤256 candidate words are counted.
+    QueryDef(
+      "q_text_heavy_hitters",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = t.documents
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+        val mg = udaf(new graft.functions.MisraGriesAgg(256))
+        // one row, O(capacity) — size-independent of the corpus, same
+        // class of driver scalar as the IVF codebook collect
+        val sk = words
+          .agg(mg(col("word")).as("sk"))
+          .select(col("sk.total"), map_keys(col("sk.counts")))
+          .head()
+        val total = sk.getLong(0)
+        val cands = sk.getSeq[String](1)
+        words
+          .filter(col("word").isin(cands: _*))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= lit(0.01) * lit(total.toDouble))
+      },
+      Some("""
+        WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents),
+             ww AS (SELECT word FROM w WHERE word <> ''),
+             n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM ww)
+        SELECT word, count(*) AS cnt
+        FROM ww GROUP BY word
+        HAVING count(*) >= 0.01 * (SELECT total FROM n)
+      """)
     )
   )
 }

@@ -121,6 +121,45 @@ object WindowQueries extends QueryModule {
                               l_partkey, l_quantity, l_extendedprice)
       """)
     ),
+    // IGNORE NULLS navigation over a sparse column — the gap-fill /
+    // last-observation-carried-forward shape (last_value + first_value
+    // + nth_value, all skipping nulls). Same per-partition running
+    // frame as q_over_frames, so it shuffles once on l_suppkey and
+    // streams each partition in sorted order — no extra pass for the
+    // null-skipping (Spark evaluates it inside the running frame).
+    QueryDef(
+      "q_over_ignore_nulls",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val base = Window
+          .partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val flagged = when(col("l_discount") >= 0.03, col("l_extendedprice"))
+        t.lineitem.select(
+          col("l_suppkey"),
+          col("l_orderkey"),
+          col("l_linenumber"),
+          last(flagged, ignoreNulls = true).over(base).as("locf_price"),
+          first(flagged, ignoreNulls = true).over(base).as("first_seen"),
+          nth_value(flagged, 2, ignoreNulls = true).over(base).as("second_seen")
+        )
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               last_value(flagged IGNORE NULLS) OVER w AS locf_price,
+               first_value(flagged IGNORE NULLS) OVER w AS first_seen,
+               nth_value(flagged, 2 IGNORE NULLS) OVER w AS second_seen
+        FROM (SELECT *, CASE WHEN l_discount >= 0.03 THEN l_extendedprice END
+                          AS flagged
+              FROM lineitem)
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                              l_partkey, l_quantity, l_extendedprice
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      """)
+    ),
     // RANGE frame over a numeric ordering column.
     QueryDef(
       "q_over_range_frame",
