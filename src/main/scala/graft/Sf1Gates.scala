@@ -39,7 +39,8 @@ object Sf1Gates {
       "semantic_cluster_bound_sf1" -> (() => semanticClusterBound(spark, dir)),
       "hll_accuracy_sf1" -> (() => hllAccuracy(spark, dir)),
       "gk_accuracy_sf1" -> (() => gkAccuracy(spark, dir)),
-      "cep_state_bound_sf1" -> (() => cepStateBound(spark, dir))
+      "cep_state_bound_sf1" -> (() => cepStateBound(spark, dir)),
+      "heavy_hitters_sf1" -> (() => heavyHitters(spark, dir))
     )
     all.collect { case (n, g) if only.isEmpty || only(n) => g() }
   }
@@ -461,4 +462,39 @@ object Sf1Gates {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  /** Misra-Gries heavy hitters at sf1: the capacity-256 sketch's
+    * candidate set must contain EVERY word with true frequency >=
+    * 1% of the probe corpus (MG guarantee: undercount <= n/256 < phi*n,
+    * so a miss is an implementation bug, not sampling luck), and the
+    * verified q_text_heavy_hitters output must equal the exact
+    * phi-heavy set computed by a full group-by. Probe volume is where
+    * merge pressure actually exercises the PODS'12 shrink rule —
+    * sf0.001 fits every distinct word under capacity.
+    */
+  private def heavyHitters(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      val words = Engine.Tables(spark, dir).documents
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val exact = words.groupBy(col("word")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = exact.values.sum
+      val truth = exact.collect { case (w, c) if c >= 0.01 * n => w }.toSet
+      val mg = udaf(new graft.functions.MisraGriesAgg(256))
+      val sk = words.agg(mg(col("word")).as("sk"))
+        .selectExpr("sk.total AS total", "map_keys(sk.counts) AS cands")
+        .collect()(0)
+      val cands = sk.getSeq[String](1).toSet
+      val missed = truth -- cands
+      val verified = SparkEntry.queries("q_text_heavy_hitters")(spark, dir)
+        .collect().map(_.getString(0)).toSet
+      Gate(
+        "heavy_hitters_sf1",
+        sk.getLong(0) == n && missed.isEmpty && verified == truth &&
+          cands.size <= 256,
+        s"n=$n heavy=${truth.size} candidates=${cands.size} " +
+          s"missed=${missed.size} verifiedExact=${verified == truth}"
+      )
+    }
 }

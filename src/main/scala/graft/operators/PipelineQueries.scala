@@ -669,6 +669,39 @@ object PipelineQueries extends QueryModule {
         FROM z GROUP BY 1
       """)
     ),
+    // Hilbert-curve layout stats — same bucket-narrowness shape as
+    // q_layout_zorder but along the Hilbert curve (strictly better
+    // locality: consecutive positions are always grid-adjacent, so
+    // bucket bounding boxes are tighter). The index needs per-level
+    // rotation state, so no SQL engine can express it — no DuckDB
+    // oracle; HilbertSpec proves bijection/adjacency/codegen and the
+    // write path's per-file narrowness.
+    QueryDef(
+      "q_layout_hilbert",
+      (s, dir) => {
+        import graft.functions.{Hilbert, ZOrder}
+        Hilbert.register(s)
+        val t = tables(s, dir)
+        val li = t.lineitem.select(
+          datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+            .cast("long").as("d_day"),
+          col("l_partkey").as("pk")
+        )
+        val bounds = li.agg(
+          min(col("d_day")).as("dmin"), max(col("d_day")).as("dmax"),
+          min(col("pk")).as("pmin"), max(col("pk")).as("pmax"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("h", Hilbert.hilbert_index(
+            ZOrder.quantize(col("d_day"), col("dmin"), col("dmax"), 8),
+            ZOrder.quantize(col("pk"), col("pmin"), col("pmax"), 8), 8))
+          .groupBy(shiftright(col("h"), 6).as("hbucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("d_day")).as("min_day"), max(col("d_day")).as("max_day"),
+            min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"))
+      },
+      None
+    ),
     // Epoch upsampling (domain-weighted mixture): rare domains repeat
     // more epochs per training pass. A per-row explode of a tiny
     // sequence — scan-local fan-out, no shuffle, the standard way to
