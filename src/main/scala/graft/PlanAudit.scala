@@ -68,7 +68,11 @@ object PlanAudit {
     // — exempt from scan/codegen checks.
     val nonParquet = Set(
       "q_values_inline", "q_source_jdbc_roundtrip", "q_source_sequencefile_roundtrip",
-      "q_iterations_reachability", "q_dedup_clusters"
+      "q_iterations_reachability", "q_dedup_clusters",
+      // iterative trainer: result is the driver-assembled merge table
+      // (each round's pair-count jobs scanned parquet; the final plan
+      // is a local relation)
+      "q_tokenizer_bpe"
     )
 
     var failures = 0

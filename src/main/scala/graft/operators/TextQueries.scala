@@ -484,6 +484,19 @@ object TextQueries extends QueryModule {
         FROM ww GROUP BY word
         HAVING count(*) >= 0.01 * (SELECT total FROM n)
       """)
+    ),
+    // BPE tokenizer merge training (Sennrich 2016): one corpus pass to
+    // the word vocabulary, then k distributed pair-count rounds over
+    // the vocab only. Iterative multi-job semantics are not
+    // SQL-expressible — no DuckDB oracle; BpeSpec proves equality with
+    // a sequential reference implementation and partitioning
+    // invariance (the merge table is a pure function of the corpus).
+    QueryDef(
+      "q_tokenizer_bpe",
+      (s, dir) =>
+        graft.functions.Bpe.trainFromDocuments(
+          s, tables(s, dir).documents, numMerges = 12),
+      None
     )
   )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge training: the distributed trainer must be a pure function
+  * of the corpus — equal to the sequential reference implementation
+  * and invariant to partitioning (the determinism a 1000-executor
+  * tokenizer-training run needs for reproducible vocabularies).
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+  private val dir = "/root/testdata/sf0.001"
+
+  private def wordCounts = Engine.Tables(spark, dir).documents
+    .select(explode(split(lower(col("text")), " ")).as("word"))
+    .filter(col("word") =!= "")
+    .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  test("applyMerge replaces greedily left-to-right") {
+    assert(Bpe.applyMerge(Seq("a", "b", "a", "b", "b"), "a", "b")
+      == Seq("ab", "ab", "b"))
+    // overlapping occurrences consume left-first: aaa + (a,a) -> aa, a
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("x"), "a", "b") == Seq("x"))
+  }
+
+  test("distributed trainer equals the sequential reference") {
+    val ref = Bpe.trainReference(
+      wordCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      numMerges = 12)
+    val dist = Bpe.train(wordCounts, numMerges = 12)
+    assert(ref.size == 12, s"reference produced ${ref.size} merges")
+    assert(dist == ref,
+      s"distributed != reference\n dist=$dist\n ref =$ref")
+    // frequencies must be non-increasing is NOT guaranteed by BPE
+    // (later merges can beat earlier pair counts), but every freq is
+    // positive and ranks are sequential
+    assert(dist.map(_.rank) == (0 until 12))
+    assert(dist.forall(_.freq > 0))
+  }
+
+  test("merge table is partitioning-invariant") {
+    val a = Bpe.train(wordCounts.repartition(3), numMerges = 8)
+    val b = Bpe.train(wordCounts.repartition(13), numMerges = 8)
+    assert(a == b, s"partitioning changed merges:\n $a\n $b")
+  }
+}
