@@ -136,4 +136,37 @@ object Bpe {
       .toDF()
       .select(col("rank"), col("left"), col("right"), col("freq"))
   }
+
+  /** Encode a word with a learned merge table: apply each rule in rank
+    * order (the standard BPE encode; one left-to-right pass per rule
+    * reaches that rule's fixpoint because a merged token can never
+    * re-match its own rule).
+    */
+  def applyMerges(word: String, rules: Seq[(String, String)]): Seq[String] = {
+    var sym: Seq[String] = word.map(_.toString)
+    rules.foreach { case (l, r) => sym = applyMerge(sym, l, r) }
+    sym
+  }
+
+  /** Tokenize the corpus with a learned merge table — the companion
+    * encode pass. The rules ride the UDF closure (broadcast to every
+    * executor once); the scan stays a single shuffle-on-doc_id
+    * aggregation, so the pass is embarrassingly parallel at 100 TB.
+    * The UDF is justified: rank-ordered merge application is
+    * inherently procedural (no Column-algebra equivalent).
+    */
+  def tokenize(documents: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val rules = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val nTok = udf((w: String) => applyMerges(w, rules).length)
+    documents
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(col("doc_id"), nTok(col("word")).as("n_tok"),
+        length(col("word")).as("n_sym"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_tok")).as("n_bpe_tokens"),
+        sum(col("n_sym")).as("n_char_symbols"))
+  }
 }

@@ -218,6 +218,45 @@ object FormatQueries extends QueryModule {
       )
   }
 
+  /** binaryFile source — the multimodal ingestion front door (§2.1 +
+    * the media pipeline's opaque-binary contract): raw files on disk
+    * become (path, modificationTime, length, content) rows. Payload
+    * files are derived deterministically from orders keys (integer
+    * text — formatting-identical across engines), written once per
+    * source dir, then read back through the binaryFile source; the
+    * oracle recomputes the same aggregate from the orders table
+    * directly, so the check covers the full write→scan→decode path.
+    * At 100 TB this source partitions by file and never materializes
+    * more than a split per task — the standard image/audio shard
+    * ingest shape.
+    */
+  private def binaryFileIngest(s: SparkSession, dir: String) = {
+    val path = scratch("binfiles_" + new java.io.File(dir).getName)
+    val d = new java.io.File(path)
+    d.mkdirs()
+    val keys = tables(s, dir).orders
+      .select(col("o_orderkey")).orderBy(col("o_orderkey")).limit(64)
+      .collect().map(_.getLong(0))
+    // drop leftovers from any earlier run against different source
+    // data — a stale extra file would silently inflate the aggregate
+    val expected = keys.map(k => s"$k.bin").toSet
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => expected(f.getName)).foreach(_.delete())
+    keys.foreach { k =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, s"$k.bin"),
+        k.toString.getBytes("UTF-8"))
+    }
+    s.read.format("binaryFile").load(path)
+      .select(
+        decode(col("content"), "UTF-8").cast("long").as("key"),
+        col("length"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("key")).as("key_sum"),
+        sum(col("length")).as("total_bytes"))
+  }
+
   /** Avro round-trip (reference flink-formats/flink-avro). Spark 4.1
     * bundles the Avro FileFormat classes inside spark-sql but ships no
     * DataSourceRegister service entry for the short name "avro" in this
@@ -232,6 +271,16 @@ object FormatQueries extends QueryModule {
     QueryDef("q_source_json_roundtrip", (s, dir) => roundTrip(s, dir, "json"), Some(oracle)),
     QueryDef("q_source_orc_roundtrip", (s, dir) => roundTrip(s, dir, "orc"), Some(oracle)),
     QueryDef("q_source_xml_roundtrip", (s, dir) => xmlRoundTrip(s, dir), Some(oracle)),
+    QueryDef(
+      "q_source_binaryfile",
+      (s, dir) => binaryFileIngest(s, dir),
+      Some("""
+        SELECT count(*) AS n_files,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(length(CAST(o_orderkey AS VARCHAR))) AS BIGINT) AS total_bytes
+        FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 64)
+      """)
+    ),
     QueryDef("q_source_jdbc_roundtrip", (s, dir) => jdbcRoundTrip(s, dir), Some(oracle)),
     QueryDef(
       "q_source_csv_gzip_roundtrip",

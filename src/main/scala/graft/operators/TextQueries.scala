@@ -497,6 +497,23 @@ object TextQueries extends QueryModule {
         graft.functions.Bpe.trainFromDocuments(
           s, tables(s, dir).documents, numMerges = 12),
       None
+    ),
+    // BPE encode with the learned merges: per-doc token counts under
+    // the trained vocab (the compression the merges buy vs raw
+    // characters). Training is iterative (no oracle); BpeSpec pins the
+    // encode against the sequential reference.
+    QueryDef(
+      "q_tokenize_bpe_apply",
+      (s, dir) => {
+        val docs = tables(s, dir).documents
+        val words = docs
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        val merges = graft.functions.Bpe.train(words, numMerges = 12)
+        graft.functions.Bpe.tokenize(docs, merges)
+      },
+      None
     )
   )
 }

@@ -46,4 +46,25 @@ class BpeSpec extends AnyFunSuite {
     val b = Bpe.train(wordCounts.repartition(13), numMerges = 8)
     assert(a == b, s"partitioning changed merges:\n $a\n $b")
   }
+
+  test("tokenize compresses and matches per-word reference encoding") {
+    val merges = Bpe.train(wordCounts, numMerges = 12)
+    val rules = merges.map(m => (m.left, m.right))
+    val docs = Engine.Tables(spark, dir).documents
+    val out = Bpe.tokenize(docs, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // distributed per-doc counts equal a driver-side re-encode
+    val expected = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val words = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+      val nTok = words.map(w => Bpe.applyMerges(w, rules).length.toLong).sum
+      val nSym = words.map(_.length.toLong).sum
+      r.getLong(0) -> (nTok, nSym)
+    }.toMap
+    assert(out == expected)
+    // the learned merges actually compress the corpus
+    val (tok, sym) = out.values.foldLeft((0L, 0L)) {
+      case ((a, b), (t, s)) => (a + t, b + s)
+    }
+    assert(tok < sym, s"no compression: tokens=$tok symbols=$sym")
+  }
 }

@@ -106,4 +106,32 @@ class SketchAccuracySpec extends AnyFunSuite {
       assert(math.abs(a95 - e95) / e95 < 0.02, s"$k p95 approx=$a95 exact=$e95")
     }
   }
+
+  test("HLL inclusion-exclusion set overlap within 5% of exact") {
+    // sketch algebra: |A ∩ B| ≈ |A| + |B| − |A ∪ B| from three HLL
+    // estimates — the corpus-overlap estimation a 100 TB dedup pass
+    // runs before committing to an exact join (each side one sketch,
+    // no shuffle of the raw keys)
+    import org.apache.spark.sql.functions._
+    val t = Engine.Tables(spark, "/root/testdata/sf0.01")
+    val a = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val b = col("o_orderstatus") === "O"
+    val row = t.orders.agg(
+      approx_count_distinct(when(a, col("o_custkey")), 0.01).as("ca"),
+      approx_count_distinct(when(b, col("o_custkey")), 0.01).as("cb"),
+      approx_count_distinct(when(a || b, col("o_custkey")), 0.01).as("cu"),
+      // exact SET sizes (note: a set-intersection membership test
+      // cannot be a row-level `a && b` — a customer is in A ∩ B via
+      // DIFFERENT rows; exact inclusion-exclusion gets it right)
+      countDistinct(when(a, col("o_custkey"))).as("ea"),
+      countDistinct(when(b, col("o_custkey"))).as("eb"),
+      countDistinct(when(a || b, col("o_custkey"))).as("eu")
+    ).collect()(0)
+    val est = row.getLong(0) + row.getLong(1) - row.getLong(2)
+    val exact = (row.getLong(3) + row.getLong(4) - row.getLong(5)).toDouble
+    assert(exact > 0, "test data should have overlap")
+    // three 1%-rsd sketches compound: allow 5% on the difference
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"overlap est=$est exact=$exact")
+  }
 }
