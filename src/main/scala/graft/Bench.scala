@@ -63,7 +63,13 @@ object Bench {
     "q_ann_pq",
     "q_profile_table",
     "q_changelog_scd2",
-    "q_ann_ivf_pq"
+    "q_ann_ivf_pq",
+    // late round-11 additions: the MG-sketch propose + exact-verify
+    // heavy hitters, the 12-round iterative BPE trainer, and the
+    // Hilbert-curve layout stats
+    "q_text_heavy_hitters",
+    "q_tokenizer_bpe",
+    "q_layout_hilbert"
   )
 
   def main(args: Array[String]): Unit = {

@@ -50,13 +50,17 @@ object TemporalJoin {
   )
 
   /** probes(key, ptime, pval) ⋈asof versions(key, vtime, vval).
-    * Inner semantics: probes with no version <= ptime are dropped
-    * (emit-once is still watermark-driven for the survivors).
+    * Inner semantics by default: probes with no version <= ptime are
+    * dropped. `leftOuter = true` keeps them with null version columns
+    * — the reference's isLeftOuterJoin mode, decided at flush time
+    * (when the watermark passes the probe, absence of a version is
+    * final by the same watermark argument that makes matches final).
     */
   def asOfJoin(
       probes: DataFrame,
       versions: DataFrame,
-      watermarkDelay: String = "10 minutes"
+      watermarkDelay: String = "10 minutes",
+      leftOuter: Boolean = false
   ): Dataset[Joined] = {
     val spark = probes.sparkSession
     import spark.implicits._
@@ -93,8 +97,12 @@ object TemporalJoin {
             // latest version with vtime <= ptime; final because the
             // watermark has passed ptime
             val m = vs.takeWhile(_._1 <= pt).lastOption
-            m.map { case (vt, vv) =>
-              Joined(key, new Timestamp(pt), pv, new Timestamp(vt), vv)
+            m match {
+              case Some((vt, vv)) =>
+                Some(Joined(key, new Timestamp(pt), pv, new Timestamp(vt), vv))
+              case None if leftOuter =>
+                Some(Joined(key, new Timestamp(pt), pv, null, null))
+              case None => None
             }
           }.toSeq
 

@@ -87,4 +87,40 @@ class TemporalJoinSpec extends AnyFunSuite {
     // and the unmatched probes really are absent (inner semantics)
     assert(!got.exists(_._2 == 5.0) && !got.exists(_._2 == 7.0))
   }
+
+  test("left-outer streaming as-of keeps unmatched probes with null version") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val pIn = MemoryStream[P]
+    val vIn = MemoryStream[V]
+    val joined = TemporalJoin.asOfJoin(
+      pIn.toDF(), vIn.toDF(), "10 minutes", leftOuter = true)
+    val q = joined.writeStream.format("memory").queryName("tj_outer")
+      .outputMode("append").start()
+    try {
+      vIn.addData(V(1, ts(20), "a"))
+      // probe before any version (outer row) + probe after (match)
+      pIn.addData(P(1, ts(5), 1.0), P(1, ts(30), 2.0), P(2, ts(10), 3.0))
+      q.processAllAvailable()
+      pIn.addData(P(99, ts(600), 0.0))
+      vIn.addData(V(98, ts(600), "zz"))
+      q.processAllAvailable()
+      pIn.addData(P(99, ts(610), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql(
+      "SELECT pval, vval FROM tj_outer WHERE key < 90 ORDER BY pval")
+      .collect().map(r => (r.getDouble(0), Option(r.getString(1))))
+    // batch truth: the native operator's LEFT OUTER mode on same rows
+    val vRenamed = Seq(V(1, ts(20), "a")).toDF().withColumnRenamed("key", "vkey")
+    val expected = AsOfJoinNative.asof(
+        Seq(P(1, ts(5), 1.0), P(1, ts(30), 2.0), P(2, ts(10), 3.0)).toDF(),
+        vRenamed, col("key"), col("vkey"), col("ptime"), col("vtime"),
+        joinType = "left_outer")
+      .orderBy(col("pval"))
+      .collect().map(r => (r.getDouble(2), Option(r.getAs[String]("vval"))))
+    assert(got.toSeq == expected.toSeq,
+      s"streaming ${got.toSeq} != batch ${expected.toSeq}")
+    assert(got.count(_._2.isEmpty) == 2, "expected two outer rows")
+  }
 }
