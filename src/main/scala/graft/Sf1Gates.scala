@@ -40,7 +40,8 @@ object Sf1Gates {
       "hll_accuracy_sf1" -> (() => hllAccuracy(spark, dir)),
       "gk_accuracy_sf1" -> (() => gkAccuracy(spark, dir)),
       "cep_state_bound_sf1" -> (() => cepStateBound(spark, dir)),
-      "heavy_hitters_sf1" -> (() => heavyHitters(spark, dir))
+      "heavy_hitters_sf1" -> (() => heavyHitters(spark, dir)),
+      "bpe_reference_parity_sf1" -> (() => bpeParity(spark, dir))
     )
     all.collect { case (n, g) if only.isEmpty || only(n) => g() }
   }
@@ -495,6 +496,30 @@ object Sf1Gates {
           cands.size <= 256,
         s"n=$n heavy=${truth.size} candidates=${cands.size} " +
           s"missed=${missed.size} verifiedExact=${verified == truth}"
+      )
+    }
+
+  /** BPE trainer at sf1: the distributed merge table must equal the
+    * sequential reference on the probe vocabulary — at probe volume
+    * the pair-count aggregation actually spills across partitions and
+    * the argmax tie-break gets exercised on real collisions. The vocab
+    * collect is distinct-words-sized (size-independent of corpus
+    * rows), the same class of driver scalar the other gates use.
+    */
+  private def bpeParity(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      val words = Engine.Tables(spark, dir).documents
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val dist = graft.functions.Bpe.train(words, numMerges = 12)
+      val ref = graft.functions.Bpe.trainReference(
+        words.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, 12)
+      Gate(
+        "bpe_reference_parity_sf1",
+        dist == ref && dist.size == 12,
+        s"merges=${dist.size} equal=${dist == ref} " +
+          s"top=${dist.headOption.map(m => m.left + "+" + m.right).getOrElse("-")}"
       )
     }
 }
