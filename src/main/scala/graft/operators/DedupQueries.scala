@@ -83,6 +83,59 @@ object DedupQueries extends QueryModule {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** EXACT threshold similarity join without the full inverted index:
+    * AllPairs/PPJoin prefix filtering (Bayardo et al., WWW'07;
+    * Chaudhuri's SSJoin family). Under any global token order, a pair
+    * with |s1 ∩ s2| >= c shares its SMALLEST common token within the
+    * first |s_i| - c + 1 tokens of BOTH sides (the other c-1 common
+    * tokens sit after it), and J >= t implies inter >= ceil(t·|s_i|)
+    * for each side — so indexing only each doc's first
+    * sz - ceil(t·sz) + 1 tokens, ordered rarest-first by corpus
+    * document frequency, is COMPLETE: identical output to the
+    * all-shingles join, with candidates generated only where two
+    * RARE tokens collide. ceil(t·sz) is computed in exact integer
+    * arithmetic (t = num/den) so the prefix never under-shoots off a
+    * float. At 100 TB: one df-count pass, one prefix inverted index
+    * (a few tokens per doc instead of all), bucketed equi-join, exact
+    * verify via array_intersect on the candidate pairs only.
+    */
+  def prefixFilterPairs(t: graft.Engine.Tables,
+      num: Int = 4, den: Int = 5): DataFrame = {
+    val sh = graft.CacheScope.cached(shingled(t))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val dfCount = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // per-doc token list ordered (df asc, token asc) — the shared
+    // global order both prefixes must use
+    val ordered = ex.join(dfCount, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"),
+        count(lit(1)).as("sz"))
+      // ceil(num*sz/den) via integer floor((num*sz + den - 1)/den)
+      .withColumn("c",
+        floor((lit(num) * col("sz") + lit(den - 1)) / lit(den)).cast("long"))
+      .withColumn("p", col("sz") - col("c") + lit(1))
+    val prefix = ordered
+      .select(col("doc_id"),
+        explode(slice(transform(col("ord"), _.getField("sh")),
+          lit(1), col("p").cast("int"))).as("sh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), "sh")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val full = sh.select(col("doc_id"), col("shingles"))
+    cand
+      .join(full.select(col("doc_id").as("d1"), col("shingles").as("s1")), "d1")
+      .join(full.select(col("doc_id").as("d2"), col("shingles").as("s2")), "d2")
+      .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard",
+        round(col("inter") /
+          (size(col("s1")) + size(col("s2")) - col("inter")), 6))
+      .filter(col("jaccard") >= lit(num.toDouble / den))
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   private val jaccardOracle = """
     WITH sh AS (
       SELECT doc_id,
@@ -273,6 +326,16 @@ object DedupQueries extends QueryModule {
     QueryDef(
       "q_dedup_jaccard",
       (s, dir) => jaccardPairs(tables(s, dir), 0.8),
+      Some(jaccardOracle)
+    ),
+    // Prefix-filtered EXACT similarity join — same output as
+    // q_dedup_jaccard (same oracle), scale-correct candidate
+    // generation (rarest-prefix inverted index instead of all
+    // shingles). PrefixFilterSpec additionally proves candidate-set
+    // shrinkage vs the full index.
+    QueryDef(
+      "q_dedup_prefix_filter",
+      (s, dir) => prefixFilterPairs(tables(s, dir)),
       Some(jaccardOracle)
     ),
     // MinHash + banded LSH with exact-Jaccard verification of the
