@@ -218,6 +218,34 @@ object FormatQueries extends QueryModule {
       )
   }
 
+  /** Schema evolution across parquet batches (the long-lived-pipeline
+    * reality: yesterday's files have 3 columns, today's have 4).
+    * Two generations are written to one directory; `mergeSchema`
+    * reconciles the footer schemas and old rows surface the new column
+    * as null. The aggregate exercises exactly the null-vs-present
+    * split, and the oracle recomputes it from the orders table with
+    * the same generation rule — so the merge path is value-checked,
+    * not just "it loaded".
+    */
+  private def schemaEvolutionRead(s: SparkSession, dir: String) = {
+    val path = scratch("schema_evo_" + new java.io.File(dir).getName)
+    val base = tables(s, dir).orders
+    // generation 1 (even keys): no o_orderpriority column yet
+    base.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(path)
+    // generation 2 (odd keys): adds the priority column
+    base.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("append").parquet(path)
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("prio"))
+      .agg(
+        count(lit(1)).as("n"),
+        Money.sumPrice(col("o_totalprice")).as("total"))
+  }
+
   /** binaryFile source — the multimodal ingestion front door (§2.1 +
     * the media pipeline's opaque-binary contract): raw files on disk
     * become (path, modificationTime, length, content) rows. Payload
@@ -271,6 +299,17 @@ object FormatQueries extends QueryModule {
     QueryDef("q_source_json_roundtrip", (s, dir) => roundTrip(s, dir, "json"), Some(oracle)),
     QueryDef("q_source_orc_roundtrip", (s, dir) => roundTrip(s, dir, "orc"), Some(oracle)),
     QueryDef("q_source_xml_roundtrip", (s, dir) => xmlRoundTrip(s, dir), Some(oracle)),
+    QueryDef(
+      "q_source_schema_evolution",
+      (s, dir) => schemaEvolutionRead(s, dir),
+      Some(s"""
+        SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+                    ELSE 'LEGACY' END AS prio,
+               count(*) AS n,
+               ${Money.sumPriceSql("o_totalprice")} AS total
+        FROM orders GROUP BY 1
+      """)
+    ),
     QueryDef(
       "q_source_binaryfile",
       (s, dir) => binaryFileIngest(s, dir),
