@@ -69,7 +69,9 @@ object Bench {
     // Hilbert-curve layout stats
     "q_text_heavy_hitters",
     "q_tokenizer_bpe",
-    "q_layout_hilbert"
+    "q_layout_hilbert",
+    "q_dedup_prefix_filter",
+    "q_merge_upsert"
   )
 
   def main(args: Array[String]): Unit = {

@@ -10,6 +10,66 @@ import org.apache.spark.sql.functions._
 object ChangelogQueries extends QueryModule {
 
   def defs: Seq[QueryDef] = Seq(
+    // Batch MERGE INTO (upsert) emulation — WHEN MATCHED THEN UPDATE /
+    // WHEN NOT MATCHED THEN INSERT, expressed as a full outer join with
+    // coalesce resolution (the plan a table format's MERGE compiles to
+    // minus the file-level commit). One shuffle on the merge key; the
+    // update set derives deterministically from the table itself so
+    // both engines build the identical source.
+    QueryDef(
+      "q_merge_upsert",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val target = t.orders.select(
+          col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+        // updates: every odd key < 2000 flips to status 'U' with a flat
+        // +1000.00 price adjustment (additive => bit-exact in both
+        // engines; a multiplicative bump rounds differently at decimal
+        // boundaries); inserts: five synthetic keys beyond the domain
+        val updates = t.orders
+          .filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") < 2000)
+          .select(col("o_orderkey").as("ukey"), lit("U").as("ustatus"),
+            (col("o_totalprice") + 1000.0).as("uprice"))
+          .unionByName(
+            s.range(1, 6).toDF("i").select(
+              (col("i") + 90000000L).as("ukey"), lit("N").as("ustatus"),
+              (col("i") * 100.0).as("uprice")))
+        target.join(updates, col("key") === col("ukey"), "full_outer")
+          .select(
+            coalesce(col("key"), col("ukey")).as("key"),
+            coalesce(col("ustatus"), col("status")).as("status"),
+            coalesce(col("uprice"), col("price")).as("price"))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            Money.sumPrice(col("price")).as("total"))
+      },
+      Some(s"""
+        WITH target AS (
+          SELECT o_orderkey AS key, o_orderstatus AS status,
+                 o_totalprice AS price
+          FROM orders
+        ),
+        updates AS (
+          SELECT o_orderkey AS ukey, 'U' AS ustatus,
+                 o_totalprice + 1000.0 AS uprice
+          FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey < 2000
+          UNION ALL
+          SELECT i + 90000000, 'N', i * 100.0
+          FROM range(1, 6) r(i)
+        ),
+        merged AS (
+          SELECT coalesce(key, ukey) AS key,
+                 coalesce(ustatus, status) AS status,
+                 coalesce(uprice, price) AS price
+          FROM target FULL OUTER JOIN updates ON key = ukey
+        )
+        SELECT status, count(*) AS n,
+               ${Money.sumPriceSql("price")} AS total
+        FROM merged GROUP BY status
+      """)
+    ),
     // ChangelogNormalize: events become a synthetic changelog keyed by
     // (user_id, event_type): every 10th event is a delete, the rest
     // are upserts; final state = latest surviving row per key.

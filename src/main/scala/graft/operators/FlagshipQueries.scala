@@ -954,7 +954,11 @@ object FlagshipQueries extends QueryModule {
         s.sql("""
           SELECT c_nationkey AS nation, c_mktsegment AS segment,
                  count(*) AS n,
-                 round(avg(c_acctbal), 4) AS avg_bal,
+                 -- exact long-cents avg: both engines divide IDENTICAL
+                 -- integers, so the 4-decimal round can't diverge with
+                 -- group size (fp summation order did at sf1)
+                 round(CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+                       / (count(*) * 100.0), 4) AS avg_bal,
                  min(c_acctbal) AS min_bal,
                  max(c_acctbal) AS max_bal
           FROM customer_census c
@@ -977,7 +981,8 @@ object FlagshipQueries extends QueryModule {
       Some("""
         SELECT c_nationkey AS nation, c_mktsegment AS segment,
                count(*) AS n,
-               round(avg(c_acctbal), 4) AS avg_bal,
+               round(CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 100.0), 4) AS avg_bal,
                min(c_acctbal) AS min_bal,
                max(c_acctbal) AS max_bal
         FROM customer c

@@ -508,6 +508,42 @@ object SimilarityQueries extends QueryModule {
       .filter(col("rnk") <= k)
   }
 
+  /** ADC shortlist → exact rerank — the deployed PQ retrieval shape
+    * (Faiss refine/rerank stage): ADC is a lossy pre-ranking whose
+    * error is the query's own quantization residual, so rank-1
+    * neighbors are NOT guaranteed to top the ADC list once many
+    * vectors share nearby codes (at sf1, >1000 candidates tie at
+    * ADC 0 for a seed-coincident query). The fix every production PQ
+    * system ships: take the top-L ADC shortlist, recompute EXACT
+    * distances on those L full vectors only, re-rank. Cost stays
+    * L·dim per query — independent of corpus size — while recall
+    * recovers to near-exact. Deterministic end to end (same rounding
+    * + id tie-breaks), so the registered query is hash-oracled.
+    */
+  def pqTopKRerank(
+      emb: DataFrame,
+      nQueries: Int,
+      k: Int,
+      shortlist: Int = 50,
+      m: Int = 4,
+      numCodes: Int = 16
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adc = pqTopK(emb, nQueries, shortlist, m, numCodes)
+      .select(col("q_id"), col("cand_id"))
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rr = adc
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
+      .withColumn("dist2",
+        round(dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv"))
+          + dot(col("cv"), col("cv")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("cand_id"))
+    rr.select(col("q_id"), col("cand_id"), col("dist2"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   /** IVF-PQ composite (the Faiss IVFPQ layout, the index family behind
     * billion-scale ANN): a coarse quantizer routes each vector to one
     * of `nLists` cells, and inside the cells only the m-byte PQ codes
@@ -737,6 +773,14 @@ object SimilarityQueries extends QueryModule {
       "q_ann_ivf_pq",
       (s, dir) => ivfPqTopK(tables(s, dir).embeddings, 10, 5),
       Some(ivfPqOracle)
+    ),
+    // PQ + exact rerank: ADC top-50 shortlist re-scored with exact
+    // distances (the production retrieval shape; recall-gated at sf1
+    // with higher-resolution codes in pq_planted_codes_sf1).
+    QueryDef(
+      "q_ann_pq_rerank",
+      (s, dir) => pqTopKRerank(tables(s, dir).embeddings, 10, 5, 50),
+      Some(pqRerankOracle)
     )
   )
 
@@ -817,6 +861,52 @@ object SimilarityQueries extends QueryModule {
       SELECT *, CAST(row_number() OVER (PARTITION BY q_id
                      ORDER BY adc_dist2, cand_id) AS INT) AS rnk
       FROM scored)
+    WHERE rnk <= 5
+  """
+
+  /** PQ rerank: the ADC pipeline truncated at shortlist 50, then exact
+    * squared distance on the shortlist pairs only, re-ranked.
+    */
+  private val pqRerankOracle = s"""
+    $pqAsgCtes,
+    lut AS (
+      SELECT q.vec_id AS q_id, s.sub_id, c.code_id,
+             round(s.svn2 - 2.0*list_inner_product(s.sv, c.c) + c.cn2, 6) AS qd2
+      FROM subs2 s
+      JOIN e q ON q.vec_id = s.vec_id AND q.vec_id < 10
+      JOIN cw2 c ON s.sub_id = c.sub_id
+    ),
+    scored AS (
+      SELECT l.q_id, a.vec_id AS cand_id,
+             round(max(CASE WHEN a.sub_id = 0 THEN l.qd2 END)
+                 + max(CASE WHEN a.sub_id = 1 THEN l.qd2 END)
+                 + max(CASE WHEN a.sub_id = 2 THEN l.qd2 END)
+                 + max(CASE WHEN a.sub_id = 3 THEN l.qd2 END), 6) AS adc_dist2
+      FROM asg a
+      JOIN lut l ON l.sub_id = a.sub_id AND l.code_id = a.code_id
+      WHERE l.q_id != a.vec_id
+      GROUP BY l.q_id, a.vec_id
+    ),
+    short AS (
+      SELECT q_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY adc_dist2, cand_id) AS arnk
+        FROM scored)
+      WHERE arnk <= 50
+    ),
+    rr AS (
+      SELECT s.q_id, s.cand_id,
+             round(list_inner_product(q.v, q.v)
+                 - 2.0*list_inner_product(q.v, c.v)
+                 + list_inner_product(c.v, c.v), 6) AS dist2
+      FROM short s
+      JOIN e q ON q.vec_id = s.q_id
+      JOIN e c ON c.vec_id = s.cand_id
+    )
+    SELECT q_id, cand_id, dist2, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY dist2, cand_id) AS INT) AS rnk
+      FROM rr)
     WHERE rnk <= 5
   """
 
