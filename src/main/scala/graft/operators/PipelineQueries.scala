@@ -260,6 +260,40 @@ object PipelineQueries extends QueryModule {
         WHERE ${mixSql("doc_id")} % 5 = 0
       """)
     ),
+    // Deterministic train/val/test split: the assignment is a pure
+    // function of the doc key (not of partitioning, ordering or
+    // cluster size), so every retry and every engine produces the
+    // SAME split — the reproducibility property an eval-contamination
+    // audit needs. 90/5/5 via one hash bucket per row, scan-local;
+    // the per-(lang, split) census is the auditable artifact.
+    QueryDef(
+      "q_split_train_val_test",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val bucket = mix(col("doc_id")) % 100
+        t.documents
+          .withColumn("split",
+            when(bucket < 90, "train")
+              .when(bucket < 95, "val")
+              .otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars_total"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+      },
+      Some(s"""
+        SELECT lang,
+               CASE WHEN ${mixSql("doc_id")} % 100 < 90 THEN 'train'
+                    WHEN ${mixSql("doc_id")} % 100 < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        FROM documents
+        GROUP BY 1, 2
+      """)
+    ),
     // Stratified (domain-mixing) sampling: per-language keep rates —
     // downsample the dominant language, keep the tails. Rates are a
     // tiny CASE map evaluated per row; still scan-local.
