@@ -954,11 +954,15 @@ object FlagshipQueries extends QueryModule {
         s.sql("""
           SELECT c_nationkey AS nation, c_mktsegment AS segment,
                  count(*) AS n,
-                 -- exact long-cents avg: both engines divide IDENTICAL
-                 -- integers, so the 4-decimal round can't diverge with
-                 -- group size (fp summation order did at sf1)
-                 round(CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)
-                       / (count(*) * 100.0), 4) AS avg_bal,
+                 -- exact long-cents avg, rounded to 4 decimals IN
+                 -- INTEGER ARITHMETIC: round(x, 4) on a double diverges
+                 -- between engines when the exact quotient sits on a
+                 -- .00005 boundary (Spark rounds the shortest decimal
+                 -- repr, DuckDB the binary value — bit on sf1 group 58);
+                 -- half-up on the exact rational can't
+                 (CAST((200 * sum(CAST(round(c_acctbal*100) AS BIGINT))
+                        + count(*)) div (2 * count(*)) AS DOUBLE)
+                  / 10000.0) AS avg_bal,
                  min(c_acctbal) AS min_bal,
                  max(c_acctbal) AS max_bal
           FROM customer_census c
@@ -981,8 +985,9 @@ object FlagshipQueries extends QueryModule {
       Some("""
         SELECT c_nationkey AS nation, c_mktsegment AS segment,
                count(*) AS n,
-               round(CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)
-                     / (count(*) * 100.0), 4) AS avg_bal,
+               (CAST((200 * sum(CAST(round(c_acctbal*100) AS BIGINT))
+                      + count(*)) // (2 * count(*)) AS DOUBLE)
+                / 10000.0) AS avg_bal,
                min(c_acctbal) AS min_bal,
                max(c_acctbal) AS max_bal
         FROM customer c
