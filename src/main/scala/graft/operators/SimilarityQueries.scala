@@ -544,6 +544,36 @@ object SimilarityQueries extends QueryModule {
       .filter(col("rnk") <= k)
   }
 
+  /** IVF-PQ shortlist + exact rerank — [[pqTopKRerank]] over the
+    * probed-cell ADC ranking instead of the full-corpus one. Per-query
+    * cost: (nProbe/nLists)·N ADC lookups + L exact distances.
+    */
+  def ivfPqTopKRerank(
+      emb: DataFrame,
+      nQueries: Int,
+      k: Int,
+      shortlist: Int = 50,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      numCodes: Int = 16
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adc = ivfPqTopK(emb, nQueries, shortlist, nLists, nProbe, m, numCodes)
+      .select(col("q_id"), col("cand_id"))
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rr = adc
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("v").as("cv")), "cand_id")
+      .withColumn("dist2",
+        round(dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), col("cv"))
+          + dot(col("cv"), col("cv")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("cand_id"))
+    rr.select(col("q_id"), col("cand_id"), col("dist2"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   /** IVF-PQ composite (the Faiss IVFPQ layout, the index family behind
     * billion-scale ANN): a coarse quantizer routes each vector to one
     * of `nLists` cells, and inside the cells only the m-byte PQ codes
@@ -781,6 +811,14 @@ object SimilarityQueries extends QueryModule {
       "q_ann_pq_rerank",
       (s, dir) => pqTopKRerank(tables(s, dir).embeddings, 10, 5, 50),
       Some(pqRerankOracle)
+    ),
+    // IVF-PQ + exact rerank — the complete Faiss IVFPQ+refine stack:
+    // coarse probe -> PQ-coded cells -> ADC shortlist -> exact rerank,
+    // every stage deterministic and the whole pipeline hash-oracled.
+    QueryDef(
+      "q_ann_ivf_pq_rerank",
+      (s, dir) => ivfPqTopKRerank(tables(s, dir).embeddings, 10, 5, 50),
+      Some(ivfPqRerankOracle)
     )
   )
 
@@ -914,7 +952,7 @@ object SimilarityQueries extends QueryModule {
     * rows, used whole), per-vector cell assignment, nProbe=4 query
     * probes, and ADC restricted to the probed cells.
     */
-  private val ivfPqOracle = s"""
+  private val ivfPqScoredCtes = s"""
     $pqAsgCtes,
     cents AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS cv,
@@ -963,10 +1001,43 @@ object SimilarityQueries extends QueryModule {
       WHERE l.q_id != a.vec_id
       GROUP BY l.q_id, a.vec_id
     )
+  """
+
+  private val ivfPqOracle = s"""
+    $ivfPqScoredCtes
     SELECT q_id, cand_id, adc_dist2, rnk FROM (
       SELECT *, CAST(row_number() OVER (PARTITION BY q_id
                      ORDER BY adc_dist2, cand_id) AS INT) AS rnk
       FROM scored)
+    WHERE rnk <= 5
+  """
+
+  /** IVF-PQ + exact rerank: the probed-cell ADC shortlist (50)
+    * re-scored with exact distances — the full Faiss IVFPQ+refine
+    * stack, hash-oracled end to end.
+    */
+  private val ivfPqRerankOracle = s"""
+    $ivfPqScoredCtes,
+    short AS (
+      SELECT q_id, cand_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                    ORDER BY adc_dist2, cand_id) AS arnk
+        FROM scored)
+      WHERE arnk <= 50
+    ),
+    rr AS (
+      SELECT sh.q_id, sh.cand_id,
+             round(list_inner_product(q.v, q.v)
+                 - 2.0*list_inner_product(q.v, c.v)
+                 + list_inner_product(c.v, c.v), 6) AS dist2
+      FROM short sh
+      JOIN e q ON q.vec_id = sh.q_id
+      JOIN e c ON c.vec_id = sh.cand_id
+    )
+    SELECT q_id, cand_id, dist2, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY dist2, cand_id) AS INT) AS rnk
+      FROM rr)
     WHERE rnk <= 5
   """
 }

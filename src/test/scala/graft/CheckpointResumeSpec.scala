@@ -74,4 +74,39 @@ class CheckpointResumeSpec extends AnyFunSuite {
     // ("view") emits nothing after restart
     assert(!run2.exists(_._1 == "view"), "restart replayed committed batch")
   }
+
+  test("native file sink is exactly-once across a stop/restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_filesink").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_filesink_out").toString
+
+    val in = MemoryStream[Event]
+    def sink = in.toDF()
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+
+    in.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 1, "view", 2.0))
+    val q1 = sink.start()
+    try q1.processAllAvailable()
+    finally q1.stop()
+
+    in.addData(Event(3, ts(3), 2, "click", 3.0))
+    val q2 = sink.start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+
+    // every input row exactly once: the restarted query neither
+    // re-wrote batch 1's files into the manifest nor dropped batch 2
+    val ids = spark.read.parquet(outDir)
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"file sink rows: $ids")
+  }
 }

@@ -58,6 +58,35 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming MG aggregation upholds the guarantees across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val mg = org.apache.spark.sql.functions.udaf(new MisraGriesAgg(Capacity))
+    val agg = in.toDF().toDF("word")
+      .agg(mg(col("word")).as("sk"))
+      .selectExpr("sk.total AS total", "map_keys(sk.counts) AS cands")
+    val q = agg.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    val all = words("sf0.001").collect().map(_.getString(0))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    try {
+      in.addData(b1.toSeq)
+      q.processAllAvailable()
+      in.addData(b2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val row = spark.sql("SELECT total, cands FROM mg_stream").collect()(0)
+    val exact = exactCounts("sf0.001")
+    val n = exact.values.sum
+    assert(row.getLong(0) == n, "streaming sketch lost rows across batches")
+    val heavy = exact.filter { case (_, c) => c >= Phi * n }.keySet
+    val cands = row.getSeq[String](1).toSet
+    assert((heavy -- cands).isEmpty,
+      s"streaming MG missed heavy hitters: ${heavy -- cands}")
+    assert(cands.size <= Capacity)
+  }
+
   test("verified heavy-hitter output is partitioning-invariant and exact") {
     def verified(parts: Int): Set[(String, Long)] = {
       val sk = sketch("sf0.001", parts)
