@@ -46,6 +46,28 @@ object ZOrder {
       }
       .reduce(_ + _)
 
+  /** Three-dimensional Morton interleave: bit j of `a` lands at 3j,
+    * of `b` at 3j+1, of `c` at 3j+2. Same disjoint-positions argument
+    * as the 2-D form; with 8-bit quantization the word stays well
+    * under 63 bits (3·bits ≤ 24).
+    */
+  def interleave3(a: Column, b: Column, c: Column, bits: Int): Column =
+    (0 until bits)
+      .map { j =>
+        shiftleft(shiftright(a, j).bitwiseAND(lit(1L)), 3 * j) +
+          shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), 3 * j + 1) +
+          shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), 3 * j + 2)
+      }
+      .reduce(_ + _)
+
+  /** DuckDB mirror of [[interleave3]] (for oracles). */
+  def interleave3Sql(a: String, b: String, c: String, bits: Int): String =
+    (0 until bits)
+      .map(j => s"((($a >> $j) & 1) << ${3 * j}) + " +
+        s"((($b >> $j) & 1) << ${3 * j + 1}) + " +
+        s"((($c >> $j) & 1) << ${3 * j + 2})")
+      .mkString("(", " + ", ")")
+
   /** Write `df` to parquet in Z-order on two LONG-castable columns —
     * the OPTIMIZE ZORDER BY operator surface (Delta/Iceberg's data
     * layout command; reference: the same file-skipping goal the

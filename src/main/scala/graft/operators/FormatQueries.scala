@@ -218,6 +218,36 @@ object FormatQueries extends QueryModule {
       )
   }
 
+  /** Raw line-oriented text source/sink — the rawest ingestion format a
+    * crawl pipeline sees (one document per line). Write orders rows as
+    * pipe-delimited lines, read them back with `spark.read.text`, parse
+    * with column expressions, re-aggregate; the oracle recomputes from
+    * the table, so the line round-trip is value-checked.
+    */
+  private def textRoundTrip(s: SparkSession, dir: String) = {
+    val path = scratch("textlines_" + new java.io.File(dir).getName)
+    tables(s, dir).orders
+      .select(concat_ws("|",
+        col("o_orderkey"), col("o_orderstatus"),
+        // integer cents via Money.cents (round-then-cast — a bare
+        // cast truncates the binary .9999 tail and drops cents);
+        // double->string formatting differs across engines, longs don't
+        Money.cents(col("o_totalprice")).cast("string")).as("value"))
+      .write.mode("overwrite").text(path)
+    val parts = split(col("value"), "\\|")
+    s.read.text(path)
+      .select(
+        parts.getItem(0).cast("long").as("o_orderkey"),
+        parts.getItem(1).as("o_orderstatus"),
+        parts.getItem(2).cast("long").as("cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        Money.sumPrice(col("cents") / 100.0).as("total"))
+  }
+
   /** Schema evolution across parquet batches (the long-lived-pipeline
     * reality: yesterday's files have 3 columns, today's have 4).
     * Two generations are written to one directory; `mergeSchema`
@@ -299,6 +329,16 @@ object FormatQueries extends QueryModule {
     QueryDef("q_source_json_roundtrip", (s, dir) => roundTrip(s, dir, "json"), Some(oracle)),
     QueryDef("q_source_orc_roundtrip", (s, dir) => roundTrip(s, dir, "orc"), Some(oracle)),
     QueryDef("q_source_xml_roundtrip", (s, dir) => xmlRoundTrip(s, dir), Some(oracle)),
+    QueryDef(
+      "q_source_text_roundtrip",
+      (s, dir) => textRoundTrip(s, dir),
+      Some(s"""
+        SELECT o_orderstatus, count(*) AS n,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+               ${Money.sumPriceSql("o_totalprice")} AS total
+        FROM orders GROUP BY o_orderstatus
+      """)
+    ),
     QueryDef(
       "q_source_schema_evolution",
       (s, dir) => schemaEvolutionRead(s, dir),

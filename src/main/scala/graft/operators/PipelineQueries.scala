@@ -703,6 +703,64 @@ object PipelineQueries extends QueryModule {
         FROM z GROUP BY 1
       """)
     ),
+    // Three-dimensional Z-order layout stats: the same
+    // quantize+interleave against broadcast bounds, across THREE
+    // clustering dimensions (ship-day, part, supplier) — the shape a
+    // fact table with three hot predicates wants. Integer-exact, so
+    // the per-bucket tri-dimension stats hash-match DuckDB.
+    QueryDef(
+      "q_layout_zorder3",
+      (s, dir) => {
+        import graft.functions.ZOrder
+        val t = tables(s, dir)
+        val li = t.lineitem.select(
+          datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+            .cast("long").as("d_day"),
+          col("l_partkey").as("pk"),
+          col("l_suppkey").as("sk")
+        )
+        val bounds = li.agg(
+          min(col("d_day")).as("dmin"), max(col("d_day")).as("dmax"),
+          min(col("pk")).as("pmin"), max(col("pk")).as("pmax"),
+          min(col("sk")).as("smin"), max(col("sk")).as("smax"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("z", ZOrder.interleave3(
+            ZOrder.quantize(col("d_day"), col("dmin"), col("dmax"), 6),
+            ZOrder.quantize(col("pk"), col("pmin"), col("pmax"), 6),
+            ZOrder.quantize(col("sk"), col("smin"), col("smax"), 6), 6))
+          .groupBy(shiftright(col("z"), 9).as("zbucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("d_day")).as("min_day"), max(col("d_day")).as("max_day"),
+            min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+            min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+      },
+      Some(s"""
+        WITH li AS (
+          SELECT CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS d_day,
+                 l_partkey AS pk, l_suppkey AS sk
+          FROM lineitem
+        ), b AS (
+          SELECT min(d_day) AS dmin, max(d_day) AS dmax,
+                 min(pk) AS pmin, max(pk) AS pmax,
+                 min(sk) AS smin, max(sk) AS smax
+          FROM li
+        ), z AS (
+          SELECT d_day, pk, sk,
+                 ${graft.functions.ZOrder.interleave3Sql(
+                   graft.functions.ZOrder.quantizeSql("d_day", "dmin", "dmax", 6),
+                   graft.functions.ZOrder.quantizeSql("pk", "pmin", "pmax", 6),
+                   graft.functions.ZOrder.quantizeSql("sk", "smin", "smax", 6),
+                   6)} AS zv
+          FROM li, b
+        )
+        SELECT zv // 512 AS zbucket, count(*) AS n,
+               min(d_day) AS min_day, max(d_day) AS max_day,
+               min(pk) AS min_pk, max(pk) AS max_pk,
+               min(sk) AS min_sk, max(sk) AS max_sk
+        FROM z GROUP BY 1
+      """)
+    ),
     // Hilbert-curve layout stats — same bucket-narrowness shape as
     // q_layout_zorder but along the Hilbert curve (strictly better
     // locality: consecutive positions are always grid-adjacent, so
