@@ -256,6 +256,51 @@ object JoinQueries extends QueryModule {
         GROUP BY s.user_id
       """)
     ),
+    // Pure range join (NO equi key): lineitem ship-days vs derived
+    // promo windows, via the banded rewrite (plans/RangeJoin) — an
+    // equi-join on the bin instead of a nested loop, exact predicate
+    // re-checked on collisions. PlanAudit confirms no cartesian.
+    QueryDef(
+      "q_join_range_binned",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val epoch = lit(java.sql.Date.valueOf("1992-01-01"))
+        // 40 deterministic 4-day windows from the lowest order keys
+        val windows = t.orders
+          .filter(col("o_orderkey") < 160)
+          .select(
+            col("o_orderkey").as("win_id"),
+            datediff(col("o_orderdate"), epoch).cast("long").as("w_start"))
+          .withColumn("w_end", col("w_start") + 3)
+        val points = t.lineitem.select(
+          datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"),
+          col("l_extendedprice"))
+        graft.plans.RangeJoin
+          .pointInInterval(points, "ship_day", windows, "w_start", "w_end", 4L)
+          .groupBy(col("win_id"))
+          .agg(
+            count(lit(1)).as("n_ships"),
+            Money.sumPrice(col("l_extendedprice")).as("revenue"))
+      },
+      Some(s"""
+        WITH windows AS (
+          SELECT o_orderkey AS win_id,
+                 CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS w_start,
+                 CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) + 3 AS w_end
+          FROM orders WHERE o_orderkey < 160
+        ),
+        points AS (
+          SELECT CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS ship_day,
+                 l_extendedprice
+          FROM lineitem
+        )
+        SELECT win_id, count(*) AS n_ships,
+               ${Money.sumPriceSql("l_extendedprice")} AS revenue
+        FROM points JOIN windows
+          ON ship_day >= w_start AND ship_day <= w_end
+        GROUP BY win_id
+      """)
+    ),
     // As-of (temporal) join — reference StreamExecTemporalJoin /
     // TemporalRowTimeJoinOperator. Spark lacks this operator; see
     // graft.plans.AsOfJoin for the single-shuffle union+window design.

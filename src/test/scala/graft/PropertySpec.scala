@@ -90,6 +90,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("banded range join equals the naive range join on random intervals") {
+    import spark.implicits._
+    for (seed <- Seq(3, 19); width <- Seq(1L, 7L, 100L)) {
+      val rnd = new Random(seed)
+      val points = (1 to 500).map(i => (rnd.nextInt(1000).toLong, i.toLong))
+      val intervals = (1 to 80).map { i =>
+        val s0 = rnd.nextInt(1000).toLong
+        (i.toLong, s0, s0 + rnd.nextInt(30))
+      }
+      val expected = (for {
+        (p, pid) <- points; (wid, s0, e0) <- intervals
+        if p >= s0 && p <= e0
+      } yield (pid, wid)).toSet
+      val got = graft.plans.RangeJoin
+        .pointInInterval(
+          points.toDF("p", "pid"), "p",
+          intervals.toDF("wid", "s0", "e0"), "s0", "e0", width)
+        .select(col("pid"), col("wid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // no duplicates (a point meets an interval in exactly one bin)
+      assert(got.length == got.toSet.size, s"seed=$seed w=$width dup pairs")
+      assert(got.toSet == expected, s"seed=$seed w=$width mismatch")
+    }
+  }
+
   test("prefix filtering is complete on random token sets (vs brute force)") {
     // pure-algorithm check of the completeness lemma on adversarial
     // random sets: threshold t = 4/5, global order = (df, token)
