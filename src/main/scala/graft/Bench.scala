@@ -71,7 +71,9 @@ object Bench {
     "q_tokenizer_bpe",
     "q_layout_hilbert",
     "q_dedup_prefix_filter",
-    "q_merge_upsert"
+    "q_merge_upsert",
+    "q_join_range_binned",
+    "q_ann_ivf_pq_rerank"
   )
 
   def main(args: Array[String]): Unit = {

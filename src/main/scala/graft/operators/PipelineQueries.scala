@@ -294,6 +294,41 @@ object PipelineQueries extends QueryModule {
         GROUP BY 1, 2
       """)
     ),
+    // Weighted sampling WITHOUT replacement — sequential Poisson
+    // sampling (Ohlsson 1998, the published order-sampling design):
+    // priority = u / w with u uniform; the k smallest priorities are
+    // the sample, inclusion probability ∝ w. Here u = mix(doc_id)+1
+    // (deterministic hash-uniform), so the sample is a pure function
+    // of the corpus; the priority is one exact-integer division — the
+    // SAME IEEE op in both engines, so ordering (and the top-k cut)
+    // is bit-identical. Global top-k is a sort-limit (TakeOrdered at
+    // scale — no full sort).
+    QueryDef(
+      "q_sample_weighted",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val w = when(col("lang") === "en", 4.0)
+          .when(col("lang") === "de", 2.0)
+          .otherwise(1.0)
+        t.documents
+          .withColumn("priority",
+            (mix(col("doc_id")) + lit(1L)).cast("double") / w)
+          .orderBy(col("priority"), col("doc_id"))
+          .limit(100)
+          .select(col("doc_id"), col("lang"), col("priority"))
+      },
+      Some(s"""
+        SELECT doc_id, lang, priority FROM (
+          SELECT doc_id, lang,
+                 CAST(${mixSql("doc_id")} + 1 AS DOUBLE) /
+                   (CASE WHEN lang = 'en' THEN 4.0
+                         WHEN lang = 'de' THEN 2.0 ELSE 1.0 END) AS priority
+          FROM documents
+        )
+        ORDER BY priority, doc_id
+        LIMIT 100
+      """)
+    ),
     // Stratified (domain-mixing) sampling: per-language keep rates —
     // downsample the dominant language, keep the tails. Rates are a
     // tiny CASE map evaluated per row; still scan-local.
