@@ -34,9 +34,11 @@ object PlanAudit {
       // q_ann_ivf/q_ann_brute_force): the broadcast side is k or
       // nQueries rows, independent of corpus size
       "q_ann_sq8", "q_ann_ivf_sq8", "q_dedup_semantic", "q_ann_ivf_pq",
+      "q_ann_ivf_pq_rerank",
       // 1-row broadcast bounds/percentiles (histogram + outlier gate +
       // hilbert layout quantization bounds)
-      "q_profile_histogram", "q_quality_outlier_filter", "q_layout_hilbert"
+      "q_profile_histogram", "q_quality_outlier_filter", "q_layout_hilbert",
+      "q_layout_zorder3"
     )
     // Queries whose predicates MUST reach the parquet scan — every
     // selective filter over a base-table column. A regression here
