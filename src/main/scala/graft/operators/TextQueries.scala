@@ -485,6 +485,46 @@ object TextQueries extends QueryModule {
         HAVING count(*) >= 0.01 * (SELECT total FROM n)
       """)
     ),
+    // Per-group heavy hitters (φ = 2% within each language): the MG
+    // sketch as a PER-KEY aggregate — one sketch per group, mergeable
+    // map-side like any partial agg, so per-domain frequent-token
+    // analysis at 100 TB is one shuffle of O(groups × capacity) state.
+    // Same propose-then-verify exactness: per-group candidates, exact
+    // recount, per-group threshold.
+    QueryDef(
+      "q_text_heavy_hitters_grouped",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = t.documents
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+        val mg = udaf(new graft.functions.MisraGriesAgg(128))
+        // one row per language, O(groups × capacity) — driver-safe
+        val perLang = words.groupBy(col("lang"))
+          .agg(mg(col("word")).as("sk"))
+          .select(col("lang"), col("sk.total").as("total"),
+            explode(map_keys(col("sk.counts"))).as("word"))
+        words
+          .join(perLang.select(col("lang"), col("word"), col("total")).distinct(),
+            Seq("lang", "word"))
+          .groupBy(col("lang"), col("word"), col("total"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= lit(0.02) * col("total").cast("double"))
+          .select(col("lang"), col("word"), col("cnt"))
+      },
+      Some("""
+        WITH w AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents),
+             ww AS (SELECT lang, word FROM w WHERE word <> ''),
+             tot AS (SELECT lang, CAST(count(*) AS DOUBLE) AS total
+                     FROM ww GROUP BY lang)
+        SELECT ww.lang, word, count(*) AS cnt
+        FROM ww JOIN tot ON ww.lang = tot.lang
+        GROUP BY ww.lang, word, total
+        HAVING count(*) >= 0.02 * total
+      """)
+    ),
     // BPE tokenizer merge training (Sennrich 2016): one corpus pass to
     // the word vocabulary, then k distributed pair-count rounds over
     // the vocab only. Iterative multi-job semantics are not
