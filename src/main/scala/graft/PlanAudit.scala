@@ -37,7 +37,8 @@ object PlanAudit {
       "q_ann_ivf_pq_rerank",
       // 1-row broadcast bounds/percentiles (histogram + outlier gate +
       // hilbert layout quantization bounds)
-      "q_profile_histogram", "q_quality_outlier_filter", "q_layout_hilbert",
+      "q_profile_histogram", "q_profile_histogram_equidepth",
+      "q_quality_outlier_filter", "q_layout_hilbert",
       "q_layout_zorder3"
     )
     // Queries whose predicates MUST reach the parquet scan — every

@@ -211,6 +211,50 @@ object PipelineQueries extends QueryModule {
         GROUP BY 1
       """)
     ),
+    // Equi-DEPTH histogram — quantile buckets instead of equal widths
+    // (the profiler shape skewed columns need: equal-width puts 95% of
+    // a Zipf column in bucket 0). Boundaries are DISCRETE percentiles
+    // (actual column values — no interpolation arithmetic to diverge
+    // between engines), one 1-row broadcast; bucketing is scan-local
+    // comparisons. At 100 TB swap the exact quantiles for GK — plan
+    // shape unchanged.
+    QueryDef(
+      "q_profile_histogram_equidepth",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val qs = t.documents.agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)").as("q1"),
+          expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY n_chars)").as("q2"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars)").as("q3"))
+        t.documents
+          .crossJoin(broadcast(qs))
+          .withColumn("bucket",
+            when(col("n_chars") <= col("q1"), 0)
+              .when(col("n_chars") <= col("q2"), 1)
+              .when(col("n_chars") <= col("q3"), 2)
+              .otherwise(3))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("n_chars")).as("b_min"),
+            max(col("n_chars")).as("b_max"))
+      },
+      Some("""
+        WITH qs AS (
+          SELECT quantile_disc(n_chars, 0.25) AS q1,
+                 quantile_disc(n_chars, 0.50) AS q2,
+                 quantile_disc(n_chars, 0.75) AS q3
+          FROM documents
+        )
+        SELECT CASE WHEN n_chars <= q1 THEN 0
+                    WHEN n_chars <= q2 THEN 1
+                    WHEN n_chars <= q3 THEN 2
+                    ELSE 3 END AS bucket,
+               count(*) AS n, min(n_chars) AS b_min, max(n_chars) AS b_max
+        FROM documents CROSS JOIN qs
+        GROUP BY 1
+      """)
+    ),
     // Percentile outlier gate (the length-filter every corpus prep
     // runs): keep documents whose n_chars sits inside the exact
     // [p1, p99] band. The percentile pair is one 1-row aggregate
