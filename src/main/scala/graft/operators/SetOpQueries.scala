@@ -56,6 +56,40 @@ object SetOpQueries extends QueryModule {
       "q_setop_except_all",
       (s, dir) => cust(s, dir).exceptAll(supp(s, dir)),
       Some(s"$custSql EXCEPT ALL $suppSql")
+    ),
+    // Schema-drift union: two generations of the same feed with
+    // different column sets, reconciled BY NAME with nulls for the
+    // missing side (`unionByName(allowMissingColumns)` — the batch
+    // twin of the mergeSchema read in q_source_schema_evolution).
+    QueryDef(
+      "q_setop_union_by_name",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val gen1 = t.orders
+          .filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("key"), col("o_orderstatus").as("status"))
+        val gen2 = t.orders
+          .filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey").as("key"),
+            col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("prio"))
+        gen1.unionByName(gen2, allowMissingColumns = true)
+          .groupBy(coalesce(col("prio"), lit("LEGACY")).as("prio"), col("status"))
+          .agg(count(lit(1)).as("n"), min(col("key")).as("min_key"))
+      },
+      Some("""
+        SELECT coalesce(prio, 'LEGACY') AS prio, status,
+               count(*) AS n, min(key) AS min_key
+        FROM (
+          SELECT o_orderkey AS key, o_orderstatus AS status
+          FROM orders WHERE o_orderkey % 2 = 0
+          UNION ALL BY NAME
+          SELECT o_orderkey AS key, o_orderstatus AS status,
+                 o_orderpriority AS prio
+          FROM orders WHERE o_orderkey % 2 = 1
+        )
+        GROUP BY 1, 2
+      """)
     )
   )
 }
