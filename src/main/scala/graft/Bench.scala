@@ -76,6 +76,31 @@ object Bench {
     "q_ann_ivf_pq_rerank"
   )
 
+  /** Healthy-window reference time of [[calibrateOnce]] on this
+    * project's canonical bench host (local[32], measured 2026-08-14 in
+    * an uncontended window; see README "Bench calibration"). The
+    * published `calibration_ratio` = observed / this. A ratio well
+    * above 1 (the r10→r11 throttle episodes measured 1.25–1.46× on
+    * UNTOUCHED plans) means the HOST was degraded during the record —
+    * per-query comparisons across rounds must be read against the
+    * ratio before calling anything a code regression.
+    */
+  val CalibrationRefSec = 1.35
+
+  /** Fixed CPU-bound calibration workload — measures the host, not the
+    * engine: a constant-size in-memory hash/arithmetic aggregation
+    * (whole-stage codegen, no I/O, no shuffle beyond the final 1-row
+    * agg, independent of SF and of any code that changes per round).
+    */
+  def calibrateOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 192L << 20, 1L, 32)
+      .selectExpr("xxhash64(id) AS h")
+      .selectExpr("sum(h) AS s", "avg(abs(h % 1000000)) AS a")
+      .write.mode("overwrite").format("noop").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -111,6 +136,10 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // host self-calibration: min-of-K of the fixed workload, sampled
+    // BEFORE and AFTER the query rounds so a throttle window opening
+    // mid-run is still visible in the published ratio
+    val calBefore = (1 to repeats).map(_ => calibrateOnce(spark)).min
     // Interleave rounds (all queries once, then again) rather than
     // back-to-back repeats of one query, so a transient throttling window
     // cannot inflate all K samples of the same query.
@@ -118,6 +147,9 @@ object Bench {
       val rounds = (1 to repeats).map(_ => headline.map(n => n -> runOnce(n)))
       headline.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
     }
+    val calAfter = (1 to repeats).map(_ => calibrateOnce(spark)).min
+    val calibration = math.max(calBefore, calAfter)
+    val calRatio = calibration / CalibrationRefSec
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -131,7 +163,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     println(
-      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
+      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"calibration_s":$calibration%.3f,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ratio":$calRatio%.2f,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -1535,6 +1535,105 @@ object CepQueries extends QueryModule {
         JOIN ev b ON b.user_id = s.user_id AND b.rn = s.m1 + 1
         JOIN ev c ON c.user_id = s.user_id AND c.rn = s.m1 + 2
       """)
+    ),
+    // FIRST/LAST logical navigation in DEFINE — the reference's
+    // canonical iterative-condition form (MatchCodeGenerator.scala
+    // FIRST|LAST; MatchRecognizeITCase.scala `price < LAST(DOWN.price,
+    // 1) OR LAST(DOWN.price, 1) IS NULL`). U{3} with LAST(U.value, 1)
+    // = three-row rising run anchored ANYWHERE (the first U sees NULL
+    // and accepts any row — unlike physical PREV, which constrains the
+    // first row against its predecessor). Oracle: consecutive row
+    // triples with two rises via row_number self-joins.
+    QueryDef(
+      "q_cep_sql_nav_run",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatch(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (U{3})
+              DEFINE U AS value > LAST(U.value, 1) OR LAST(U.value, 1) IS NULL
+            )
+          """)
+          .toDF()
+          .select(
+            col("key").as("user_id"),
+            element_at(col("event_ids"), 1).as("m1"),
+            element_at(col("event_ids"), 2).as("m2"),
+            element_at(col("event_ids"), 3).as("m3")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER w AS rn
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT a.user_id, a.event_id AS m1, b.event_id AS m2, c.event_id AS m3
+        FROM o a
+        JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+        WHERE b.value > a.value AND c.value > b.value
+      """)
+    ),
+    // Cross-variable navigation on the GENERIC relation path: B binds
+    // against A's matched row (bare qualified ref = LAST(A.value, 0)),
+    // C against the previous matched row via the UNIVERSAL variable
+    // (unqualified LAST(value, 1)) and the match's first row via
+    // FIRST(A.value). ALL ROWS PER MATCH output; overlap allowed via
+    // SKIP TO NEXT ROW so the oracle enumerates all qualifying triples.
+    QueryDef(
+      "q_cep_sql_nav_cross",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        graft.streaming.MatchRecognize
+          .detectRelation(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (A B C)
+              DEFINE A AS event_type = 'view',
+                     B AS value > A.value,
+                     C AS value > LAST(value, 1) AND value > FIRST(A.value)
+            )
+          """)
+          .select(
+            col("user_id"),
+            col("event_id"),
+            col("classifier")
+          )
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, event_type, value,
+                 row_number() OVER w AS rn
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        m AS (
+          SELECT a.user_id, a.event_id AS m1, b.event_id AS m2, c.event_id AS m3
+          FROM o a
+          JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+          JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+          WHERE a.event_type = 'view'
+            AND b.value > a.value
+            AND c.value > b.value AND c.value > a.value
+        )
+        SELECT user_id, m1 AS event_id, 'A' AS classifier FROM m
+        UNION ALL SELECT user_id, m2, 'B' FROM m
+        UNION ALL SELECT user_id, m3, 'C' FROM m
+      """)
     )
   )
 }

@@ -35,6 +35,18 @@ object CepCore {
     */
   sealed trait Elem[E]
 
+  /** What a navigation-aware DEFINE predicate sees besides the current
+    * row: the physical previous row in the partition (PREV) and the
+    * partial match so far — its rows with their step labels, in match
+    * order (FIRST/LAST logical navigation; reference:
+    * MatchCodeGenerator.scala FIRST|LAST visitCall + IterativeCondition
+    * .Context.getEventsForPattern in flink-libraries/flink-cep/.../
+    * pattern/conditions/IterativeCondition.java). `rows`/`labels` are
+    * parallel and cheap views of the partial's own buffers — no copy.
+    */
+  final case class NavCtx[E](prev: Option[E], rows: Seq[E],
+      labels: Seq[String])
+
   /** One pattern step (field semantics documented on [[Cep]]).
     * `predicate` receives (previous row in partition, current row);
     * APIs without PREV wrap a 1-arg predicate. `loopBackTo` is
@@ -71,7 +83,14 @@ object CepCore {
         * `predicate` must be the choices' disjunction and `name` is
         * display-only.
         */
-      choices: Seq[(String, (Option[E], E) => Boolean)] = Seq.empty
+      choices: Seq[(String, (Option[E], E) => Boolean)] = Seq.empty,
+      /** Match-aware predicate — SQL FIRST/LAST logical navigation
+        * inside DEFINE (the reference's iterative conditions). When
+        * set it REPLACES `predicate` at every evaluation site: the NFA
+        * hands it the partial match's rows+labels so `LAST(V.col, n)`
+        * can bind against the rows variable V matched so far.
+        */
+      navPredicate: Option[(NavCtx[E], E) => Boolean] = None
   ) extends Elem[E] {
     /** The label to record for a row this step just consumed. */
     def labelFor(prev: Option[E], e: E): String =
@@ -80,6 +99,9 @@ object CepCore {
     require(choices.isEmpty || (!negated && !anyMatch && until.isEmpty),
       "choice steps (grouped alternation) cannot combine with " +
         "negation, followedByAny, or until")
+    require(navPredicate.isEmpty || choices.isEmpty,
+      "FIRST/LAST navigation inside grouped alternation (A|B) is out " +
+        "of scope — give each alternative its own top-level branch")
     require(times >= 1)
     require(times == 1 || (!optional && !oneOrMore),
       "times(n) cannot combine with optional/oneOrMore on one step")
@@ -365,6 +387,16 @@ object CepCore {
     def untilHit(steps: Seq[Step[E]], i: Int, e: E): Boolean =
       steps(i).until.exists(f => f(e))
 
+    // a step's predicate, routed through the match-aware form when the
+    // DEFINE uses FIRST/LAST navigation (the partial's rows+labels are
+    // the navigation target; for a fresh partial they are empty —
+    // LAST(V.col, n) over an empty history is NULL, SQL semantics)
+    def accepts(s: Step[E], p: PartialMatch[E], prev: Option[E], e: E): Boolean =
+      s.navPredicate match {
+        case Some(f) => f(NavCtx(prev, p.rows, p.labels), e)
+        case None => s.predicate(prev, e)
+      }
+
     /** Try to consume `e` from partial `p`. Returns (consumed,
       * successors, emits). A greedy in-loop partial whose loop
       * predicate accepts takes only the loop branch. `prev` is the
@@ -380,12 +412,12 @@ object CepCore {
       // greedy loop branch wins outright — unless the stop condition
       // closes the loop, in which case the exit positions take over
       val greedyLoop = p.inLoop && steps(p.stepIdx).greedy &&
-        steps(p.stepIdx).predicate(prev, e) && !untilHit(steps, p.stepIdx, e)
+        accepts(steps(p.stepIdx), p, prev, e) && !untilHit(steps, p.stepIdx, e)
       val positions =
         if (greedyLoop) Seq((p.stepIdx, true))
         else closure(steps, p.stepIdx, p.inLoop)
       positions.foreach { case (i, _) =>
-        if (i < n && steps(i).predicate(prev, e) &&
+        if (i < n && accepts(steps(i), p, prev, e) &&
           !(steps(i).oneOrMore && untilHit(steps, i, e))) {
           consumed = true
           val ids = p.rows :+ e
@@ -455,7 +487,7 @@ object CepCore {
         val n = steps.size
         if (negationPending(p)) {
           val i = p.stepIdx
-          if (steps(i).predicate(prev, e)) {
+          if (accepts(steps(i), p, prev, e)) {
             // the forbidden event arrived inside the negation window:
             // the partial dies silently (both notNext and notFollowedBy)
           } else if (pattern.strict) {

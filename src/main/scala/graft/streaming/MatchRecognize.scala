@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, InterpretedPredicate, JoinedRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, BindReferences, Expression, GenericInternalRow, InterpretedPredicate, JoinedRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.types.{DataType, DateType, DoubleType, IntegerType, LongType, StringType, StructType, TimestampType}
@@ -40,12 +41,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    rows once partitioned and ordered).
   *  - AFTER MATCH SKIP PAST LAST ROW is the SQL default; SKIP TO NEXT
   *    ROW maps to [[Cep.SkipToNext]].
-  *  - DEFINE predicates are per-row conditions over the event columns,
+  *  - DEFINE predicates are conditions over the event columns,
   *    compiled by Spark's own SQL parser + analyzer (so type coercion,
   *    function library and null semantics are exactly Spark SQL's) and
-  *    evaluated as an interpreted Catalyst predicate per event.
-  *    PREV/NEXT navigation inside DEFINE is out of scope — the Scala
-  *    API's richer combinators cover those shapes.
+  *    evaluated as an interpreted Catalyst predicate per event. They
+  *    support pattern navigation (reference: MatchCodeGenerator.scala
+  *    visitCall PREV|NEXT|FIRST|LAST; MatchRecognizeITCase.scala):
+  *    `PREV(col)` — the previous PHYSICAL row in the partition;
+  *    `FIRST/LAST(V.col [, n])` — LOGICAL navigation over the rows
+  *    variable V matched so far (current row included in its own
+  *    variable's list, the reference's addCurrent rule); unqualified
+  *    `FIRST/LAST(col [, n])` — over ALL matched rows (the universal
+  *    variable); bare `V.col` = LAST(V.col, 0). NEXT and PREV offsets
+  *    beyond 1 are rejected, as in the reference ("Flink does not
+  *    support physical offsets within partition").
   *  - MEASURES: FIRST/LAST/COUNT/SUM/AVG/MIN/MAX over `VAR.column`
   *    (see [[parseMeasures]]/[[withMeasures]]): the NFA emits the
   *    per-step label of every matched row (`Match.step_names`), and
@@ -71,60 +80,265 @@ object MatchRecognize {
   )
 
   private val PrevPrefix = "__prev_"
+  private val NavPrefix = "__nav_"
+
+  /** One FIRST/LAST navigation site inside a DEFINE predicate:
+    * `LAST(V.col, offset)` / `FIRST(V.col, offset)` — logical
+    * navigation over the rows the pattern variable V has matched so
+    * far (variable `*` = all matched rows, the SQL universal row
+    * pattern variable; reference: MatchCodeGenerator.scala FIRST|LAST
+    * + generateDefinePatternVariableExp, which appends the CURRENT row
+    * to the list when V is the variable being defined).
+    */
+  private final case class NavSpec(first: Boolean, variable: String,
+      ordinal: Int, dataType: DataType, offset: Int)
 
   /** A compiled DEFINE predicate over Catalyst rows, with optional
-    * PREV navigation: bound against curAttrs ++ prevAttrs, evaluated
-    * on JoinedRow(cur, prev-or-nulls). PREV of the partition's first
-    * row is NULL, so a `value > PREV(value)` predicate is false there
-    * — SQL null semantics for free. The bound Catalyst expression
+    * PREV physical navigation and FIRST/LAST logical navigation:
+    * bound against curAttrs ++ prevAttrs ++ navAttrs, evaluated on
+    * JoinedRow(JoinedRow(cur, prev-or-nulls), navRow). PREV of the
+    * partition's first row is NULL, as is LAST/FIRST past the matched
+    * history, so a `value > PREV(value)` predicate is false there —
+    * SQL null semantics for free. The bound Catalyst expression
     * serializes into task closures; the predicate instance is rebuilt
     * lazily per executor.
     */
   private final class BoundPredicate(bound: Expression, width: Int,
-      val usesPrev: Boolean)
+      val usesPrev: Boolean,
+      val navSpecs: IndexedSeq[NavSpec],
+      val selfVar: String)
       extends ((Option[InternalRow], InternalRow) => Boolean) with Serializable {
+    def usesNav: Boolean = navSpecs.nonEmpty
     @transient private lazy val pred = InterpretedPredicate(bound)
     @transient private lazy val nulls: InternalRow = new GenericInternalRow(width)
-    @transient private lazy val joined = new JoinedRow()
+    @transient private lazy val navRow =
+      new GenericInternalRow(math.max(navSpecs.length, 1))
+    @transient private lazy val joinedPrev = new JoinedRow()
+    @transient private lazy val joinedNav = new JoinedRow()
     override def apply(prev: Option[InternalRow], cur: InternalRow): Boolean =
-      if (!usesPrev) pred.eval(cur)
-      else pred.eval(joined(cur, prev.getOrElse(nulls)))
+      evalNav(prev, cur, IndexedSeq.empty, IndexedSeq.empty)
+
+    /** The row a navigation spec selects from the match history, or
+      * null when the offset runs past it. The current row counts as
+      * the LAST row of its own variable's list (and of `*`) — the
+      * reference's addCurrent rule, which is what makes
+      * `U AS value > LAST(U.value, 1)` compare against the PREVIOUS
+      * U row while `LAST(U.value, 0)` is the current row itself.
+      */
+    private def navTarget(s: NavSpec, cur: InternalRow,
+        rows: scala.collection.IndexedSeq[InternalRow],
+        labels: scala.collection.IndexedSeq[String]): InternalRow = {
+      val includeCur = s.variable == "*" || s.variable == selfVar
+      if (s.first) {
+        var seen = 0
+        var i = 0
+        while (i < rows.length) {
+          if (s.variable == "*" || labels(i) == s.variable) {
+            if (seen == s.offset) return rows(i)
+            seen += 1
+          }
+          i += 1
+        }
+        if (includeCur && seen == s.offset) cur else null
+      } else {
+        var need = s.offset
+        if (includeCur) {
+          if (need == 0) return cur
+          need -= 1
+        }
+        var i = rows.length - 1
+        while (i >= 0) {
+          if (s.variable == "*" || labels(i) == s.variable) {
+            if (need == 0) return rows(i)
+            need -= 1
+          }
+          i -= 1
+        }
+        null
+      }
+    }
+
+    /** Evaluate with full match context: `rows`/`labels` are the
+      * partial match so far (parallel, match-ordered).
+      */
+    def evalNav(prev: Option[InternalRow], cur: InternalRow,
+        rows: scala.collection.IndexedSeq[InternalRow],
+        labels: scala.collection.IndexedSeq[String]): Boolean = {
+      if (!usesPrev && !usesNav) return pred.eval(cur)
+      var k = 0
+      while (k < navSpecs.length) {
+        val s = navSpecs(k)
+        val r = navTarget(s, cur, rows, labels)
+        navRow.update(k,
+          if (r == null || r.isNullAt(s.ordinal)) null
+          else r.get(s.ordinal, s.dataType))
+        k += 1
+      }
+      val base = joinedPrev(cur, prev.getOrElse(nulls))
+      pred.eval(if (usesNav) joinedNav(base, navRow) else base)
+    }
   }
 
   /** Compile one DEFINE condition against arbitrary attributes:
-    * parse → rewrite PREV(col) to a shadow `__prev_col` attribute →
-    * resolve + coerce through the real analyzer (a LocalRelation
-    * carrier plan) → bind ordinals. PREV is physical navigation (the
-    * previous input row in the ordered partition; reference:
-    * MatchCodeGenerator.scala, FlinkSqlOperatorTable.java:1147-1151).
+    * parse → rewrite navigation calls to shadow attributes → resolve +
+    * coerce through the real analyzer (a LocalRelation carrier plan) →
+    * bind ordinals. Navigation subset (each form mirrors the
+    * reference's DEFINE support — MatchCodeGenerator.scala visitCall
+    * PREV|NEXT|FIRST|LAST and MatchRecognizeITCase.scala):
+    *
+    *  - `PREV(col)` / `PREV(col, 1)` / `PREV(SELF.col)`: the previous
+    *    PHYSICAL row in the ordered partition (shadow `__prev_col`).
+    *    Offsets beyond 1 are rejected — the reference rejects physical
+    *    offsets entirely ("Flink does not support physical offsets
+    *    within partition"); this engine supports exactly offset 1.
+    *  - `LAST(V.col [, n])` / `FIRST(V.col [, n])`: LOGICAL navigation
+    *    over the rows variable V matched so far, offset n from the end
+    *    (LAST) or start (FIRST); the current row is appended to its
+    *    own variable's list. Unqualified `LAST(col, n)` navigates all
+    *    matched rows (the universal variable).
+    *  - A bare qualified reference `V.col` = `LAST(V.col, 0)`; when V
+    *    is the variable being defined that is the current row.
+    *  - `NEXT` is rejected (needs lookahead; the reference rejects it
+    *    for the same reason).
     */
   private def compileAgainst(spark: SparkSession, sql: String,
-      attrs: Seq[AttributeReference]): BoundPredicate = {
-    // the PREV rewrite synthesizes shadow attributes named
-    // '__prev_<col>'; an input column already carrying that prefix
+      attrs: Seq[AttributeReference], patternVars: Set[String] = Set.empty,
+      selfVar: String = ""): BoundPredicate = {
+    // the rewrites synthesize shadow attributes named '__prev_<col>' /
+    // '__nav_<k>'; an input column already carrying those prefixes
     // would collide with them and bind the wrong ordinal — reject
     // loudly rather than resolve ambiguously
-    attrs.find(_.name.startsWith(PrevPrefix)).foreach { a =>
-      throw new IllegalArgumentException(
-        s"input schema contains reserved column '${a.name}': the " +
-          s"'$PrevPrefix' prefix is reserved for PREV navigation shadows")
-    }
+    attrs.find(a => a.name.startsWith(PrevPrefix) || a.name.startsWith(NavPrefix))
+      .foreach { a =>
+        throw new IllegalArgumentException(
+          s"input schema contains reserved column '${a.name}': the " +
+            s"'$PrevPrefix'/'$NavPrefix' prefixes are reserved for " +
+            "navigation shadows")
+      }
     val parsed = spark.sessionState.sqlParser.parseExpression(sql)
     var usesPrev = false
-    val rewritten = parsed.transformUp {
+    val navSpecs = scala.collection.mutable.ArrayBuffer.empty[NavSpec]
+
+    def ordOf(c: String, in: String): (Int, DataType) = {
+      val i = attrs.indexWhere(_.name.equalsIgnoreCase(c))
+      require(i >= 0, s"$in references unknown column '$c' " +
+        s"(columns: ${attrs.map(_.name).mkString(", ")})")
+      (i, attrs(i).dataType)
+    }
+    def navAttr(first: Boolean, variable: String, c: String,
+        offset: Int): UnresolvedAttribute = {
+      val what = (if (first) "FIRST" else "LAST") + " navigation"
+      val (ord, dt) = ordOf(c, what)
+      val spec = NavSpec(first, variable, ord, dt, offset)
+      val idx = navSpecs.indexOf(spec) match {
+        case -1 => navSpecs += spec; navSpecs.size - 1
+        case i => i
+      }
+      UnresolvedAttribute(NavPrefix + idx)
+    }
+    // (variable-or-None, column) of a navigation argument
+    def varCol(a: UnresolvedAttribute, what: String): (Option[String], String) =
+      a.nameParts match {
+        case Seq(c) => (None, c)
+        case Seq(v, c) if patternVars(v.toUpperCase) => (Some(v.toUpperCase), c)
+        case Seq(v, c) => throw new IllegalArgumentException(
+          s"$what references '$v.$c' but '$v' is not a pattern variable " +
+            s"(pattern variables: ${patternVars.toSeq.sorted.mkString(", ")})")
+        case parts => throw new IllegalArgumentException(
+          s"$what supports VAR.column or a bare column; got " +
+            parts.mkString("."))
+      }
+    def offsetOf(args: Seq[Expression], what: String): Int = args match {
+      case Seq(_) => if (what == "PREV") 1 else 0
+      case Seq(_, Literal(n: Int, _)) => n
+      case Seq(_, Literal(n: Long, _)) => n.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$what takes ($what(VAR.col [, <int literal offset>])): $sql")
+    }
+
+    val rewritten = parsed.transformDown {
       case f: UnresolvedFunction
           if f.nameParts.map(_.toLowerCase) == Seq("prev") =>
         f.arguments match {
-          case Seq(a: UnresolvedAttribute) if a.nameParts.size == 1 =>
+          case Seq(a: UnresolvedAttribute, _*) =>
+            val off = offsetOf(f.arguments, "PREV")
+            require(off == 1,
+              s"PREV supports only the directly previous row (offset 1); " +
+                s"the reference rejects physical offsets entirely " +
+                s"(MatchCodeGenerator.scala): $sql")
+            val (v, c) = varCol(a, "PREV")
+            v.foreach(vn => require(vn == selfVar,
+              s"PREV navigates relative to the CURRENT row — qualify with " +
+                s"the variable being defined ('$selfVar') or leave the " +
+                s"column bare; got PREV($vn.$c)"))
+            ordOf(c, "PREV") // validates the column exists
             usesPrev = true
-            UnresolvedAttribute(PrevPrefix + a.name)
+            UnresolvedAttribute(PrevPrefix + c)
           case _ => throw new IllegalArgumentException(
-            s"PREV supports a single bare column — PREV(col): $sql")
+            s"PREV supports a single column reference — PREV(col) or " +
+              s"PREV(SELF.col): $sql")
         }
+      case f: UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("next") =>
+        throw new IllegalArgumentException(
+          "NEXT navigation requires row lookahead and is not supported " +
+            "(the reference rejects physical offsets too — " +
+            "MatchCodeGenerator.scala); anchor the predicate on the later " +
+            "step with PREV or FIRST/LAST instead")
+      case f: UnresolvedFunction
+          if patternVars.nonEmpty &&
+            (f.nameParts.map(_.toLowerCase) == Seq("last") ||
+              f.nameParts.map(_.toLowerCase) == Seq("first")) =>
+        val isFirst = f.nameParts.head.equalsIgnoreCase("first")
+        val what = if (isFirst) "FIRST" else "LAST"
+        f.arguments match {
+          case Seq(a: UnresolvedAttribute, _*) =>
+            val off = offsetOf(f.arguments, what)
+            require(off >= 0, s"$what offset must be >= 0: $sql")
+            val (v, c) = varCol(a, what)
+            navAttr(isFirst, v.getOrElse("*"), c, off)
+          case _ => throw new IllegalArgumentException(
+            s"$what navigation supports a plain column reference — " +
+              s"$what(VAR.col [, offset]) or $what(col [, offset]); " +
+              s"wrap arithmetic AROUND the call, not inside it: $sql")
+        }
+      // single-argument FIRST(x)/LAST(x): the SQL grammar keywords
+      // parse straight to First/Last AGGREGATES (not
+      // UnresolvedFunction) — in DEFINE they mean navigation with
+      // offset 0
+      case ae: AggregateExpression if patternVars.nonEmpty =>
+        def reNav(isFirst: Boolean, child: Expression): Expression =
+          child match {
+            case a: UnresolvedAttribute =>
+              val (v, c) = varCol(a, if (isFirst) "FIRST" else "LAST")
+              navAttr(isFirst, v.getOrElse("*"), c, 0)
+            case _ => throw new IllegalArgumentException(
+              s"${if (isFirst) "FIRST" else "LAST"} navigation supports " +
+                "a plain column reference — wrap arithmetic AROUND the " +
+                s"call, not inside it: $sql")
+          }
+        ae.aggregateFunction match {
+          case fa: First => reNav(isFirst = true, fa.child)
+          case la: Last => reNav(isFirst = false, la.child)
+          case other => throw new IllegalArgumentException(
+            s"aggregate ${other.prettyName} is not allowed in DEFINE " +
+              s"(predicates are per-row; aggregate in MEASURES instead): $sql")
+        }
+      // bare qualified reference V.col = LAST(V.col, 0); for the
+      // variable being defined that is the current row itself
+      case a: UnresolvedAttribute
+          if a.nameParts.size == 2 && patternVars(a.nameParts.head.toUpperCase) =>
+        val v = a.nameParts.head.toUpperCase
+        val c = a.nameParts(1)
+        if (v == selfVar) UnresolvedAttribute(Seq(c))
+        else navAttr(first = false, v, c, 0)
     }
     val prevAttrs = attrs.map(a =>
       AttributeReference(PrevPrefix + a.name, a.dataType, nullable = true)())
-    val all = attrs ++ prevAttrs
+    val navAttrs = navSpecs.toSeq.zipWithIndex.map { case (s, i) =>
+      AttributeReference(NavPrefix + i, s.dataType, nullable = true)()
+    }
+    val all = attrs ++ prevAttrs ++ navAttrs
     rewritten.foreach {
       case u: UnresolvedAttribute
         if !all.exists(_.name.equalsIgnoreCase(u.name)) =>
@@ -140,7 +354,8 @@ object MatchRecognize {
       throw new IllegalStateException(s"predicate did not analyze to a filter: $sql"))
     val bound =
       BindReferences.bindReference(cond, all.asInstanceOf[Seq[Attribute]])
-    new BoundPredicate(bound, attrs.size, usesPrev)
+    new BoundPredicate(bound, attrs.size, usesPrev,
+      navSpecs.toIndexedSeq, selfVar)
   }
 
   /** [[compileAgainst]] specialized to the Event schema, adapting
@@ -149,6 +364,7 @@ object MatchRecognize {
   private final class EventPredicate(inner: BoundPredicate)
       extends ((Option[Event], Event) => Boolean) with Serializable {
     val usesPrev: Boolean = inner.usesPrev
+    val usesNav: Boolean = inner.usesNav
     @transient private lazy val cur = new GenericInternalRow(5)
     @transient private lazy val prv = new GenericInternalRow(5)
     private def fill(r: GenericInternalRow, e: Event): Unit = {
@@ -164,6 +380,23 @@ object MatchRecognize {
         case Some(p) if inner.usesPrev => fill(prv, p); inner(Some(prv), cur)
         case _ => inner(None, cur)
       }
+    }
+    /** Match-aware evaluation for FIRST/LAST navigation: converts the
+      * partial's rows to Catalyst form (matches are short — bounded by
+      * pattern length × quantifiers and the WITHIN horizon).
+      */
+    def applyNav(ctx: CepCore.NavCtx[Event], e: Event): Boolean = {
+      fill(cur, e)
+      val prevIr = ctx.prev match {
+        case Some(p) if inner.usesPrev => fill(prv, p); Some(prv: InternalRow)
+        case _ => None
+      }
+      val rows: IndexedSeq[InternalRow] = ctx.rows.map { ev =>
+        val r = new GenericInternalRow(5)
+        fill(r, ev)
+        r: InternalRow
+      }.toIndexedSeq
+      inner.evalNav(prevIr, cur, rows, ctx.labels.toIndexedSeq)
     }
   }
 
@@ -511,6 +744,10 @@ object MatchRecognize {
         // (so `(A|B)+` loops with SQL-default greedy semantics, same
         // as `A+`)
         val subs = names.map(n => mk(n, None))
+        require(subs.forall(_.navPredicate.isEmpty),
+          s"FIRST/LAST navigation in a grouped-alternation variable " +
+            s"(${names.mkString("|")}) is out of scope — rewrite the " +
+            "alternation as top-level PATTERN branches")
         val pairs = subs.map(s => (s.name, s.predicate))
         mk(names.head, q).copy(
           name = pairs.map(_._1).mkString("|"),
@@ -518,6 +755,15 @@ object MatchRecognize {
           needsPrev = subs.exists(_.needsPrev),
           choices = pairs)
     }
+
+  /** The pattern-variable namespace of a PATTERN body: every
+    * identifier in it (case-normalized), PERMUTE excluded — used to
+    * resolve FIRST/LAST(V.col) navigation in DEFINE, which compiles
+    * before the pattern's steps are built.
+    */
+  private def patternVarsFromText(patBody: String): Set[String] =
+    raw"[A-Za-z_][A-Za-z_0-9]*".r.findAllIn(patBody)
+      .map(_.toUpperCase).toSet - "PERMUTE"
 
   /** Parse the full PATTERN body (alternation of group/var sequences)
     * into per-alternative element lists.
@@ -730,12 +976,16 @@ object MatchRecognize {
       case None => Long.MaxValue // unbounded — matches the Scala API's inert bound
     }
 
+    val patBody = balancedBody(body, "PATTERN")
+    // the pattern's variable namespace, needed BEFORE compiling DEFINE
+    // so FIRST/LAST(V.col) navigation can resolve V
+    val pvars = patternVarsFromText(patBody)
     val defines: Map[String, EventPredicate] =
       defineTexts(body).map { case (name, txt) =>
-        name -> new EventPredicate(compileAgainst(spark, txt, eventAttrs))
+        name -> new EventPredicate(
+          compileAgainst(spark, txt, eventAttrs, pvars, name))
       }
 
-    val patBody = balancedBody(body, "PATTERN")
     val mkEv = (name: String, quant: Option[String]) => {
       // SQL identifiers are case-insensitive: labels normalize to upper
       // case so DEFINE lookup, MEASURES filtering and CLASSIFIER output
@@ -743,8 +993,17 @@ object MatchRecognize {
       val uname = name.toUpperCase
       // SQL-standard rule: an undefined variable matches any row
       val defined = defines.get(uname)
-      val pred = defined.getOrElse((_: Option[Event], _: Event) => true)
-      mkStep[Event](uname, pred, quant, defined.exists(_.usesPrev))
+      val pred: (Option[Event], Event) => Boolean = defined match {
+        case Some(p) if p.usesNav => (_, _) => throw new IllegalStateException(
+          s"DEFINE $uname uses FIRST/LAST navigation and must be " +
+            "evaluated with match context")
+        case Some(p) => p
+        case None => (_, _) => true
+      }
+      val nav: Option[(CepCore.NavCtx[Event], Event) => Boolean] =
+        defined.filter(_.usesNav)
+          .map(p => (ctx: CepCore.NavCtx[Event], e: Event) => p.applyNav(ctx, e))
+      mkStep[Event](uname, pred, quant, defined.exists(_.usesPrev), nav)
     }
     val (alts, excluded) = parsePattern(patBody, mkEv)
     val pat = Cep.SequencePattern(alts.head, withinMs, strict = true,
@@ -769,12 +1028,13 @@ object MatchRecognize {
 
   /** Map one (variable, quantifier) token onto a core NFA step. */
   private def mkStep[E](uname: String, pred: (Option[E], E) => Boolean,
-      quant: Option[String], usesPrev: Boolean): CepCore.Step[E] = {
+      quant: Option[String], usesPrev: Boolean,
+      nav: Option[(CepCore.NavCtx[E], E) => Boolean] = None): CepCore.Step[E] = {
     def step(times: Int = 1, optional: Boolean = false,
         oneOrMore: Boolean = false, greedy: Boolean = false,
         timesMax: Int = 0): CepCore.Step[E] =
       CepCore.Step(uname, pred, times, optional, oneOrMore, greedy, timesMax,
-        needsPrev = usesPrev)
+        needsPrev = usesPrev, navPredicate = nav)
     quant match {
       case None => step()
       case Some("?") => step(optional = true)
@@ -1315,20 +1575,30 @@ object MatchRecognize {
         s"integer; ${orderCols.head} is ${schema(orderIdx.head).dataType.sql}")
     val clock: Row => Long = tsF.getOrElse(_ => 0L)
 
+    val relPatBody = balancedBody(body, "PATTERN")
+    val pvars = patternVarsFromText(relPatBody)
     val defines: Map[String, BoundPredicate] =
       defineTexts(body).map { case (name, txt) =>
-        name -> compileAgainst(spark, txt, attrs)
+        name -> compileAgainst(spark, txt, attrs, pvars, name)
       }
     val mkRel = (name: String, quant: Option[String]) => {
       val uname = name.toUpperCase
       val defined = defines.get(uname)
       val pred: (Option[REv], REv) => Boolean = defined match {
+        case Some(p) if p.usesNav => (_, _) => throw new IllegalStateException(
+          s"DEFINE $uname uses FIRST/LAST navigation and must be " +
+            "evaluated with match context")
         case Some(p) => (prev, cur) => p(prev.map(_.ir), cur.ir)
         case None => (_, _) => true
       }
-      mkStep[REv](uname, pred, quant, defined.exists(_.usesPrev))
+      val nav: Option[(CepCore.NavCtx[REv], REv) => Boolean] =
+        defined.filter(_.usesNav).map(p =>
+          (ctx: CepCore.NavCtx[REv], cur: REv) =>
+            p.evalNav(ctx.prev.map(_.ir), cur.ir,
+              ctx.rows.map(_.ir).toIndexedSeq, ctx.labels.toIndexedSeq))
+      mkStep[REv](uname, pred, quant, defined.exists(_.usesPrev), nav)
     }
-    val (alts, excluded) = parsePattern(balancedBody(body, "PATTERN"), mkRel)
+    val (alts, excluded) = parsePattern(relPatBody, mkRel)
     val pattern = resolveSkipVar(
       CepCore.SequencePattern[REv](alts.head, withinMs,
         strict = true, skip = skip, orElse = alts.tail, excluded = excluded),
