@@ -77,29 +77,50 @@ object Bench {
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this
-    * project's canonical bench host (local[32], measured 2026-08-14 in
-    * an uncontended window; see README "Bench calibration"). The
-    * published `calibration_ratio` = observed / this. A ratio well
-    * above 1 (the r10→r11 throttle episodes measured 1.25–1.46× on
-    * UNTOUCHED plans) means the HOST was degraded during the record —
-    * per-query comparisons across rounds must be read against the
-    * ratio before calling anything a code regression.
+    * project's canonical bench host (local[32], min-of-3 measured
+    * 2026-08-14 with the overflow-safe formula below; see README
+    * "Bench calibration"). The published `calibration_ratio` =
+    * observed / this, and is only meaningful when `cpus` in the same
+    * JSON line equals [[CalibrationRefCpus]] — on any other
+    * parallelism the fixed workload takes proportionally longer and
+    * the ratio must be read against the emitted cpu count, not as
+    * host throttling. A ratio well above 1 at the canonical cpu count
+    * (the r10→r11 throttle episodes measured 1.25–1.46× on UNTOUCHED
+    * plans) means the HOST was degraded during the record — per-query
+    * comparisons across rounds must be read against the ratio before
+    * calling anything a code regression.
     */
-  val CalibrationRefSec = 1.35
+  val CalibrationRefSec = 0.36
+  val CalibrationRefCpus = 32
 
   /** Fixed CPU-bound calibration workload — measures the host, not the
     * engine: a constant-size in-memory hash/arithmetic aggregation
     * (whole-stage codegen, no I/O, no shuffle beyond the final 1-row
     * agg, independent of SF and of any code that changes per round).
+    * `h % 1000000000` keeps the running sum far inside Int64 (2^28
+    * rows × <2^30 each < 2^58), so the ANSI-mode overflow check that
+    * killed the r12 record can never fire.
     */
   def calibrateOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, 192L << 20, 1L, 32)
-      .selectExpr("xxhash64(id) AS h")
+      .selectExpr("xxhash64(id) % 1000000000 AS h")
       .selectExpr("sum(h) AS s", "avg(abs(h % 1000000)) AS a")
       .write.mode("overwrite").format("noop").save()
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Min-of-K calibration that can never take down the bench record: a
+    * failing calibration degrades to None (published as null), it does
+    * not kill the JVM before the query timings exist.
+    */
+  def calibrate(spark: SparkSession, repeats: Int): Option[Double] =
+    try Some((1 to repeats).map(_ => calibrateOnce(spark)).min)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+        None
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,7 +160,7 @@ object Bench {
     // host self-calibration: min-of-K of the fixed workload, sampled
     // BEFORE and AFTER the query rounds so a throttle window opening
     // mid-run is still visible in the published ratio
-    val calBefore = (1 to repeats).map(_ => calibrateOnce(spark)).min
+    val calBefore = calibrate(spark, repeats)
     // Interleave rounds (all queries once, then again) rather than
     // back-to-back repeats of one query, so a transient throttling window
     // cannot inflate all K samples of the same query.
@@ -147,9 +168,11 @@ object Bench {
       val rounds = (1 to repeats).map(_ => headline.map(n => n -> runOnce(n)))
       headline.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
     }
-    val calAfter = (1 to repeats).map(_ => calibrateOnce(spark)).min
-    val calibration = math.max(calBefore, calAfter)
-    val calRatio = calibration / CalibrationRefSec
+    val calAfter = calibrate(spark, repeats)
+    // worst of the two windows: a throttle opening mid-run must show
+    val calibration = (calBefore.toSeq ++ calAfter.toSeq)
+      .reduceOption((a: Double, b: Double) => math.max(a, b))
+    val calRatio = calibration.map(_ / CalibrationRefSec)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -162,8 +185,10 @@ object Bench {
       .map(n => "\"" + n + f"""\":${median(samples(n))}%.3f""")
       .mkString("{", ",", "}")
     val total = mins.map(_._2).sum
+    val calS = calibration.map(c => f"$c%.3f").getOrElse("null")
+    val calR = calRatio.map(r => f"$r%.2f").getOrElse("null")
     println(
-      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"calibration_s":$calibration%.3f,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ratio":$calRatio%.2f,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
+      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"cpus":$cpus,"calibration_s":$calS,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ref_cpus":$CalibrationRefCpus,"calibration_ratio":$calR,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
