@@ -526,16 +526,18 @@ object TextQueries extends QueryModule {
       """)
     ),
     // BPE tokenizer merge training (Sennrich 2016): one corpus pass to
-    // the word vocabulary, then k distributed pair-count rounds over
-    // the vocab only. Iterative multi-job semantics are not
-    // SQL-expressible — no DuckDB oracle; BpeSpec proves equality with
-    // a sequential reference implementation and partitioning
-    // invariance (the merge table is a pure function of the corpus).
+    // the word vocabulary, then incremental pair-count merge rounds
+    // over the vocab only (round k recounts just the words containing
+    // the merged pair — 256 merges cost barely more than 12).
+    // Iterative multi-round semantics are not SQL-expressible — no
+    // DuckDB oracle; BpeSpec proves equality with a sequential
+    // reference implementation and partitioning invariance (the merge
+    // table is a pure function of the corpus).
     QueryDef(
       "q_tokenizer_bpe",
       (s, dir) =>
         graft.functions.Bpe.trainFromDocuments(
-          s, tables(s, dir).documents, numMerges = 12),
+          s, tables(s, dir).documents, numMerges = 256),
       None
     ),
     // BPE encode with the learned merges: per-doc token counts under

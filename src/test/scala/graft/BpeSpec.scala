@@ -41,6 +41,40 @@ class BpeSpec extends AnyFunSuite {
     assert(dist.forall(_.freq > 0))
   }
 
+  test("in-memory incremental trainer equals the reference at 256 merges") {
+    val vocab =
+      wordCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ref = Bpe.trainReference(vocab, numMerges = 256)
+    val (inc, affected) = Bpe.trainInMemoryWithStats(vocab, numMerges = 256)
+    assert(inc == ref, s"incremental != reference (first diff: ${
+      inc.zip(ref).indexWhere { case (a, b) => a != b }})")
+    // the whole point of incremental counts: round k touches only the
+    // words containing the merged pair, a shrinking sliver of the vocab
+    val nWords = vocab.size.toLong
+    assert(affected.forall(_ <= nWords))
+    assert(affected.sum < affected.length * nWords / 2,
+      s"rounds touched ${affected.sum} of ${affected.length * nWords} word-visits")
+    // later rounds touch (on average) fewer words than early rounds
+    val (early, late) = affected.splitAt(affected.length / 2)
+    assert(late.sum <= early.sum,
+      s"recount input did not shrink: early=${early.sum} late=${late.sum}")
+  }
+
+  test("distributed incremental delta recounts only affected words") {
+    val (dist, affected) = Bpe.trainWithStats(wordCounts, numMerges = 12)
+    val vocab =
+      wordCounts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist == Bpe.trainReference(vocab, numMerges = 12))
+    // the in-memory and distributed paths recount the identical
+    // per-round affected sets (same retract/assert delta semantics)
+    val (_, affectedMem) = Bpe.trainInMemoryWithStats(vocab, numMerges = 12)
+    // distributed counts words; in-memory counts distinct symbol
+    // sequences — distributed is >= and both are far below vocab size
+    assert(affected.zip(affectedMem).forall { case (d, m) => d >= m })
+    assert(affected.forall(_ < vocab.size),
+      s"a delta round recounted the whole vocab: $affected")
+  }
+
   test("merge table is partitioning-invariant") {
     val a = Bpe.train(wordCounts.repartition(3), numMerges = 8)
     val b = Bpe.train(wordCounts.repartition(13), numMerges = 8)
