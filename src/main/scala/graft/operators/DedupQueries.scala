@@ -95,13 +95,43 @@ object DedupQueries extends QueryModule {
     * all-shingles join, with candidates generated only where two
     * RARE tokens collide. ceil(t·sz) is computed in exact integer
     * arithmetic (t = num/den) so the prefix never under-shoots off a
-    * float. At 100 TB: one df-count pass, one prefix inverted index
-    * (a few tokens per doc instead of all), bucketed equi-join, exact
-    * verify via array_intersect on the candidate pairs only.
+    * float. On top of the prefix, the two PPJoin candidate filters:
+    * the LENGTH filter (J >= t forces den·min(sz) >= num·max(sz),
+    * checked inside the join condition so size-mismatched pairs never
+    * materialize) and the POSITIONAL filter (all common tokens besides
+    * the globally-smallest one sit after it in BOTH ordered lists, so
+    * inter <= 1 + min(remaining suffix lengths); pairs that cannot
+    * reach alpha = ceil(t/(1+t)·(sz1+sz2)) are dropped before the
+    * exact verify). Both are complete: a qualifying pair always has
+    * its globally-smallest common token inside both prefixes, and both
+    * bounds are upper bounds on the true intersection. At 100 TB: one
+    * df-count pass, one prefix inverted index (a few tokens per doc
+    * instead of all), bucketed equi-join, exact verify via
+    * array_intersect on the (filter-thinned) candidate pairs only.
     */
   def prefixFilterPairs(t: graft.Engine.Tables,
-      num: Int = 4, den: Int = 5): DataFrame = {
-    val sh = graft.CacheScope.cached(shingled(t))
+      num: Int = 4, den: Int = 5): DataFrame =
+    verifyPairs(t,
+      prefixCandidates(t, num, den,
+        lengthFilter = true, positionalFilter = true),
+      num, den)
+
+  /** Candidate-pair stage of [[prefixFilterPairs]] with each PPJoin
+    * filter toggleable — the spec measures the candidate-count
+    * reduction each filter buys (output equality is guaranteed either
+    * way; the filters only thin the exact-verify input).
+    */
+  def prefixCandidates(t: graft.Engine.Tables, num: Int, den: Int,
+      lengthFilter: Boolean, positionalFilter: Boolean): DataFrame =
+    prefixCandidatesOf(graft.CacheScope.cached(shingled(t)),
+      num, den, lengthFilter, positionalFilter)
+
+  /** [[prefixCandidates]] over an explicit (doc_id, shingles) table —
+    * the spec drives this with planted corpora where each filter's
+    * kill is constructed.
+    */
+  def prefixCandidatesOf(sh: DataFrame, num: Int, den: Int,
+      lengthFilter: Boolean, positionalFilter: Boolean): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val dfCount = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // per-doc token list ordered (df asc, token asc) — the shared
@@ -115,15 +145,53 @@ object DedupQueries extends QueryModule {
       .withColumn("c",
         floor((lit(num) * col("sz") + lit(den - 1)) / lit(den)).cast("long"))
       .withColumn("p", col("sz") - col("c") + lit(1))
+    // prefix tokens with their 0-based position in the ordered list —
+    // the positional filter needs both sides' positions
     val prefix = ordered
-      .select(col("doc_id"),
-        explode(slice(transform(col("ord"), _.getField("sh")),
-          lit(1), col("p").cast("int"))).as("sh"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"), "sh")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(transform(col("ord"), _.getField("sh")),
+          lit(1), col("p").cast("int"))))
+      .toDF("doc_id", "sz", "pos", "sh")
+    // PPJoin length filter, exact integers: J >= num/den forces
+    // den*min(sz1,sz2) >= num*max(sz1,sz2) — pruned inside the join
+    // condition, before any pair ever materializes
+    val joinCond = {
+      val base = col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id")
+      if (lengthFilter)
+        base && lit(den) * least(col("a.sz"), col("b.sz")) >=
+          lit(num) * greatest(col("a.sz"), col("b.sz"))
+      else base
+    }
+    val cand0 = prefix.as("a")
+      .join(prefix.as("b"), joinCond)
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(
+        first(col("a.sz")).as("sz1"),
+        first(col("b.sz")).as("sz2"),
+        // globally-smallest common token = min position on BOTH sides
+        // (both lists share the (df, sh) order, so min-by-a.pos is it)
+        min(struct(col("a.pos").as("pa"), col("b.pos").as("pb"))).as("fm"))
+    // PPJoin positional filter: every other common token sits after
+    // the smallest one in both lists, so inter <= 1 + min(remaining);
+    // required inter is alpha = ceil(num*(sz1+sz2)/(num+den))
+    val alpha = floor(
+      (lit(num) * (col("sz1") + col("sz2")) + lit(num + den - 1)) /
+        lit(num + den)).cast("long")
+    val positional =
+      lit(1) + least(
+        col("sz1") - lit(1) - col("fm.pa"),
+        col("sz2") - lit(1) - col("fm.pb")) >= alpha
+    (if (positionalFilter) cand0.filter(positional) else cand0)
+      .select(col("d1"), col("d2"))
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the full
+    * shingle sets — the final stage shared by every candidate route.
+    */
+  private def verifyPairs(t: graft.Engine.Tables, cand: DataFrame,
+      num: Int, den: Int): DataFrame = {
+    val sh = graft.CacheScope.cached(shingled(t))
     val full = sh.select(col("doc_id"), col("shingles"))
     cand
       .join(full.select(col("doc_id").as("d1"), col("shingles").as("s1")), "d1")

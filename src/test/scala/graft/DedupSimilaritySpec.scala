@@ -91,6 +91,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again == ivfPairs, "IVF result not deterministic")
   }
 
+  test("PPJoin length+positional filters thin candidates, not results") {
+    import org.apache.spark.sql.functions.col
+    val t = Engine.Tables(spark, dir)
+    CacheScope.scoped {
+      // completeness on the real corpus: the exact-verified pair set is
+      // identical to the quadratic all-pairs join
+      val unfiltered = DedupQueries.jaccardPairs(t, 0.8)
+        .orderBy(col("d1"), col("d2")).collect().toSeq
+      val filtered = DedupQueries.prefixFilterPairs(t)
+        .orderBy(col("d1"), col("d2")).collect().toSeq
+      assert(filtered == unfiltered)
+    }
+    // planted corpus where each filter has a constructed kill:
+    //  - docs 1/2 (sz 10) share ONLY shingle "zz", rarest-ordered to
+    //    prefix position 2 on both sides -> positional bound
+    //    1+min(10-1-2)=8 < alpha=ceil(4*20/9)=9 -> positional drop
+    //  - docs 3 (sz 30) / 4 (sz 5) share their rarest shingle "yy" ->
+    //    candidate, but 5*min=25 < 4*max=120 -> length drop
+    // filler docs raise every other shingle's df so the shared ones
+    // stay rarest-first in each prefix
+    val A = Seq("aa1", "aa2", "zz") ++ (1 to 7).map(i => s"ca$i")
+    val B = Seq("bb1", "bb2", "zz") ++ (1 to 7).map(i => s"cb$i")
+    val F1 = Seq("aa1", "aa2", "bb1", "bb2")
+    val fillers = (1 to 2).map(k =>
+      (1 to 7).map(i => s"ca$i") ++ (1 to 7).map(i => s"cb$i"))
+    val L = Seq("yy") ++ (1 to 29).map(i => s"l$i")
+    val S = Seq("yy") ++ (1 to 4).map(i => s"s$i")
+    val fillers2 = (1 to 2).map(k =>
+      (1 to 29).map(i => s"l$i") ++ (1 to 4).map(i => s"s$i"))
+    val rows = (Seq(A, B, F1, L, S) ++ fillers ++ fillers2).zipWithIndex
+      .map { case (shs, i) => (i.toLong, shs) }
+    val sh = spark.createDataFrame(rows).toDF("doc_id", "shingles")
+    def candCount(len: Boolean, pos: Boolean): Set[(Long, Long)] =
+      DedupQueries.prefixCandidatesOf(sh, 4, 5, len, pos)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val none = candCount(len = false, pos = false)
+    val lenOnly = candCount(len = true, pos = false)
+    val posOnly = candCount(len = false, pos = true)
+    val both = candCount(len = true, pos = true)
+    assert(none.contains((0L, 1L)) && none.contains((3L, 4L)))
+    // the length filter kills size-mismatched pairs INSIDE the join
+    // condition (before any aggregation); it keeps the same-size pair
+    assert(lenOnly.contains((0L, 1L)) && !lenOnly.contains((3L, 4L)),
+      s"length filter missed its kill: $lenOnly")
+    // the positional filter subsumes the length bound at the output
+    // level (at first-common-position 0 the two coincide) and
+    // additionally kills the same-size pair whose shared token sits
+    // too deep in the prefix
+    assert(!posOnly.contains((0L, 1L)) && !posOnly.contains((3L, 4L)),
+      s"positional filter missed a kill: $posOnly")
+    assert(!both.contains((0L, 1L)) && !both.contains((3L, 4L)))
+    assert(both.subsetOf(lenOnly) && lenOnly.subsetOf(none) &&
+      posOnly.subsetOf(none) && both == posOnly)
+  }
+
   test("exact dedup groups every document") {
     val t = Engine.Tables(spark, dir)
     val total = t.documents.count()
