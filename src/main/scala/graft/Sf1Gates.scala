@@ -41,7 +41,8 @@ object Sf1Gates {
       "gk_accuracy_sf1" -> (() => gkAccuracy(spark, dir)),
       "cep_state_bound_sf1" -> (() => cepStateBound(spark, dir)),
       "heavy_hitters_sf1" -> (() => heavyHitters(spark, dir)),
-      "bpe_reference_parity_sf1" -> (() => bpeParity(spark, dir))
+      "bpe_reference_parity_sf1" -> (() => bpeParity(spark, dir)),
+      "hilbert_narrowness_sf1" -> (() => hilbertNarrowness(spark, dir))
     )
     all.collect { case (n, g) if only.isEmpty || only(n) => g() }
   }
@@ -515,6 +516,45 @@ object Sf1Gates {
           s"missed=${missed.size} verifiedExact=${verified == truth}"
       )
     }
+
+  /** Hilbert layout at sf1: writeHilbertOrdered's repartitionByRange
+    * on the curve index must produce per-file bounding boxes that stay
+    * NARROW in both dimensions at probe volume (the whole point of a
+    * space-filling-curve layout — per-file min/max enable 2-D data
+    * skipping; a 1-D sort would leave the second dimension's per-file
+    * spread at ~the full domain). At sf1 the range partitioner sees
+    * real sampled distributions, not the handful of distinct curve
+    * positions a toy SF exercises.
+    */
+  private def hilbertNarrowness(spark: SparkSession, dir: String): Gate = {
+    val li = Engine.Tables(spark, dir).lineitem.select(
+      datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01")))
+        .cast("long").as("d_day"),
+      col("l_partkey").as("pk"))
+    val out = "/tmp/graft_sf1_hilbert_layout"
+    graft.functions.Hilbert.writeHilbertOrdered(
+      li, "d_day", "pk", out, bits = 8, numFiles = 64)
+    val written = spark.read.parquet(out)
+    val perFile = written
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        (max(col("d_day")) - min(col("d_day"))).as("day_spread"),
+        (max(col("pk")) - min(col("pk"))).as("pk_spread"))
+      .collect()
+    val g = li.agg(
+      (max(col("d_day")) - min(col("d_day"))).as("dr"),
+      (max(col("pk")) - min(col("pk"))).as("pr")).collect()(0)
+    def avgOf(c: String) =
+      perFile.map(_.getAs[Long](c).toDouble).sum / perFile.length
+    val dayFrac = avgOf("day_spread") / g.getLong(0)
+    val pkFrac = avgOf("pk_spread") / g.getLong(1)
+    val rowsOk = written.count() == li.count()
+    Gate(
+      "hilbert_narrowness_sf1",
+      perFile.length >= 32 && rowsOk && dayFrac < 0.4 && pkFrac < 0.4,
+      f"files=${perFile.length} dayFrac=$dayFrac%.3f pkFrac=$pkFrac%.3f rowsOk=$rowsOk"
+    )
+  }
 
   /** BPE trainer at sf1: the distributed merge table must equal the
     * sequential reference on the probe vocabulary — at probe volume

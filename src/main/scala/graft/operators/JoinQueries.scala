@@ -256,6 +256,71 @@ object JoinQueries extends QueryModule {
         GROUP BY s.user_id
       """)
     ),
+    // The SAME interval join executed by the real streaming engine
+    // (StreamingSymmetricHashJoinExec): events replayed through a
+    // monitored-dir file source, the two filtered sides watermarked
+    // and equi-joined on user_id with the event-time band, join pairs
+    // landed distributed via foreachBatch->parquet, then aggregated
+    // batch-side. With no maxFilesPerTrigger cap every file arrives in
+    // micro-batch 0, so the watermark can drop nothing and the output
+    // equals the batch interval join exactly — which is the DuckDB
+    // oracle. Out-of-order multi-batch state semantics are
+    // StreamingSpec's job; this entry pins streaming==batch==oracle.
+    QueryDef(
+      "q_join_stream_stream",
+      (s, dir) => {
+        val path = s"$dir/events.parquet"
+        val raw = s.read.parquet(path)
+        // the file stream source monitors a DIRECTORY; a single-file
+        // table is exposed through a symlinked temp dir
+        val streamPath = {
+          val f = new java.io.File(path)
+          if (f.isDirectory) path
+          else {
+            val d = java.nio.file.Files.createTempDirectory("graft_ssjoin_src")
+            java.nio.file.Files
+              .createSymbolicLink(d.resolve("events.parquet"), f.toPath)
+            d.toString
+          }
+        }
+        val src0 = s.readStream.schema(raw.schema).parquet(streamPath)
+        val src = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            src0.withColumn("ts",
+              timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+          case _ => src0
+        }
+        val joined = graft.streaming.StreamingOps.intervalJoin(
+          src.filter(col("event_type") === "signup"),
+          src.filter(col("event_type") === "purchase"))
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft_ssjoin_out").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_ssjoin_ckpt").toString
+        val q = joined.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.read.parquet(outDir)
+          .groupBy(col("s_user"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(sum(col("p_value")), 4).as("v_sum"))
+      },
+      Some("""
+        SELECT s.user_id AS s_user, count(*) AS n_pairs,
+               round(sum(p.value), 4) AS v_sum
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        GROUP BY s.user_id
+      """)
+    ),
     // Pure range join (NO equi key): lineitem ship-days vs derived
     // promo windows, via the banded rewrite (plans/RangeJoin) — an
     // equi-join on the bin instead of a nested loop, exact predicate

@@ -99,6 +99,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 10L, 9.99)))
   }
 
+  test("stream-stream join over the events table equals the batch interval join") {
+    // q_join_stream_stream replays events through the file source into
+    // StreamingSymmetricHashJoinExec; q_join_interval is the identical
+    // join+aggregation on the batch engine — outputs must be equal
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streaming = rows("q_join_stream_stream")
+    val batch = rows("q_join_interval")
+    assert(streaming.nonEmpty)
+    assert(streaming == batch,
+      s"streaming != batch:\n streaming=$streaming\n batch=$batch")
+  }
+
   test("streaming top-n keeps bounded per-key state and re-emits on change") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
