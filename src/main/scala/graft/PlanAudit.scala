@@ -58,6 +58,7 @@ object PlanAudit {
       "q_flagship_small_quantity", "q_flagship_supplier_diversity",
       "q_flagship_surplus_supplier", "q_flagship_top_supplier",
       "q_flagship_two_nation_volume", "q_flagship_waiting_supplier",
+      "q_flagship_ds_frequent",
       "q_join_anti", "q_join_asof", "q_join_asof_forward", "q_join_asof_native",
       "q_join_broadcast_dim", "q_join_bucketed_colocated", "q_join_inner",
       "q_join_interval", "q_join_left_outer", "q_join_multiway", "q_join_semi",

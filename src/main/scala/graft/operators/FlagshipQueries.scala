@@ -1007,6 +1007,73 @@ object FlagshipQueries extends QueryModule {
         GROUP BY c_nationkey, c_mktsegment
       """)
     ),
+    // TPC-DS Q23 shape — frequent items × best customers: a HAVING
+    // subquery channel (parts sold in >= 8 lineitems), a nested-
+    // aggregate scalar subquery (max over per-customer lifetime
+    // totals), and an IN channel correlated THROUGH that scalar
+    // (customers above half the max). Decorrelation is the point:
+    // Catalyst turns both INs into semi joins (the part channel a
+    // shuffle semi on the big key set, the customer channel a
+    // broadcast semi on the tiny "best" set), and the scalar max into
+    // a one-row subquery broadcast into the totals filter — zero
+    // correlated re-execution. The totals CTE is computed ONCE and
+    // reused by both the scalar and the IN (Catalyst CTE reuse). Money
+    // sums in exact long cents so sf1 partial-agg order can't drift
+    // the comparison against 0.5*max (reference
+    // flink-end-to-end-tests/flink-tpcds-test/.../TpcdsTestProgram.java:76-86).
+    QueryDef(
+      "q_flagship_ds_frequent",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.orders.createOrReplaceTempView("orders_freq")
+        t.lineitem.createOrReplaceTempView("lineitem_freq")
+        val revenue = Money.sumWideUnitsSqlSpark(
+          Money.discPriceUnitsSql("l.l_extendedprice", "l.l_discount")) +
+          " / 10000.0"
+        s.sql(s"""
+          WITH freq AS (
+            SELECT l_partkey FROM lineitem_freq
+            GROUP BY l_partkey HAVING count(*) >= 8
+          ),
+          totals AS (
+            SELECT o_custkey, ${Money.sumPriceSqlSpark("o_totalprice")} AS total
+            FROM orders_freq GROUP BY o_custkey
+          )
+          SELECT o.o_orderpriority AS priority,
+                 count(*) AS n_items,
+                 $revenue AS revenue
+          FROM lineitem_freq l JOIN orders_freq o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_partkey IN (SELECT l_partkey FROM freq)
+            AND o.o_custkey IN (SELECT o_custkey FROM totals
+                                WHERE total > 0.5 * (SELECT max(total)
+                                                     FROM totals))
+          GROUP BY o.o_orderpriority
+        """)
+      },
+      Some(s"""
+        WITH freq AS (
+          SELECT l_partkey FROM lineitem
+          GROUP BY l_partkey HAVING count(*) >= 8
+        ),
+        totals AS (
+          SELECT o_custkey, ${Money.sumPriceSql("o_totalprice")} AS total
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o.o_orderpriority AS priority,
+               count(*) AS n_items,
+               ${Money.sumWideUnitsSql(
+                 Money.discPriceUnitsSql("l.l_extendedprice", "l.l_discount")
+               )} / 10000.0 AS revenue
+        FROM lineitem l JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_partkey IN (SELECT l_partkey FROM freq)
+          AND o.o_custkey IN (SELECT o_custkey FROM totals
+                              WHERE total > 0.5 * (SELECT max(total)
+                                                   FROM totals))
+        GROUP BY o.o_orderpriority
+      """)
+    ),
     // TPC-DS Q88 shape — multi-range census: eight time-window counts
     // with per-window predicates, presented as one row. The spec text
     // (and the oracle below) writes this as EIGHT scalar subqueries
