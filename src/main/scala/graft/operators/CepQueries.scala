@@ -1584,6 +1584,59 @@ object CepQueries extends QueryModule {
         WHERE b.value > a.value AND c.value > b.value
       """)
     ),
+    // Offset navigation in MEASURES (reference MatchCodeGenerator
+    // .scala:141 "offsets = LAST/FIRST" on the measures path, same
+    // logical-navigation rule as DEFINE): over the rising-run U{3},
+    // FIRST(U.event_id, 1) and LAST(U.event_id, 1) both address the
+    // MIDDLE row from opposite ends, and LAST(U.value, 2) must equal
+    // the first row's value — ONE ROW PER MATCH collapses RUNNING/
+    // FINAL so these are whole-match navigations. Oracle: row_number
+    // self-join triples with two rises.
+    QueryDef(
+      "q_cep_sql_nav_measures",
+      (s, dir) => {
+        import s.implicits._
+        val t = tables(s, dir)
+        val events = t.events
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[Event]
+        graft.streaming.MatchRecognize
+          .detectBatchWithMeasures(events, """
+            MATCH_RECOGNIZE (
+              PARTITION BY user_id
+              ORDER BY ts
+              MEASURES FIRST(U.event_id) AS m1,
+                       FIRST(U.event_id, 1) AS m2_fwd,
+                       LAST(U.event_id, 1) AS m2_back,
+                       LAST(U.event_id) AS m3,
+                       LAST(U.value, 2) AS v1,
+                       COUNT(U.*) AS n
+              AFTER MATCH SKIP TO NEXT ROW
+              PATTERN (U{3})
+              DEFINE U AS value > LAST(U.value, 1) OR LAST(U.value, 1) IS NULL
+            )
+          """)
+          .select(
+            col("key").as("user_id"),
+            col("m1"), col("m2_fwd"), col("m2_back"), col("m3"),
+            round(col("v1"), 4).as("v1"), col("n"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER w AS rn
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT a.user_id, a.event_id AS m1, b.event_id AS m2_fwd,
+               b.event_id AS m2_back, c.event_id AS m3,
+               round(a.value, 4) AS v1, CAST(3 AS BIGINT) AS n
+        FROM o a
+        JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+        JOIN o c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+        WHERE b.value > a.value AND c.value > b.value
+      """)
+    ),
     // Cross-variable navigation on the GENERIC relation path: B binds
     // against A's matched row (bare qualified ref = LAST(A.value, 0)),
     // C against the previous matched row via the UNIVERSAL variable

@@ -1088,21 +1088,27 @@ object MatchRecognize {
 
   // ---- MEASURES -------------------------------------------------------
 
-  /** One MEASURES item: [RUNNING | FINAL] FUNC(VAR.col) AS alias.
+  /** One MEASURES item: [RUNNING | FINAL] FUNC(VAR.col[, n]) AS alias.
     * `isFinal` only matters in ALL ROWS PER MATCH, where the default is
     * RUNNING (prefix of the match up to the row) and FINAL sees the
     * whole match on every row; ONE ROW PER MATCH emits at the final row
     * so the two collapse (SQL:2016 / Calcite row-pattern semantics).
+    * `offset` is the FIRST/LAST logical-navigation offset (reference
+    * MatchCodeGenerator.scala:141 "offsets = LAST/FIRST"): LAST(V.c, n)
+    * is the n-th row back from the variable's last matched row,
+    * FIRST(V.c, n) the n-th forward from its first; out of range is
+    * NULL, exactly as in DEFINE navigation.
     */
   final case class Measure(func: String, variable: String, column: String,
-      alias: String, isFinal: Boolean = false)
+      alias: String, isFinal: Boolean = false, offset: Int = 0)
 
   private val measureItemRe =
-    raw"(?is)^(?:(RUNNING|FINAL)\s+)?(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\.(\*|[A-Za-z_][A-Za-z_0-9]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z_0-9]*)$$".r
+    raw"(?is)^(?:(RUNNING|FINAL)\s+)?(FIRST|LAST|COUNT|SUM|AVG|MIN|MAX)\s*\(\s*([A-Za-z_][A-Za-z_0-9]*)\.(\*|[A-Za-z_][A-Za-z_0-9]*)\s*(?:,\s*(\d+)\s*)?\)\s+AS\s+([A-Za-z_][A-Za-z_0-9]*)$$".r
 
   /** Parse the MEASURES clause (empty if absent). Subset: FIRST / LAST
     * / COUNT / SUM / AVG / MIN / MAX over `VAR.column` (COUNT also
-    * takes `VAR.*`), each optionally prefixed RUNNING or FINAL.
+    * takes `VAR.*`; FIRST/LAST also take a logical-navigation offset,
+    * `LAST(V.col, n)`), each optionally prefixed RUNNING or FINAL.
     * VAR may be a SUBSET union variable. In ONE ROW PER MATCH the
     * running/final distinction collapses (every measure is final); in
     * ALL ROWS PER MATCH the default is RUNNING and FINAL pins the
@@ -1122,12 +1128,17 @@ object MatchRecognize {
     splitTopLevel(body.substring(at, end)).map { item =>
       measureItemRe.findFirstMatchIn(item) match {
         case Some(m) =>
-          Measure(m.group(2).toUpperCase, m.group(3).toUpperCase,
-            m.group(4).toLowerCase, m.group(5),
-            isFinal = Option(m.group(1)).exists(_.equalsIgnoreCase("FINAL")))
+          val func = m.group(2).toUpperCase
+          val off = Option(m.group(5)).map(_.toInt).getOrElse(0)
+          require(off == 0 || func == "FIRST" || func == "LAST",
+            s"offset argument is only valid on FIRST/LAST navigation: $item")
+          Measure(func, m.group(3).toUpperCase,
+            m.group(4).toLowerCase, m.group(6),
+            isFinal = Option(m.group(1)).exists(_.equalsIgnoreCase("FINAL")),
+            offset = off)
         case None => throw new IllegalArgumentException(
           "unsupported MEASURES item (subset is [RUNNING|FINAL] " +
-            s"FUNC(VAR.col) AS alias): $item")
+            s"FUNC(VAR.col[, n]) AS alias): $item")
       }
     }
   }
@@ -1278,8 +1289,13 @@ object MatchRecognize {
         transform(rows, x => fieldOf(x, ms.column).cast("double")),
         v => v.isNotNull)
       val c = ms.func match {
-        case "FIRST" => element_at(vals, 1)
-        case "LAST" => element_at(vals, -1)
+        // navigation is positional over the variable's matched rows;
+        // the size guard makes out-of-range NULL (ANSI element_at
+        // would throw) — same out-of-range rule as DEFINE navigation
+        case "FIRST" =>
+          when(size(vals) > ms.offset, element_at(vals, ms.offset + 1))
+        case "LAST" =>
+          when(size(vals) > ms.offset, element_at(vals, -(ms.offset + 1)))
         case "COUNT" =>
           (if (ms.column == "*") size(rows)
            else size(filter(vals, v => v.isNotNull))).cast("long")
@@ -1424,8 +1440,19 @@ object MatchRecognize {
         case "AVG" => avg(num).over(wm)
         case "MIN" => min(v).over(wm)
         case "MAX" => max(v).over(wm)
-        case "FIRST" => first(v, ignoreNulls = true).over(wm)
-        case "LAST" => last(v, ignoreNulls = true).over(wm)
+        case "FIRST" if ms.offset == 0 => first(v, ignoreNulls = true).over(wm)
+        case "LAST" if ms.offset == 0 => last(v, ignoreNulls = true).over(wm)
+        // offset navigation is positional over the variable's rows in
+        // the frame: collect the variable's values in frame order
+        // (null structs — non-variable rows — are skipped by
+        // collect_list; a null VALUE rides inside a non-null struct so
+        // positions stay faithful), then index with an out-of-range
+        // NULL guard, exactly as in DEFINE navigation
+        case "FIRST" | "LAST" =>
+          val arr = collect_list(when(ofVar, struct(fieldOf(ms.column)
+            .as("__v")))).over(wm)
+          val idx = if (ms.func == "FIRST") ms.offset + 1 else -(ms.offset + 1)
+          when(size(arr) > ms.offset, element_at(arr, idx).getField("__v"))
       }
       c.as(ms.alias)
     }
@@ -1733,8 +1760,13 @@ object MatchRecognize {
         transform(rows, x => x.getField(actual(ms.column)).cast("double")),
         v => v.isNotNull)
       val c = ms.func match {
-        case "FIRST" => element_at(vals, 1)
-        case "LAST" => element_at(vals, -1)
+        // navigation is positional over the variable's matched rows;
+        // the size guard makes out-of-range NULL (ANSI element_at
+        // would throw) — same out-of-range rule as DEFINE navigation
+        case "FIRST" =>
+          when(size(vals) > ms.offset, element_at(vals, ms.offset + 1))
+        case "LAST" =>
+          when(size(vals) > ms.offset, element_at(vals, -(ms.offset + 1)))
         // SQL COUNT(col) skips NULLs; COUNT(V.*) counts matched rows
         case "COUNT" =>
           (if (ms.column == "*") size(rows)

@@ -214,6 +214,54 @@ class CepNavigationSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("MEASURES offset navigation: ONE ROW whole-match FIRST/LAST with n") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, 0, "t", 10), ev(2, 1, "t", 12), ev(3, 2, "t", 15)).toDS()
+    val out = MatchRecognize.detectBatchWithMeasures(events, """
+      MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES FIRST(U.event_id, 1) AS f1,
+                 LAST(U.event_id, 1) AS l1,
+                 LAST(U.event_id, 5) AS oob
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (U{3})
+        DEFINE U AS value > LAST(U.value, 1) OR LAST(U.value, 1) IS NULL)
+      """).collect()
+    assert(out.length == 1)
+    // both offset-1 navigations address the middle row of the triple;
+    // offset past the match is NULL, not an error
+    assert(out(0).getAs[Long]("f1") == 2L)
+    assert(out(0).getAs[Long]("l1") == 2L)
+    assert(out(0).isNullAt(out(0).fieldIndex("oob")))
+  }
+
+  test("MEASURES offset navigation: ALL ROWS RUNNING vs FINAL semantics") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, 0, "t", 10), ev(2, 1, "t", 12), ev(3, 2, "t", 15)).toDS()
+    val out = MatchRecognize.detectBatchAllRowsWithMeasures(events, """
+      MATCH_RECOGNIZE (
+        PARTITION BY user_id ORDER BY ts
+        MEASURES LAST(U.event_id, 1) AS run_l1,
+                 FINAL LAST(U.event_id, 1) AS fin_l1
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (U{3})
+        DEFINE U AS value > LAST(U.value, 1) OR LAST(U.value, 1) IS NULL)
+      """).orderBy(org.apache.spark.sql.functions.col("row_in_match"))
+      .collect()
+    assert(out.length == 3)
+    // RUNNING: prefix navigation — row 1 has no offset-1 predecessor
+    // (NULL), row 2 sees row 1, row 3 sees row 2; FINAL: whole match
+    // on every row (always the middle row, event 2)
+    val runL1 = out.map(r =>
+      if (r.isNullAt(r.fieldIndex("run_l1"))) None
+      else Some(r.getAs[Long]("run_l1")))
+    assert(runL1.toSeq == Seq(None, Some(1L), Some(2L)))
+    assert(out.forall(_.getAs[Long]("fin_l1") == 2L))
+  }
+
   test("rejections: NEXT, PREV offsets, PREV of another variable, expressions inside navigation") {
     def bad(define: String): String = intercept[IllegalArgumentException] {
       run(s"""MATCH_RECOGNIZE (
