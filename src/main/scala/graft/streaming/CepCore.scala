@@ -548,8 +548,11 @@ object CepCore {
       var startedHere = false
       val freshSucc = Seq.newBuilder[PartialMatch[E]]
       branches.indices.foreach { b =>
+        // Vector buffers: O(log n) append per consumed row and O(log n)
+        // indexed access for navigation — a List here would make every
+        // append and every nav lookup O(match length)
         val fresh = PartialMatch[E](0, inLoop = false, ts, ts, s, s,
-          Seq.empty, Seq.empty, b)
+          Vector.empty, Vector.empty, b, Vector.empty)
         val (c, succ, emits) = consume(fresh, e, prev, ts, s)
         if (c) startedHere = true
         freshSucc ++= succ

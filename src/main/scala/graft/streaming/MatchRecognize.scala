@@ -215,6 +215,18 @@ object MatchRecognize {
             s"'$PrevPrefix'/'$NavPrefix' prefixes are reserved for " +
             "navigation shadows")
       }
+    // a pattern variable that shares its name with a STRUCT input
+    // column makes every `name.field` reference ambiguous: the
+    // navigation rewrite would silently shadow the struct access.
+    // Reject at compile, mirroring the reserved-prefix check above.
+    attrs.find(a => a.dataType.isInstanceOf[org.apache.spark.sql.types.StructType]
+        && patternVars(a.name.toUpperCase)).foreach { a =>
+      throw new IllegalArgumentException(
+        s"pattern variable '${a.name.toUpperCase}' collides with struct " +
+          s"column '${a.name}': a qualified reference '${a.name}.<field>' " +
+          "would be ambiguous between struct access and pattern-variable " +
+          "navigation — rename one of them")
+    }
     val parsed = spark.sessionState.sqlParser.parseExpression(sql)
     var usesPrev = false
     val navSpecs = scala.collection.mutable.ArrayBuffer.empty[NavSpec]
@@ -381,9 +393,13 @@ object MatchRecognize {
         case _ => inner(None, cur)
       }
     }
-    /** Match-aware evaluation for FIRST/LAST navigation: converts the
-      * partial's rows to Catalyst form (matches are short — bounded by
-      * pattern length × quantifiers and the WITHIN horizon).
+    /** Match-aware evaluation for FIRST/LAST navigation. Conversion to
+      * Catalyst form is LAZY: navTarget scans only the (string) labels
+      * and indexes at most one row per NavSpec, so eager conversion of
+      * the whole history would be O(match length) allocations per
+      * evaluation — compounding under SKIP TO NEXT ROW with long
+      * oneOrMore loops. The view below converts exactly the rows the
+      * compiled NavSpecs actually reach.
       */
     def applyNav(ctx: CepCore.NavCtx[Event], e: Event): Boolean = {
       fill(cur, e)
@@ -391,12 +407,24 @@ object MatchRecognize {
         case Some(p) if inner.usesPrev => fill(prv, p); Some(prv: InternalRow)
         case _ => None
       }
-      val rows: IndexedSeq[InternalRow] = ctx.rows.map { ev =>
-        val r = new GenericInternalRow(5)
-        fill(r, ev)
-        r: InternalRow
-      }.toIndexedSeq
-      inner.evalNav(prevIr, cur, rows, ctx.labels.toIndexedSeq)
+      val evRows = ctx.rows match {
+        case ix: scala.collection.IndexedSeq[Event] => ix
+        case other => other.toIndexedSeq
+      }
+      val rows: scala.collection.IndexedSeq[InternalRow] =
+        new scala.collection.IndexedSeq[InternalRow] {
+          def length: Int = evRows.length
+          def apply(i: Int): InternalRow = {
+            val r = new GenericInternalRow(5)
+            fill(r, evRows(i))
+            r
+          }
+        }
+      val labels = ctx.labels match {
+        case ix: scala.collection.IndexedSeq[String] => ix
+        case other => other.toIndexedSeq
+      }
+      inner.evalNav(prevIr, cur, rows, labels)
     }
   }
 
@@ -2002,8 +2030,8 @@ object MatchRecognize {
             REv(r, conv(r).asInstanceOf[InternalRow], clock(r))
           def hydrate(p: CepCore.PartialMatch[Row]): CepCore.PartialMatch[REv] =
             CepCore.PartialMatch(p.stepIdx, p.inLoop, p.startTs, p.lastTs,
-              p.startSeq, p.lastSeq, p.rows.map(toREv), p.labels, p.branch,
-              p.rowSeqs)
+              p.startSeq, p.lastSeq, p.rows.map(toREv).toVector,
+              p.labels.toVector, p.branch, p.rowSeqs)
           def dehydrate(p: CepCore.PartialMatch[REv]): CepCore.PartialMatch[Row] =
             CepCore.PartialMatch(p.stepIdx, p.inLoop, p.startTs, p.lastTs,
               p.startSeq, p.lastSeq, p.rows.map(_.row), p.labels, p.branch,

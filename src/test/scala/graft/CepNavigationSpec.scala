@@ -262,6 +262,27 @@ class CepNavigationSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("fin_l1") == 2L))
   }
 
+  test("pattern variable colliding with a struct column is rejected at compile") {
+    import org.apache.spark.sql.functions.{col, struct}
+    import spark.implicits._
+    // relation input with a STRUCT column named 'a' — PATTERN (A ...)
+    // would make `a.field` ambiguous between struct access and
+    // pattern-variable navigation
+    val df = Seq((1L, 10.0, "x")).toDF("user_id", "v", "tag")
+      .withColumn("a", struct(col("v"), col("tag")))
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+    val ex = intercept[IllegalArgumentException] {
+      MatchRecognize.detectRelation(df, """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          PATTERN (A B)
+          DEFINE A AS v > 0, B AS v > a.v)
+        """).collect()
+    }
+    assert(ex.getMessage.contains("collides with struct column"),
+      s"wrong error: ${ex.getMessage}")
+  }
+
   test("rejections: NEXT, PREV offsets, PREV of another variable, expressions inside navigation") {
     def bad(define: String): String = intercept[IllegalArgumentException] {
       run(s"""MATCH_RECOGNIZE (
