@@ -29,24 +29,29 @@ object Iterations {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each vertex adopts min(own component, neighbors' components)
+      // each vertex adopts min(own component, neighbors' components).
+      // The vertex's own (previous) label rides the union under a
+      // self-flag, so ONE aggregation yields both the new label and
+      // the old one — the convergence check is then a shuffle-free
+      // count over the checkpointed result instead of a join against
+      // the previous labels (one fewer shuffle per iteration).
+      val compType = labels.schema("component").dataType
       val fromNeighbors = bidir
         .join(labels, bidir("dst") === labels("vertex"))
-        .select(bidir("src").as("vertex"), col("component"))
+        .select(bidir("src").as("vertex"), col("component"),
+          lit(null).cast(compType).as("prev"))
       val next = labels
-        .select(col("vertex"), col("component"))
+        .select(col("vertex"), col("component"),
+          col("component").as("prev"))
         .union(fromNeighbors)
         .groupBy(col("vertex"))
-        .agg(min(col("component")).as("component"))
+        .agg(
+          min(col("component")).as("component"),
+          // every vertex appears exactly once with a non-null prev
+          max(col("prev")).as("prev"))
         .localCheckpoint() // truncate lineage every iteration
-      val changed = next
-        .join(
-          labels.withColumnRenamed("component", "prev"),
-          "vertex"
-        )
-        .filter(col("component") =!= col("prev"))
-        .count()
-      labels = next
+      val changed = next.filter(col("component") =!= col("prev")).count()
+      labels = next.select(col("vertex"), col("component"))
       converged = changed == 0
       iter += 1
     }
