@@ -73,7 +73,11 @@ object Bench {
     "q_dedup_prefix_filter",
     "q_merge_upsert",
     "q_join_range_binned",
-    "q_ann_ivf_pq_rerank"
+    "q_ann_ivf_pq_rerank",
+    // round-13 additions: the Q23-shape double-subquery decorrelation
+    // and the MEASURES-navigation NFA pass over the full events table
+    "q_flagship_ds_frequent",
+    "q_cep_sql_nav_measures"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this

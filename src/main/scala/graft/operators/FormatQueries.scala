@@ -82,7 +82,11 @@ object FormatQueries extends QueryModule {
     * over JDBC, aggregate.
     */
   private def jdbcRoundTrip(s: SparkSession, dir: String) = {
-    val url = s"jdbc:derby:${scratch("derby")};create=true"
+    // per-JVM database path: embedded Derby takes an exclusive
+    // filesystem lock, so a shared path makes concurrently-running
+    // harnesses (Verify + PlanAudit + sbt test) fail each other with
+    // 'Failed to start database'
+    val url = s"jdbc:derby:${scratch("derby")}_${java.lang.ProcessHandle.current().pid()};create=true"
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
     tables(s, dir).orders
