@@ -39,7 +39,10 @@ object PlanAudit {
       // hilbert layout quantization bounds)
       "q_profile_histogram", "q_profile_histogram_equidepth",
       "q_quality_outlier_filter", "q_layout_hilbert",
-      "q_layout_zorder3"
+      "q_layout_zorder3",
+      // k-class broadcast model fan-out (k=3 rows): the NB scorer
+      // multiplies the token stream by the class count by design
+      "q_text_nb_classify"
     )
     // Queries whose predicates MUST reach the parquet scan — every
     // selective filter over a base-table column. A regression here

@@ -1074,6 +1074,67 @@ object FlagshipQueries extends QueryModule {
         GROUP BY o.o_orderpriority
       """)
     ),
+    // TPC-DS Q64 shape — cross-sale: the same (customer, part) bought
+    // in BOTH 1995 and 1996, with the two yearly revenues side by
+    // side. The spec shape (and Q64 itself) is a self-join of two
+    // filtered aggregates over the same fact; the Spark-first plan
+    // fuses them into ONE scan with conditional per-year sums and a
+    // HAVING-both-present filter — the same 2-scans→1-scan rewrite as
+    // the Q88 multirange (half the I/O, one shuffle on the compound
+    // key, no join at all). Money long-cent sums keep both yearly
+    // revenues exact; the oracle keeps the fused form so both engines
+    // aggregate identical integers.
+    QueryDef(
+      "q_flagship_ds_crosssale",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val rev = Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
+        val y = year(col("o_orderdate").cast("date"))
+        t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .filter(y.isin(1995, 1996))
+          .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+          .agg(
+            (Money.sumWideUnits(when(y === 1995, rev).otherwise(lit(0L)))
+              / lit(10000.0)).as("rev_1995"),
+            (Money.sumWideUnits(when(y === 1996, rev).otherwise(lit(0L)))
+              / lit(10000.0)).as("rev_1996"),
+            count(when(y === 1995, lit(1))).as("n_1995"),
+            count(when(y === 1996, lit(1))).as("n_1996"))
+          .filter(col("n_1995") > 0 && col("n_1996") > 0)
+          .select(
+            col("cust"), col("part"),
+            col("rev_1995"), col("rev_1996"),
+            round(col("rev_1996") / col("rev_1995"), 4).as("yoy"))
+      },
+      Some(s"""
+        SELECT o_custkey AS cust, l_partkey AS part,
+               ${Money.sumWideUnitsSql(
+                 s"CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995 THEN ${
+                   Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+                 } ELSE 0 END")} / 10000.0 AS rev_1995,
+               ${Money.sumWideUnitsSql(
+                 s"CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996 THEN ${
+                   Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+                 } ELSE 0 END")} / 10000.0 AS rev_1996,
+               round((${Money.sumWideUnitsSql(
+                 s"CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996 THEN ${
+                   Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+                 } ELSE 0 END")} / 10000.0) /
+                 (${Money.sumWideUnitsSql(
+                 s"CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995 THEN ${
+                   Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+                 } ELSE 0 END")} / 10000.0), 4) AS yoy
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+        GROUP BY o_custkey, l_partkey
+        HAVING count(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+                          THEN 1 END) > 0
+           AND count(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+                          THEN 1 END) > 0
+      """)
+    ),
     // TPC-DS Q88 shape — multi-range census: eight time-window counts
     // with per-window predicates, presented as one row. The spec text
     // (and the oracle below) writes this as EIGHT scalar subqueries

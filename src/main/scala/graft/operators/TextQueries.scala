@@ -445,6 +445,113 @@ object TextQueries extends QueryModule {
         FROM scored GROUP BY doc_id
       """)
     ),
+    // Multinomial Naive Bayes document classifier, trained AND scored
+    // distributed (the counts-based classifier-scoring stage of a
+    // training-data pipeline — the closed-form cousin of the fasttext
+    // quality/language classifiers, with an exact SQL oracle since
+    // train = aggregations and score = join + sum). Model: per-class
+    // priors ln(n_docs_c / n_docs) and Laplace-smoothed likelihoods
+    // ln((c_{w,c}+1)/(tot_c+V)). The model tables are class-count
+    // sized (k rows / k×vocab rows); scoring multiplies the token
+    // stream by k classes (k=3 here) and joins the likelihood table on
+    // (word, class) — a shuffle equi-join at 100 TB, broadcast when the
+    // vocab fits. Unseen (word, class) pairs fall back to the smoothing
+    // floor via the per-class model row. argmax per doc orders by the
+    // ROUNDED score (4dp) with class as tie-break, so both engines make
+    // the identical pick even at fp-summation-order noise.
+    QueryDef(
+      "q_text_nb_classify",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = tables(s, dir)
+        val docs = t.documents.select(col("doc_id"), col("lang"), col("text"))
+        val words = docs.select(
+          col("doc_id"), col("lang"),
+          explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+        val wc = words.groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("c"))
+        val vocab = words.select(col("word")).distinct()
+          .agg(count(lit(1)).cast("double").as("v"))
+        val langTot = wc.groupBy(col("lang"))
+          .agg(sum(col("c")).cast("double").as("tot"))
+        val priors = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+        val ndocs = docs.agg(count(lit(1)).cast("double").as("n"))
+        // per-class model row: prior + unseen-word floor
+        val model = priors
+          .join(langTot, "lang").crossJoin(broadcast(vocab))
+          .crossJoin(broadcast(ndocs))
+          .select(
+            col("lang").as("cls"),
+            log(col("nd") / col("n")).as("logprior"),
+            log(lit(1.0) / (col("tot") + col("v"))).as("unseen_ll"),
+            (col("tot") + col("v")).as("denom"))
+        // per-(class, word) likelihood
+        val ll = wc.join(langTot, "lang").crossJoin(broadcast(vocab))
+          .select(
+            col("lang").as("cls"), col("word"),
+            log((col("c") + lit(1)) / (col("tot") + col("v"))).as("ll"))
+        val scored = words.select(col("doc_id"), col("word"))
+          .crossJoin(broadcast(model.select(
+            col("cls"), col("logprior"), col("unseen_ll"))))
+          .join(ll, Seq("cls", "word"), "left")
+          .groupBy(col("doc_id"), col("cls"))
+          .agg(
+            (first(col("logprior")) +
+              sum(coalesce(col("ll"), col("unseen_ll")))).as("score"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(round(col("score"), 4).desc, col("cls").asc)
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(
+            col("doc_id"),
+            col("cls").as("pred_lang"),
+            round(col("score"), 4).as("score"),
+            (col("cls") === col("lang")).as("is_correct"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents
+        ),
+        wf AS (SELECT * FROM w WHERE word <> ''),
+        wc AS (SELECT lang, word, count(*) AS c FROM wf GROUP BY 1, 2),
+        vocab AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM wf),
+        langtot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS tot FROM wc GROUP BY 1),
+        priors AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+        ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        model AS (
+          SELECT p.lang AS cls, ln(p.nd / (SELECT n FROM ndocs)) AS logprior,
+                 ln(1.0 / (t.tot + (SELECT v FROM vocab))) AS unseen_ll
+          FROM priors p JOIN langtot t ON p.lang = t.lang
+        ),
+        ll AS (
+          SELECT wc.lang AS cls, wc.word,
+                 ln((wc.c + 1) / (t.tot + (SELECT v FROM vocab))) AS ll
+          FROM wc JOIN langtot t ON wc.lang = t.lang
+        ),
+        scored AS (
+          SELECT wf.doc_id, m.cls,
+                 any_value(m.logprior) +
+                   sum(coalesce(ll.ll, m.unseen_ll)) AS score
+          FROM wf CROSS JOIN model m
+          LEFT JOIN ll ON ll.cls = m.cls AND ll.word = wf.word
+          GROUP BY wf.doc_id, m.cls
+        ),
+        ranked AS (
+          SELECT doc_id, cls, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY round(score, 4) DESC, cls ASC) AS rn
+          FROM scored
+        )
+        SELECT r.doc_id, r.cls AS pred_lang, round(r.score, 4) AS score,
+               r.cls = d.lang AS is_correct
+        FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+        WHERE r.rn = 1
+      """)
+    ),
     // Corpus heavy hitters (φ = 1%): Misra–Gries sketch proposes
     // candidates in one O(capacity)-state pass, then an exact count
     // over candidates only verifies — the propose-then-verify pattern
