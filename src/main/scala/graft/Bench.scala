@@ -74,10 +74,14 @@ object Bench {
     "q_merge_upsert",
     "q_join_range_binned",
     "q_ann_ivf_pq_rerank",
-    // round-13 additions: the Q23-shape double-subquery decorrelation
-    // and the MEASURES-navigation NFA pass over the full events table
+    // round-13 additions: the Q23-shape double-subquery decorrelation,
+    // the MEASURES-navigation NFA pass over the full events table, the
+    // k-class NB scorer (token stream ×3 against the likelihood join),
+    // and the Q64-shape fused cross-sale
     "q_flagship_ds_frequent",
-    "q_cep_sql_nav_measures"
+    "q_cep_sql_nav_measures",
+    "q_text_nb_classify",
+    "q_flagship_ds_crosssale"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this
