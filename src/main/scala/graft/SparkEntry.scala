@@ -25,7 +25,8 @@ object SparkEntry {
     operators.FlagshipQueries,
     operators.CollectionQueries,
     operators.EvictorQueries,
-    operators.PipelineQueries
+    operators.PipelineQueries,
+    operators.StateQueries
   )
 
   private lazy val all: Seq[QueryDef] = {
