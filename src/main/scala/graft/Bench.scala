@@ -81,7 +81,10 @@ object Bench {
     "q_flagship_ds_frequent",
     "q_cep_sql_nav_measures",
     "q_text_nb_classify",
-    "q_flagship_ds_crosssale"
+    "q_flagship_ds_crosssale",
+    // the bigram-LM perplexity filter: n-gram count tables + two
+    // skewed equi-joins back onto the pair stream
+    "q_text_bigram_logprob"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this

@@ -42,7 +42,9 @@ object PlanAudit {
       "q_layout_zorder3",
       // k-class broadcast model fan-out (k=3 rows): the NB scorer
       // multiplies the token stream by the class count by design
-      "q_text_nb_classify"
+      "q_text_nb_classify",
+      // 1-row broadcast vocab size joined onto the pair stream
+      "q_text_bigram_logprob"
     )
     // Queries whose predicates MUST reach the parquet scan — every
     // selective filter over a base-table column. A regression here
@@ -79,7 +81,10 @@ object PlanAudit {
       // iterative trainer: result is the driver-assembled merge table
       // (each round's pair-count jobs scanned parquet; the final plan
       // is a local relation)
-      "q_tokenizer_bpe"
+      "q_tokenizer_bpe",
+      // the returned plan reads the streaming checkpoint's state store
+      // (DSv2 statestore scan), not parquet
+      "q_state_queryable"
     )
 
     var failures = 0

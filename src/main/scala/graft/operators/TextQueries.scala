@@ -445,6 +445,70 @@ object TextQueries extends QueryModule {
         FROM scored GROUP BY doc_id
       """)
     ),
+    // Bigram LM scoring — the actual CCNet/KenLM-shaped perplexity
+    // filter (the unigram query above is the proxy): self-train a
+    // conditional model P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) with Laplace
+    // smoothing over the corpus, score each doc by mean NLL of its
+    // adjacent pairs. Three aggregations (bigram counts, unigram
+    // counts, 1-row vocab size) then two equi-joins back onto the pair
+    // stream — (w1,w2) and w1. Both joins are Zipf-skewed on the hot
+    // token exactly like the unigram join; map-side partials absorb
+    // the skew in the counts, AQE splits it in the joins at 100 TB
+    // (broadcast when the n-gram tables fit). round(·,4) before the
+    // keep verdict so both engines threshold the identical value.
+    QueryDef(
+      "q_text_bigram_logprob",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val docs = t.documents
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        val words = docs.select(explode(col("ws")).as("word"))
+        val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+        // adjacent pairs; sequence() is ascending only for size >= 2
+        val pairs = docs
+          .filter(size(col("ws")) >= 2)
+          .select(
+            col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, size(ws) - 1), " +
+                "i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        pairs
+          .join(bi, Seq("w1", "w2"))
+          .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .select(
+            col("doc_id"),
+            (-log((col("c2") + lit(1.0)) / (col("c1") + col("v")))).as("nll"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
+          .withColumn("keep", col("avg_nll") < 3.42)
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        w AS (SELECT doc_id, unnest(ws) AS word FROM d),
+        uni AS (SELECT word, count(*) AS c1 FROM w GROUP BY 1),
+        v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        p AS (SELECT doc_id,
+                     unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                             for i in range(1, len(ws))]) AS pr
+              FROM d WHERE len(ws) >= 2),
+        pp AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p),
+        bi AS (SELECT w1, w2, count(*) AS c2 FROM pp GROUP BY 1, 2),
+        scored AS (
+          SELECT pp.doc_id,
+                 -ln((bi.c2 + 1.0) / (uni.c1 + (SELECT v FROM v))) AS nll
+          FROM pp JOIN bi USING (w1, w2) JOIN uni ON pp.w1 = uni.word)
+        SELECT doc_id, count(*) AS n_pairs,
+               round(sum(nll) / count(*), 4) AS avg_nll,
+               round(sum(nll) / count(*), 4) < 3.42 AS keep
+        FROM scored GROUP BY doc_id
+      """)
+    ),
     // Multinomial Naive Bayes document classifier, trained AND scored
     // distributed (the counts-based classifier-scoring stage of a
     // training-data pipeline — the closed-form cousin of the fasttext
