@@ -504,13 +504,17 @@ object DedupQueries extends QueryModule {
     // (min-label propagation, localCheckpoint loop, fully distributed)
     // → keep = (doc_id == component). Oracle: DuckDB recursive CTE
     // computing min-reachable-id over the same exact-Jaccard edges.
-    // At 100 TB the edge set comes from the MinHash-LSH candidates
-    // (same shape, probabilistic recall); the exact-Jaccard edges here
-    // keep the composite oracle-checkable end to end.
+    // The edge set comes from the PPJoin prefix-filter join — EXACT
+    // (provably identical pairs to the all-shingles inverted index,
+    // see prefixFilterPairs) but indexing only each doc's rare-token
+    // prefix, which is the generator that survives 100 TB. (MinHash-
+    // LSH candidates are the probabilistic-recall alternative at the
+    // same shape; exact edges keep the composite oracle-checkable
+    // end to end.)
     QueryDef(
       "q_dedup_clusters",
       (s, dir) => {
-        val pairs = jaccardPairs(tables(s, dir), 0.8)
+        val pairs = prefixFilterPairs(tables(s, dir), 4, 5)
         val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
         graft.plans.Iterations
           .connectedComponents(edges)

@@ -16,6 +16,30 @@ import org.apache.spark.sql.functions._
   */
 object MiscQueries extends QueryModule {
 
+  /** Typed UDAF for q_udaf_geomean. Top-level object with
+    * session-free Encoders on purpose: an anonymous Aggregator built
+    * inside the query closure captures the SparkSession through the
+    * implicit-encoder lookup, and the session rides into every task's
+    * serialized closure — which breaks outright the moment any
+    * non-serializable session field (e.g. the observation manager) is
+    * instantiated by an unrelated query in the same session.
+    */
+  private object GeoMeanAgg
+      extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), a: Double): (Double, Long) =
+      (b._1 + math.log(a), b._2 + 1)
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Long)): Double = math.exp(r._1 / r._2)
+    def bufferEncoder: org.apache.spark.sql.Encoder[(Double, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong)
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Uncorrelated scalar subquery.
     QueryDef(
@@ -225,18 +249,7 @@ object MiscQueries extends QueryModule {
     QueryDef(
       "q_udaf_geomean",
       (s, dir) => {
-        import s.implicits._
-        val geo = new Aggregator[Double, (Double, Long), Double] {
-          def zero: (Double, Long) = (0.0, 0L)
-          def reduce(b: (Double, Long), a: Double): (Double, Long) =
-            (b._1 + math.log(a), b._2 + 1)
-          def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
-            (x._1 + y._1, x._2 + y._2)
-          def finish(r: (Double, Long)): Double = math.exp(r._1 / r._2)
-          def bufferEncoder = implicitly[org.apache.spark.sql.Encoder[(Double, Long)]]
-          def outputEncoder = implicitly[org.apache.spark.sql.Encoder[Double]]
-        }
-        s.udf.register("graft_geomean", udaf(geo))
+        s.udf.register("graft_geomean", udaf(GeoMeanAgg))
         tables(s, dir).events.createOrReplaceTempView("events_udaf")
         s.sql("""
           SELECT event_type, round(graft_geomean(value + 1.0), 4) AS geo

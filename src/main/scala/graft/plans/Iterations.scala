@@ -40,6 +40,10 @@ object Iterations {
         .join(labels, bidir("dst") === labels("vertex"))
         .select(bidir("src").as("vertex"), col("component"),
           lit(null).cast(compType).as("prev"))
+      // the convergence count rides the checkpoint job as an observed
+      // metric — ONE Spark job per iteration (materialize + count
+      // fused), instead of a second scan over the checkpointed result
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
       val next = labels
         .select(col("vertex"), col("component"),
           col("component").as("prev"))
@@ -49,8 +53,14 @@ object Iterations {
           min(col("component")).as("component"),
           // every vertex appears exactly once with a non-null prev
           max(col("prev")).as("prev"))
-        .localCheckpoint() // truncate lineage every iteration
-      val changed = next.filter(col("component") =!= col("prev")).count()
+        .observe(obs,
+          sum(when(col("component") =!= col("prev"), 1L).otherwise(0L))
+            .as("changed"))
+        .localCheckpoint() // truncate lineage every iteration (eager)
+      val changed = obs.get("changed") match {
+        case null => 0L
+        case n: Number => n.longValue()
+      }
       labels = next.select(col("vertex"), col("component"))
       converged = changed == 0
       iter += 1
@@ -77,13 +87,20 @@ object Iterations {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // frontier size observed during the checkpoint job itself —
+      // one job per BFS round, no separate count scan
+      val obs = org.apache.spark.sql.Observation(s"bfs_size_$iter")
       val expanded = reach
         .union(
           bidir.join(reach, bidir("src") === reach("node")).select(col("dst").as("node"))
         )
         .distinct()
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      val nextSize = expanded.count()
+      val nextSize = obs.get("n") match {
+        case null => 0L
+        case n: Number => n.longValue()
+      }
       converged = nextSize == size
       size = nextSize
       reach = expanded
