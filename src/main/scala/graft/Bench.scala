@@ -84,7 +84,13 @@ object Bench {
     "q_flagship_ds_crosssale",
     // the bigram-LM perplexity filter: n-gram count tables + two
     // skewed equi-joins back onto the pair stream
-    "q_text_bigram_logprob"
+    "q_text_bigram_logprob",
+    // late round-13 additions: the 5-round PageRank driver loop
+    // (iteration cost = join + agg + checkpoint per round) and the
+    // linear-in-corpus n-gram repetition gate (two-level agg over an
+    // exploded token stream)
+    "q_graph_pagerank",
+    "q_text_repetition_ngram"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this

@@ -77,14 +77,17 @@ object PlanAudit {
     // — exempt from scan/codegen checks.
     val nonParquet = Set(
       "q_values_inline", "q_source_jdbc_roundtrip", "q_source_sequencefile_roundtrip",
-      "q_iterations_reachability", "q_dedup_clusters",
+      "q_iterations_reachability", "q_dedup_clusters", "q_graph_pagerank",
       // iterative trainer: result is the driver-assembled merge table
       // (each round's pair-count jobs scanned parquet; the final plan
       // is a local relation)
       "q_tokenizer_bpe",
       // the returned plan reads the streaming checkpoint's state store
       // (DSv2 statestore scan), not parquet
-      "q_state_queryable"
+      "q_state_queryable",
+      // the returned plan aggregates the memory-sink table the
+      // transformWithState query wrote
+      "q_tws_keyed_profile"
     )
 
     var failures = 0

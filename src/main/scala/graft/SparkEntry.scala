@@ -26,7 +26,8 @@ object SparkEntry {
     operators.CollectionQueries,
     operators.EvictorQueries,
     operators.PipelineQueries,
-    operators.StateQueries
+    operators.StateQueries,
+    operators.GraphQueries
   )
 
   private lazy val all: Seq[QueryDef] = {

@@ -82,6 +82,47 @@ object StateQueries extends QueryModule {
       round(col(c(2)).cast("double"), 4).as("v_sum"))
   }
 
+  /** Arbitrary stateful processing on the state API v2
+    * (`transformWithState` — see streaming/Tws.scala): the events
+    * stream grouped by user runs through a StatefulProcessor holding a
+    * ValueState counter, a MapState of per-type counts and a ValueState
+    * running max; the last emitted update per key must equal the batch
+    * aggregation, which is the oracle.
+    */
+  private def runTwsProfile(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Tws.withRocksDb(s) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val src = s.readStream.schema(raw.schema)
+        .parquet(asStreamDir(s"$dir/events.parquet"))
+        .select(col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Tws.TwsEvent]
+      val out = src.groupByKey(_.user_id)
+        .transformWithState(
+          new graft.streaming.Tws.KeyedProfileProcessor,
+          TimeMode.None(),
+          OutputMode.Update())
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_tws_ckpt").toString
+      val sink = s"tws_profile_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = out.toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // update-mode sink appends one profile per key per microbatch;
+      // n_events grows monotonically, so max(struct) is the final one
+      s.table(sink)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("n_types"), col("v_max"))).as("p"))
+        .select(col("user_id"), col("p.n_events").as("n_events"),
+          col("p.n_types").as("n_types"), col("p.v_max").as("v_max"))
+    }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_state_queryable",
@@ -89,6 +130,16 @@ object StateQueries extends QueryModule {
       Some("""
         SELECT user_id, count(*) AS n_events,
                round(sum(value), 4) AS v_sum
+        FROM events GROUP BY user_id
+      """)
+    ),
+    QueryDef(
+      "q_tws_keyed_profile",
+      runTwsProfile,
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types,
+               max(value) AS v_max
         FROM events GROUP BY user_id
       """)
     )

@@ -86,6 +86,77 @@ object TextQueries extends QueryModule {
         FROM f
       """)
     ),
+    // N-gram repetition quality signals (the Gopher/MassiveText rules
+    // complementing q_text_repetition's unigram dup-ratio): fraction
+    // of tokens claimed by the single most-repeated unigram, by the
+    // most-repeated bigram, and by ALL bigrams occurring more than
+    // once. Unlike the per-row O(u·n) expression tree there, this is
+    // the scale path for LONG documents: explode → two-level
+    // aggregation (counts shuffled on (doc, token), then per-doc
+    // max/sum) — linear in corpus size regardless of document length.
+    QueryDef(
+      "q_text_repetition_ngram",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = split(col("text"), " ")
+        val d = t.documents.select(col("doc_id"), words.as("w"),
+          size(words).as("n"))
+        val uniTop = d
+          .select(col("doc_id"), explode(col("w")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("mu"))
+        val bigrams = d.filter(col("n") > 1).select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("n") - 2),
+            i => concat_ws(" ", col("w")(i), col("w")(i + 1)))).as("bg"))
+        val bigAgg = bigrams
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(
+            max(col("c")).as("mb"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupb"))
+        d.join(uniTop, "doc_id")
+          .join(bigAgg, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"),
+            round(col("mu") / col("n"), 6).as("top_unigram_frac"),
+            round(coalesce(col("mb") / (col("n") - 1), lit(0.0)), 6)
+              .as("top_bigram_frac"),
+            round(coalesce(col("dupb") / (col("n") - 1), lit(0.0)), 6)
+              .as("dup_bigram_frac"),
+            (col("mu") / col("n") <= 0.2 &&
+              coalesce(col("dupb") / (col("n") - 1), lit(0.0)) <= 0.5)
+              .as("keep"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS w,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+          FROM documents
+        ),
+        uni AS (
+          SELECT doc_id, max(c) AS mu FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM d, UNNEST(w) AS t(tok) GROUP BY doc_id, tok
+          ) GROUP BY doc_id
+        ),
+        big AS (
+          SELECT doc_id, max(c) AS mb,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupb
+          FROM (
+            SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg, count(*) AS c
+            FROM d, UNNEST(range(1, CAST(n AS BIGINT))) AS t(i)
+            GROUP BY doc_id, bg
+          ) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(uni.mu / d.n, 6) AS top_unigram_frac,
+               round(COALESCE(big.mb / (d.n - 1), 0.0), 6) AS top_bigram_frac,
+               round(COALESCE(big.dupb / (d.n - 1), 0.0), 6) AS dup_bigram_frac,
+               (uni.mu / d.n <= 0.2 AND
+                COALESCE(big.dupb / (d.n - 1), 0.0) <= 0.5) AS keep
+        FROM d JOIN uni ON d.doc_id = uni.doc_id
+        LEFT JOIN big ON d.doc_id = big.doc_id
+      """)
+    ),
     // Marker-word language scoring with a deterministic argmax. (The
     // synthetic corpus has one shared vocabulary, so this validates
     // the classifier plumbing, not linguistics.)

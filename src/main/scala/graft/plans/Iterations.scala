@@ -69,6 +69,56 @@ object Iterations {
     labels
   }
 
+  /** PageRank with a FIXED iteration count over a directed edge list
+    * (`src`, `dst`), the third face of the batch-iteration primitive
+    * (reference DataStream.iterate — flink-examples PageRank is the
+    * reference's own canonical iterate demo). Fixed iterations (not
+    * convergence) keep the whole computation DuckDB-expressible as
+    * chained CTEs, so the iteration loop is oracle-checked exactly.
+    *
+    * rank_{k+1}(v) = teleport/N + damping * Σ_{(u,v)∈E} rank_k(u)/outdeg(u)
+    *
+    * Dangling vertices (no out-edges) contribute nothing — mass leaks,
+    * the simplified convention the oracle mirrors term for term.
+    * Fully distributed: ranks and contributions are shuffled joins on
+    * vertex id, the edge+outdeg table is materialized once and reused
+    * every iteration, localCheckpoint truncates lineage per round. The
+    * only driver-side values are N and the loop counter.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      teleport: Double = 0.15): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex")))
+      .distinct()
+      .localCheckpoint()
+    val n = vertices.count().toDouble
+    // (src, dst, deg) — each edge annotated with its source's
+    // out-degree, computed once; every iteration joins ranks against
+    // this single materialized table
+    val withDeg = e
+      .join(e.groupBy(col("src"))
+        .agg(count(lit(1)).cast("double").as("deg")), "src")
+      .localCheckpoint()
+    var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var iter = 0
+    while (iter < iters) {
+      val contribs = withDeg
+        .join(ranks, withDeg("src") === ranks("vertex"))
+        .select(col("dst").as("vertex"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("vertex"))
+        .agg(sum(col("c")).as("in"))
+      ranks = vertices
+        .join(contribs, Seq("vertex"), "left")
+        .select(col("vertex"),
+          (lit(teleport / n) +
+            lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      iter += 1
+    }
+    ranks
+  }
+
   /** Transitive reachability from a source vertex over an undirected
     * edge list — BFS frontier expansion as a driver loop, each step
     * fully distributed (the oracle-checkable face of the iteration

@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.Tws
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** State API v2 (`transformWithState`) — multi-batch state
+  * persistence and event-time timers, the behaviors the single-batch
+  * oracle query (q_tws_keyed_profile) cannot show.
+  */
+class TwsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.get
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  test("profile state accumulates across microbatches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    Tws.withRocksDb(spark) {
+      val in = MemoryStream[Tws.TwsEvent]
+      val out = in.toDS().groupByKey(_.user_id)
+        .transformWithState(
+          new Tws.KeyedProfileProcessor, TimeMode.None(), OutputMode.Update())
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("tws_spec_ckpt").toString
+      val q = out.toDF().writeStream
+        .outputMode("update").format("memory").queryName("tws_acc")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        in.addData(
+          Tws.TwsEvent(1, "click", 1.0),
+          Tws.TwsEvent(1, "view", 5.0))
+        q.processAllAvailable()
+        in.addData(
+          Tws.TwsEvent(1, "click", 3.0),
+          Tws.TwsEvent(2, "view", 2.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_acc")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // batch 1 emitted (1, 2 events, 2 types, max 5.0); batch 2 must
+      // have CONTINUED key 1's state: 3 events, still 2 types, max 5.0
+      assert(rows.contains((1L, 2L, 2L, 5.0)))
+      assert(rows.contains((1L, 3L, 2L, 5.0)))
+      assert(rows.contains((2L, 1L, 1L, 2.0)))
+    }
+  }
+
+  test("gap sessionizer fires its event-time timer when the watermark passes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    Tws.withRocksDb(spark) {
+      val in = MemoryStream[Tws.TimedEvent]
+      val out = in.toDS()
+        .withWatermark("ts", "0 seconds")
+        .groupByKey(_.user_id)
+        .transformWithState(
+          new Tws.GapSessionProcessor(gapMs = 5000),
+          TimeMode.EventTime(), OutputMode.Update())
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("tws_spec_timer").toString
+      val q = out.toDF().writeStream
+        .outputMode("update").format("memory").queryName("tws_sessions")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        // key 1: events at 10s and 11s → timer armed at 16s
+        in.addData(Tws.TimedEvent(1, ts(10), 1.0), Tws.TimedEvent(1, ts(11), 2.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_sessions").isEmpty,
+          "timer must not fire before the watermark reaches it")
+        // key 2 at 100s pushes the watermark past 16s → key 1 closes
+        in.addData(Tws.TimedEvent(2, ts(100), 1.0))
+        q.processAllAvailable()
+        val closed = spark.table("tws_sessions")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(closed.toSeq == Seq((1L, 2L, 16000L)))
+        // key 1's state was cleared on close: a fresh event restarts at 1
+        in.addData(Tws.TimedEvent(1, ts(200), 1.0))
+        q.processAllAvailable()
+        in.addData(Tws.TimedEvent(2, ts(300), 1.0))
+        q.processAllAvailable()
+        val again = spark.table("tws_sessions")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(again.contains((1L, 1L, 205000L)))
+      } finally q.stop()
+    }
+  }
+}
