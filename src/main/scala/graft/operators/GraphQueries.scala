@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries extends QueryModule {
 
+  /** Knuth multiplicative mix mod a prime — the same cross-engine
+    * arithmetic PipelineQueries uses for deterministic sampling, so
+    * DuckDB replays every "random" choice exactly. Inputs must be
+    * non-negative (DuckDB's % keeps the dividend's sign, Spark's pmod
+    * doesn't) — callers shift node ids positive first.
+    */
+  private val MixP = 1000003L
+  private def mix(key: org.apache.spark.sql.Column) =
+    pmod(pmod(key, lit(MixP)) * lit(2654435761L) + lit(12345L), lit(MixP))
+  private def mixSql(key: String): String =
+    s"((($key) % 1000003) * 2654435761 + 12345) % 1000003"
+
   def defs: Seq[QueryDef] = Seq(
     // PageRank over the customer→supplier trade graph (edge when a
     // customer's order ships a supplier's item; suppliers get negative
@@ -75,6 +87,87 @@ object GraphQueries extends QueryModule {
         ),""" +
           (1 to 5).map(step).mkString(",") + """
         SELECT vertex, round(rank, 6) AS rank FROM p5
+        """
+      }
+    ),
+    // Deterministic random walks (the node2vec/DeepWalk sampling
+    // stage of graph-embedding training data): from every supplier
+    // node, 3 steps over the undirected trade graph, the "random"
+    // neighbor at step k being the argmin of the cross-engine mix hash
+    // of (cur, neighbor, k) — a pure function of the walk state, so
+    // retries, partitionings and engines reproduce the SAME corpus of
+    // walks (rand()-based walks survive none of those). Each step is
+    // one equi-join on the current node + one per-walk argmin — two
+    // shuffles per step, no driver state; walks ride as rows, paths as
+    // columns. DuckDB replays all 3 steps via row_number-over-hash.
+    QueryDef(
+      "q_graph_random_walks",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val e = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            col("o_custkey").as("src"),
+            (-(col("l_suppkey") + 1)).as("dst"))
+          .distinct()
+        val bidir = graft.CacheScope.cached(
+          e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct())
+        // fold each id to a non-negative residue first (pmod — DuckDB
+        // mirrors it as ((x % P) + P) % P), so the combined hash input
+        // is sign-safe at ANY id magnitude
+        var walks = e.select(col("dst").as("walk_id")).distinct()
+          .select(col("walk_id"), array(col("walk_id")).as("path"),
+            col("walk_id").as("cur"))
+        for (k <- 1 to 3) {
+          val score = mix(
+            pmod(col("cur"), lit(MixP)) * lit(131L) +
+              pmod(col("dst"), lit(MixP)) * lit(7L) + lit(k * 7919L))
+          walks = walks
+            .join(bidir, walks("cur") === bidir("src"))
+            .groupBy(col("walk_id"))
+            .agg(
+              max(col("path")).as("path"), // constant within the group
+              min(struct(score.as("h"), col("dst").as("d"))).as("pick"))
+            .select(col("walk_id"),
+              concat(col("path"), array(col("pick.d"))).as("path"),
+              col("pick.d").as("cur"))
+        }
+        walks.select(col("walk_id"),
+          element_at(col("path"), 2).as("n1"),
+          element_at(col("path"), 3).as("n2"),
+          element_at(col("path"), 4).as("n3"))
+      },
+      Some {
+        val step = (k: Int) => {
+          val prev = if (k == 1) "w0" else s"s${k - 1}"
+          val carried = (1 until k).map(i => s"n$i, ").mkString
+          s"""
+        s$k AS (
+          SELECT walk_id, ${carried}dst AS n$k, dst AS cur FROM (
+            SELECT w.walk_id, ${(1 until k).map(i => s"w.n$i, ").mkString}b.dst,
+                   row_number() OVER (
+                     PARTITION BY w.walk_id
+                     ORDER BY ${mixSql(
+            s"(((w.cur % 1000003) + 1000003) % 1000003)*131" +
+              s" + (((b.dst % 1000003) + 1000003) % 1000003)*7 + ${k * 7919}")}, b.dst
+                   ) AS rn
+            FROM $prev w JOIN bid b ON b.src = w.cur)
+          WHERE rn = 1
+        )"""
+        }
+        """
+        WITH e AS (
+          SELECT DISTINCT o_custkey AS src, -(l_suppkey + 1) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        bid AS (
+          SELECT src, dst FROM e
+          UNION SELECT dst AS src, src AS dst FROM e
+        ),
+        w0 AS (SELECT DISTINCT dst AS walk_id, dst AS cur FROM e),""" +
+          (1 to 3).map(step).mkString(",") + """
+        SELECT walk_id, n1, n2, n3 FROM s3
         """
       }
     ),

@@ -40,6 +40,22 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(ranks - 0.7875) < 1e-12)
   }
 
+  test("random walks are a pure function of the graph — partitioning-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.operators.GraphQueries.defs
+      .find(_.name == "q_graph_random_walks").get.builder
+    val a = CacheScope.scoped {
+      q(spark, dir).collect().map(_.toSeq).toSet
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val b = try CacheScope.scoped {
+      q(spark, dir).collect().map(_.toSeq).toSet
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("degree-ordered triangle counts match brute force on a known graph") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a pendant
