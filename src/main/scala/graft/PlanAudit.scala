@@ -44,7 +44,9 @@ object PlanAudit {
       // multiplies the token stream by the class count by design
       "q_text_nb_classify",
       // 1-row broadcast vocab size joined onto the pair stream
-      "q_text_bigram_logprob"
+      "q_text_bigram_logprob",
+      // 1-row broadcast mixture totals (Σ weights, corpus size)
+      "q_mix_temperature"
     )
     // Queries whose predicates MUST reach the parquet scan — every
     // selective filter over a base-table column. A regression here

@@ -454,6 +454,97 @@ object PipelineQueries extends QueryModule {
         WHERE cum_tok <= CASE WHEN lang = 'en' THEN 300 ELSE 150 END
       """)
     ),
+    // Robust PER-GROUP outlier flagging — the Tukey-fence complement
+    // of q_quality_outlier_filter's global [p1,p99] band: each
+    // event_type gets its own IQR fences. Quartiles are DISCRETE
+    // percentiles — actual data values, so the fences are exact in
+    // both engines (a mean/stddev z-score inherits each engine's
+    // float-summation order and can flip a threshold row; selection
+    // percentiles cannot). One tiny per-type quartile table broadcast
+    // back over the scan — no second shuffle, no sort of the fact.
+    QueryDef(
+      "q_quality_outliers",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val fences = t.events.groupBy(col("event_type")).agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").as("q1"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").as("q3"))
+          .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+          .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        t.events
+          .join(broadcast(fences), "event_type")
+          .filter(col("value") < col("lo") || col("value") > col("hi"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT event_type,
+                 percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+                 percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS q3
+          FROM events GROUP BY event_type
+        ),
+        g AS (
+          SELECT event_type, q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi
+          FROM f
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round(g.lo, 4) AS lo, round(g.hi, 4) AS hi
+        FROM events e JOIN g USING (event_type)
+        WHERE e.value < g.lo OR e.value > g.hi
+      """)
+    ),
+    // Temperature-scaled language mixture (the multilingual rebalance:
+    // sample share ∝ cnt^α with α=1/2, flattening the head and
+    // upsampling tail languages relative to natural frequency). All
+    // quota arithmetic is INTEGER — u = floor(sqrt(cnt)), quota =
+    // ((N DIV 2)·u) DIV Σu — because a float Σ here is summed in
+    // engine-dependent order and one ulp under a floor() flips a
+    // quota; selection inside each language is the deterministic
+    // mix-hash order. Scale shape: the quota table is one tiny
+    // broadcast, selection is one per-language window — no global
+    // sort, no collect.
+    QueryDef(
+      "q_mix_temperature",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val counts = t.documents.groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("u", expr("CAST(floor(sqrt(cnt)) AS BIGINT)"))
+        val tot = counts.agg(
+          sum(col("u")).as("tu"), sum(col("cnt")).as("n"))
+        val quotas = counts.crossJoin(broadcast(tot))
+          .withColumn("quota", expr("least(cnt, ((n DIV 2) * u) DIV tu)"))
+          .select(col("lang"), col("quota"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("m"), col("doc_id"))
+        t.documents
+          .join(broadcast(quotas), "lang")
+          .withColumn("m", mix(col("doc_id")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= col("quota"))
+          .select(col("lang"), col("doc_id"),
+            col("quota").cast("long").as("quota"))
+      },
+      Some(s"""
+        WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        u AS (SELECT lang, cnt, CAST(floor(sqrt(cnt)) AS BIGINT) AS u FROM c),
+        t AS (SELECT sum(u) AS tu, sum(cnt) AS n FROM u),
+        q AS (
+          SELECT lang,
+                 CAST(least(cnt, ((n // 2) * u) // tu) AS BIGINT) AS quota
+          FROM u, t
+        ),
+        r AS (
+          SELECT d.lang, d.doc_id, q.quota,
+                 row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY ${mixSql("d.doc_id")}, d.doc_id) AS rn
+          FROM documents d JOIN q USING (lang)
+        )
+        SELECT lang, doc_id, quota FROM r WHERE rn <= quota
+      """)
+    ),
     // Distributed global shuffle: the pre-training order randomization.
     // A naive ORDER BY hash is a partitionless sort (single-task at the
     // rank step if expressed as OVER ()); DistributedRank instead

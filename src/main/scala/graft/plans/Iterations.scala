@@ -17,10 +17,15 @@ object Iterations {
     * where component = the minimum vertex id reachable.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // dst-partitioned once: the per-iteration neighbor join probes
+    // bidir on dst, so the (big) edge side never re-shuffles — labels
+    // arrive vertex-partitioned from the previous round's aggregation
+    // and the union→groupBy pays the round's single shuffle
     val bidir = edges
       .select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist()
     val vertices = bidir.select(col("src").as("vertex")).distinct()
     var labels = vertices
@@ -88,9 +93,17 @@ object Iterations {
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       teleport: Double = 0.15): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
+    // Loop-invariant tables are hash-partitioned on their join keys
+    // ONCE before checkpointing — LogicalRDD preserves the output
+    // partitioning, so the per-iteration joins (edges⋈ranks on src,
+    // vertices⋈contribs on vertex) insert NO exchange on these sides.
+    // Each iteration then shuffles exactly once: the contribution
+    // aggregation onto dst. On a skewed graph that one shuffle is
+    // AQE's to split; everything else stays in place.
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex")))
       .distinct()
+      .repartition(col("vertex"))
       .localCheckpoint()
     val n = vertices.count().toDouble
     // (src, dst, deg) — each edge annotated with its source's
@@ -99,7 +112,10 @@ object Iterations {
     val withDeg = e
       .join(e.groupBy(col("src"))
         .agg(count(lit(1)).cast("double").as("deg")), "src")
+      .repartition(col("src"))
       .localCheckpoint()
+    // ranks inherit the vertex partitioning (projection preserves it,
+    // and so does every checkpoint in the loop)
     var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint()
     var iter = 0
     while (iter < iters) {

@@ -72,39 +72,39 @@ object Tws {
   final case class TimedEvent(
       user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionClose(
-      user_id: Long, n_events: Long, closed_at_ms: Long)
+      user_id: Long, n_events: Long, v_sum: Double, closed_at_ms: Long)
 
   /** Gap sessionizer on event-time timers: every input batch re-arms
     * the key's single timer at (latest event time + gap); when the
     * watermark passes it, onTimer emits the session summary and clears
     * the key's state — the reference's canonical
-    * KeyedProcessFunction-with-timers example.
+    * KeyedProcessFunction-with-timers example. The session's values
+    * ride a ListState (the third state kind), folded at close.
     */
   final class GapSessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, TimedEvent, SessionClose] {
-    @transient private var n: ValueState[Long] = _
     @transient private var lastMs: ValueState[Long] = _
+    @transient private var values: ListState[Double] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      n = getHandle.getValueState("n", Encoders.scalaLong, TTLConfig.NONE)
       lastMs = getHandle.getValueState(
         "last_ms", Encoders.scalaLong, TTLConfig.NONE)
+      values = getHandle.getListState(
+        "values", Encoders.scalaDouble, TTLConfig.NONE)
     }
 
     override def handleInputRows(
         key: Long,
         rows: Iterator[TimedEvent],
         timerValues: TimerValues): Iterator[SessionClose] = {
-      var cnt = if (n.exists()) n.get() else 0L
       var last = if (lastMs.exists()) lastMs.get() else Long.MinValue
       rows.foreach { e =>
-        cnt += 1
+        values.appendValue(e.value)
         last = math.max(last, e.ts.getTime)
       }
       // single live timer per key: re-arm at the new gap deadline
       if (lastMs.exists()) getHandle.deleteTimer(lastMs.get() + gapMs)
       getHandle.registerTimer(last + gapMs)
-      n.update(cnt)
       lastMs.update(last)
       Iterator.empty
     }
@@ -113,11 +113,11 @@ object Tws {
         key: Long,
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionClose] = {
-      val out = SessionClose(
-        key,
-        if (n.exists()) n.get() else 0L,
-        expiredTimerInfo.getExpiryTimeInMs)
-      n.clear(); lastMs.clear()
+      var n = 0L
+      var sum = 0.0
+      if (values.exists()) values.get().foreach { v => n += 1; sum += v }
+      val out = SessionClose(key, n, sum, expiredTimerInfo.getExpiryTimeInMs)
+      values.clear(); lastMs.clear()
       Iterator.single(out)
     }
   }

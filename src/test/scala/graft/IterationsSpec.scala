@@ -27,6 +27,27 @@ class IterationsSpec extends AnyFunSuite {
     ))
   }
 
+  test("checkpointed partitioning is preserved — iteration joins add no exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the mechanism pageRank/connectedComponents rely on: repartition
+    // on the join key + localCheckpoint → LogicalRDD keeps the hash
+    // partitioning, so a subsequent join on that key plans with no
+    // Exchange under either side
+    val left = (1L to 1000L).map(i => (i, i * 2)).toDF("src", "payload")
+      .repartition(col("src")).localCheckpoint()
+    val right = (1L to 1000L).map(i => (i, i * 3)).toDF("vertex", "rank")
+      .repartition(col("vertex")).localCheckpoint()
+    val joined = left.join(right, left("src") === right("vertex"))
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"expected no exchange, got:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() == 1000)
+  }
+
   test("long chain needs several iterations and still converges") {
     import spark.implicits._
     val n = 30

@@ -73,17 +73,17 @@ class TwsSpec extends AnyFunSuite {
         // key 2 at 100s pushes the watermark past 16s → key 1 closes
         in.addData(Tws.TimedEvent(2, ts(100), 1.0))
         q.processAllAvailable()
-        val closed = spark.table("tws_sessions")
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        assert(closed.toSeq == Seq((1L, 2L, 16000L)))
+        val closed = spark.table("tws_sessions").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        assert(closed.toSeq == Seq((1L, 2L, 3.0, 16000L)))
         // key 1's state was cleared on close: a fresh event restarts at 1
-        in.addData(Tws.TimedEvent(1, ts(200), 1.0))
+        in.addData(Tws.TimedEvent(1, ts(200), 4.0))
         q.processAllAvailable()
         in.addData(Tws.TimedEvent(2, ts(300), 1.0))
         q.processAllAvailable()
-        val again = spark.table("tws_sessions")
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        assert(again.contains((1L, 1L, 205000L)))
+        val again = spark.table("tws_sessions").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        assert(again.contains((1L, 1L, 4.0, 205000L)))
       } finally q.stop()
     }
   }
