@@ -89,7 +89,7 @@ object PlanAudit {
       "q_state_queryable",
       // the returned plan aggregates the memory-sink table the
       // transformWithState query wrote
-      "q_tws_keyed_profile"
+      "q_tws_keyed_profile", "q_dedup_online"
     )
 
     var failures = 0

@@ -624,6 +624,81 @@ object DedupQueries extends QueryModule {
         FROM marked GROUP BY doc_id
       """)
     ),
+    // ONLINE document dedup: the ingest-time face of span dedup — a
+    // document STREAM flows through a keyed StatefulProcessor (state
+    // API v2, streaming/Tws.SpanMinProcessor) holding, per span, the
+    // minimum doc id seen so far; a document is a duplicate when any
+    // of its spans already has a smaller canonical id. The per-bucket
+    // rule is min (order-free), so a single-batch run equals the batch
+    // groupBy-min — the DuckDB oracle — while the same query keeps
+    // accumulating state across microbatches on a real ingest (TwsSpec
+    // pins the cross-batch semantics). Scale shape: state is sharded
+    // by span across the stateful operator's partitions; the verdict
+    // aggregation is one groupBy(doc_id).
+    QueryDef(
+      "q_dedup_online",
+      (s, dir) => graft.streaming.Tws.withRocksDb(s) {
+        import s.implicits._
+        import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+        val k = SpanWords
+        val raw = s.read.parquet(s"$dir/documents.parquet")
+        val src = s.readStream.schema(raw.schema)
+          .parquet(StateQueries.asStreamDir(s"$dir/documents.parquet"))
+        val spans = src
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(
+            col("doc_id"),
+            explode(
+              transform(
+                sequence(
+                  lit(0),
+                  ceil(size(col("w")) / lit(k.toDouble)).cast("int") - 1
+                ),
+                i => array_join(slice(col("w"), i * k + 1, lit(k)), " ")
+              )
+            ).as("span"))
+          .select(col("span"), col("doc_id"))
+          .as[graft.streaming.Tws.SpanHit]
+        val verdicts = spans.groupByKey(_.span)
+          .transformWithState(
+            new graft.streaming.Tws.SpanMinProcessor,
+            TimeMode.None(),
+            OutputMode.Update())
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_online_ckpt").toString
+        val sink =
+          s"dedup_online_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        val q = verdicts.toDF().writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        s.table(sink)
+          .groupBy(col("doc_id"))
+          .agg(min(col("span_min")).as("first_ref"))
+          .select(col("doc_id"), col("first_ref"),
+            (col("first_ref") < col("doc_id")).as("is_dup"))
+      },
+      Some(s"""
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        spans AS (
+          SELECT doc_id,
+                 unnest([array_to_string(w[(i*$SpanWords+1):(i*$SpanWords+$SpanWords)], ' ')
+                         for i in range(0, cast(ceil(len(w)/$SpanWords.0) AS BIGINT))]) AS span
+          FROM words
+        ),
+        m AS (SELECT span, min(doc_id) AS mn FROM spans GROUP BY span)
+        SELECT s.doc_id, min(m.mn) AS first_ref,
+               min(m.mn) < s.doc_id AS is_dup
+        FROM spans s JOIN m USING (span)
+        GROUP BY s.doc_id
+      """)
+    ),
     // Boilerplate-span census: the per-span view of the same chunking —
     // spans recurring across >= 2 distinct documents, with occurrence
     // and document counts. On a real crawl this is the navigation/

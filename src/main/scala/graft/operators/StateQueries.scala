@@ -32,7 +32,7 @@ object StateQueries extends QueryModule {
     * source monitors a directory, so a bare file is exposed through a
     * symlinked temp dir (same trick as q_join_stream_stream).
     */
-  private def asStreamDir(path: String): String = {
+  private[operators] def asStreamDir(path: String): String = {
     val f = new java.io.File(path)
     if (f.isDirectory) path
     else {

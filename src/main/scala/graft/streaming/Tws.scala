@@ -122,6 +122,39 @@ object Tws {
     }
   }
 
+  final case class SpanHit(span: String, doc_id: Long)
+  final case class SpanVerdict(doc_id: Long, span_min: Long)
+
+  /** Online-dedup bucket state: per span (the key), the minimum doc id
+    * seen so far; every arriving hit is answered with that canonical
+    * id (min over history ∪ this batch, so the verdict is order-free
+    * within a batch — a single-batch run equals the batch groupBy-min,
+    * which is q_dedup_online's oracle). The batch's hits are buffered
+    * to answer after the merged min is known; a pathologically hot
+    * span (boilerplate) should be stripped upstream first — that is
+    * exactly what q_boilerplate_spans exists to find.
+    */
+  final class SpanMinProcessor
+      extends StatefulProcessor[String, SpanHit, SpanVerdict] {
+    @transient private var minDoc: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      minDoc = getHandle.getValueState(
+        "min_doc", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[SpanHit],
+        timerValues: TimerValues): Iterator[SpanVerdict] = {
+      val hits = rows.map(_.doc_id).toArray
+      var m = if (minDoc.exists()) minDoc.get() else Long.MaxValue
+      hits.foreach(d => if (d < m) m = d)
+      minDoc.update(m)
+      val canonical = m
+      hits.iterator.map(d => SpanVerdict(d, canonical))
+    }
+  }
+
   /** Run `body` with the RocksDB state store provider (required by the
     * v2 API), restoring the previous provider afterwards.
     */

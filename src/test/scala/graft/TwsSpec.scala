@@ -48,6 +48,34 @@ class TwsSpec extends AnyFunSuite {
     }
   }
 
+  test("online dedup buckets answer with min-so-far across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    Tws.withRocksDb(spark) {
+      val in = MemoryStream[Tws.SpanHit]
+      val out = in.toDS().groupByKey(_.span)
+        .transformWithState(
+          new Tws.SpanMinProcessor, TimeMode.None(), OutputMode.Update())
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("tws_spec_dedup").toString
+      val q = out.toDF().writeStream
+        .outputMode("update").format("memory").queryName("tws_dedup")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        in.addData(Tws.SpanHit("a", 5))
+        q.processAllAvailable()
+        in.addData(Tws.SpanHit("a", 7), Tws.SpanHit("a", 3), Tws.SpanHit("b", 9))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_dedup")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 1: 5 is canonical of 'a'. batch 2: the bucket min merges
+      // history (5) with the batch (7, 3) → canonical 3 answers BOTH
+      // hits, order-free; 'b' starts fresh at 9.
+      assert(rows == Set((5L, 5L), (7L, 3L), (3L, 3L), (9L, 9L)))
+    }
+  }
+
   test("gap sessionizer fires its event-time timer when the watermark passes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
