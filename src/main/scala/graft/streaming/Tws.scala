@@ -155,6 +155,42 @@ object Tws {
     }
   }
 
+  /** [[SpanMinProcessor]] warm-started from a batch corpus: the
+    * initial-state variant of the v2 API seeds each span bucket's
+    * canonical id from an existing (already-deduped) corpus BEFORE the
+    * first streaming batch — the online complement of the batch
+    * Bloom-prefilter "dedup vs already seen" (q_dedup_bloom_prefilter).
+    * The initial state is a KeyValueGroupedDataset, so seeding is a
+    * distributed co-partitioned pass, not a driver upload.
+    */
+  final class WarmSpanMinProcessor
+      extends StatefulProcessorWithInitialState[
+        String, SpanHit, SpanVerdict, Long] {
+    @transient private var minDoc: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      minDoc = getHandle.getValueState(
+        "min_doc", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(
+        key: String, initialState: Long, timerValues: TimerValues): Unit =
+      minDoc.update(
+        if (minDoc.exists()) math.min(minDoc.get(), initialState)
+        else initialState)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[SpanHit],
+        timerValues: TimerValues): Iterator[SpanVerdict] = {
+      val hits = rows.map(_.doc_id).toArray
+      var m = if (minDoc.exists()) minDoc.get() else Long.MaxValue
+      hits.foreach(d => if (d < m) m = d)
+      minDoc.update(m)
+      val canonical = m
+      hits.iterator.map(d => SpanVerdict(d, canonical))
+    }
+  }
+
   /** Run `body` with the RocksDB state store provider (required by the
     * v2 API), restoring the previous provider afterwards.
     */

@@ -76,6 +76,35 @@ class TwsSpec extends AnyFunSuite {
     }
   }
 
+  test("warm-started dedup state answers the first batch from the seeded corpus") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    Tws.withRocksDb(spark) {
+      // "already seen" corpus: span a canonical 2, span b canonical 4
+      val seed = Seq(("a", 2L), ("b", 4L)).toDS()
+        .groupByKey(_._1).mapValues(_._2)
+      val in = MemoryStream[Tws.SpanHit]
+      val out = in.toDS().groupByKey(_.span)
+        .transformWithState(
+          new Tws.WarmSpanMinProcessor,
+          TimeMode.None(), OutputMode.Update(), seed)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("tws_spec_warm").toString
+      val q = out.toDF().writeStream
+        .outputMode("update").format("memory").queryName("tws_warm")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        in.addData(Tws.SpanHit("a", 9), Tws.SpanHit("b", 1), Tws.SpanHit("c", 6))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_warm")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 9 is a dup of seeded 2; 1 beats seeded 4 and becomes canonical;
+      // c was never seen — fresh canonical
+      assert(rows == Set((9L, 2L), (1L, 1L), (6L, 6L)))
+    }
+  }
+
   test("gap sessionizer fires its event-time timer when the watermark passes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
