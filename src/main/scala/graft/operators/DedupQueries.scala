@@ -624,6 +624,43 @@ object DedupQueries extends QueryModule {
         FROM marked GROUP BY doc_id
       """)
     ),
+    // Edit-distance near-dup join (the typo/variant-title dedup family
+    // beside the set-similarity ones): DISTINCT names first — dedupe
+    // before pairing is the scale move, the name domain is orders of
+    // magnitude smaller than the row count — then block on the head
+    // noun (domain-chosen blocking key) and verify candidates with a
+    // THRESHOLD-bounded Levenshtein (Spark's 3-arg levenshtein bails
+    // out early past the bound; the oracle's plain levenshtein <= k is
+    // the same predicate). Candidates are bounded per block; no global
+    // cross join exists at any scale.
+    QueryDef(
+      "q_dedup_edit_distance",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val names = t.part.select(col("p_name")).distinct()
+          .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+        val a = names.select(col("p_name").as("name_a"), col("blk"))
+        val b = names.select(col("p_name").as("name_b"), col("blk"))
+        a.join(b, Seq("blk"))
+          .filter(col("name_a") < col("name_b"))
+          .withColumn("dist",
+            levenshtein(col("name_a"), col("name_b"), 3))
+          .filter(col("dist") >= 0 && col("dist") <= 3)
+          .select(col("name_a"), col("name_b"), col("dist"))
+      },
+      Some("""
+        WITH names AS (
+          SELECT DISTINCT p_name,
+                 string_split(p_name, ' ')[-1] AS blk
+          FROM part
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               levenshtein(a.p_name, b.p_name) AS dist
+        FROM names a JOIN names b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
+      """)
+    ),
     // ONLINE document dedup: the ingest-time face of span dedup — a
     // document STREAM flows through a keyed StatefulProcessor (state
     // API v2, streaming/Tws.SpanMinProcessor) holding, per span, the
