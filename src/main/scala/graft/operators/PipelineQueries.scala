@@ -454,6 +454,68 @@ object PipelineQueries extends QueryModule {
         WHERE cum_tok <= CASE WHEN lang = 'en' THEN 300 ELSE 150 END
       """)
     ),
+    // Time-series densification: per-user hourly grid between the
+    // user's first and last event, gap-filled by LOCF (the resample +
+    // forward-fill every feature/metrics pipeline runs before window
+    // models). Hour buckets are exact integer µs division; the
+    // per-hour representative is the argmax by (event time, event_id)
+    // — a selected data value, so the fill is engine-exact with no
+    // float summation anywhere. Scale shape: grid = one explode of a
+    // per-user [h0, h1] sequence (bounded by span, not corpus), fill =
+    // one window per user — no global sort, no driver time loop.
+    QueryDef(
+      "q_timeseries_densify",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val e = t.events.select(
+          col("user_id"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"),
+          expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("value"))
+        val obs = e.groupBy(col("user_id"), col("h"))
+          .agg(max(struct(col("us"), col("event_id"), col("value")))
+            .getField("value").as("v"))
+        val grid = e.groupBy(col("user_id"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(obs, Seq("user_id", "h"), "left")
+          .select(col("user_id"), col("h"),
+            col("v").isNotNull.as("observed"),
+            last(col("v"), ignoreNulls = true).over(w).as("value_fill"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id,
+                 epoch_us(ts) // 3600000000 AS h,
+                 epoch_us(ts) AS us, event_id, value
+          FROM events
+        ),
+        obs AS (
+          SELECT user_id, h, value AS v FROM (
+            SELECT user_id, h, value,
+                   row_number() OVER (
+                     PARTITION BY user_id, h
+                     ORDER BY us DESC, event_id DESC) AS rn
+            FROM e) WHERE rn = 1
+        ),
+        grid AS (
+          SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM (
+            SELECT user_id, min(h) AS h0, max(h) AS h1
+            FROM e GROUP BY user_id)
+        )
+        SELECT g.user_id, g.h,
+               o.v IS NOT NULL AS observed,
+               last_value(o.v IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value_fill
+        FROM grid g LEFT JOIN obs o
+          ON o.user_id = g.user_id AND o.h = g.h
+      """)
+    ),
     // Robust PER-GROUP outlier flagging — the Tukey-fence complement
     // of q_quality_outlier_filter's global [p1,p99] band: each
     // event_type gets its own IQR fences. Quartiles are DISCRETE
