@@ -454,6 +454,67 @@ object PipelineQueries extends QueryModule {
         WHERE cum_tok <= CASE WHEN lang = 'en' THEN 300 ELSE 150 END
       """)
     ),
+    // Behavioral sequence extraction (the "user journey" corpus a
+    // sequence model trains on): sessionize each user's events by a
+    // 30-minute inactivity gap — lag + cumulative new-session flags,
+    // one window pass, no state — then emit each session as an ordered
+    // event_type string. Ordering ties break on event_id, so the
+    // emitted corpus is deterministic; all arithmetic is integer µs.
+    QueryDef(
+      "q_sessions_sequences",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val gapUs = 30L * 60 * 1000000
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val e = t.events.select(
+          col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+          .withColumn("new_sess",
+            when(col("us") - lag(col("us"), 1).over(wOrd) > gapUs ||
+              lag(col("us"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(
+              wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        e.groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  struct(col("us"), col("event_id"), col("event_type")))),
+                x => x.getField("event_type")),
+              ">").as("seq"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events
+        ),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN us - lag(us) OVER w > 1800000000
+                        OR lag(us) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        sess AS (
+          SELECT *,
+                 CAST(sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(us) AS start_us,
+               string_agg(event_type, '>' ORDER BY us, event_id) AS seq
+        FROM sess GROUP BY user_id, session_id
+      """)
+    ),
     // Time-series densification: per-user hourly grid between the
     // user's first and last event, gap-filled by LOCF (the resample +
     // forward-fill every feature/metrics pipeline runs before window
