@@ -577,6 +577,97 @@ object PipelineQueries extends QueryModule {
           ON o.user_id = g.user_id AND o.h = g.h
       """)
     ),
+    // Linear-interpolation resample — the densify grid with gaps
+    // filled by lerp between the surrounding observations instead of
+    // LOCF (trailing gaps fall back to LOCF). Four IGNORE-NULLS
+    // windows fetch (prev value, prev hour, next value, next hour);
+    // the lerp is per-row IEEE arithmetic written identically on both
+    // engines, so even the float path is exact.
+    QueryDef(
+      "q_timeseries_interpolate",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val e = t.events.select(
+          col("user_id"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"),
+          expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("value"))
+        val obs = e.groupBy(col("user_id"), col("h"))
+          .agg(max(struct(col("us"), col("event_id"), col("value")))
+            .getField("value").as("v"))
+        val grid = e.groupBy(col("user_id"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val hv = when(col("v").isNotNull, col("h"))
+        grid.join(obs, Seq("user_id", "h"), "left")
+          .withColumn("v0", last(col("v"), ignoreNulls = true).over(back))
+          .withColumn("h0", last(hv, ignoreNulls = true).over(back))
+          .withColumn("v1", first(col("v"), ignoreNulls = true).over(fwd))
+          .withColumn("h1", first(hv, ignoreNulls = true).over(fwd))
+          .select(col("user_id"), col("h"),
+            col("v").isNotNull.as("observed"),
+            // UNROUNDED on purpose: the lerp is the same IEEE ops in
+            // the same order on both engines (bit-identical), while
+            // round() differs exactly at the half-boundaries the
+            // dyadic fractions here keep landing on
+            when(col("v").isNotNull, col("v"))
+              .when(col("v1").isNull, col("v0"))
+              .otherwise(col("v0") + (col("v1") - col("v0")) *
+                ((col("h") - col("h0")).cast("double") /
+                  (col("h1") - col("h0")).cast("double")))
+              .as("value_interp"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id,
+                 epoch_us(ts) // 3600000000 AS h,
+                 epoch_us(ts) AS us, event_id, value
+          FROM events
+        ),
+        obs AS (
+          SELECT user_id, h, value AS v FROM (
+            SELECT user_id, h, value,
+                   row_number() OVER (
+                     PARTITION BY user_id, h
+                     ORDER BY us DESC, event_id DESC) AS rn
+            FROM e) WHERE rn = 1
+        ),
+        grid AS (
+          SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM (
+            SELECT user_id, min(h) AS h0, max(h) AS h1
+            FROM e GROUP BY user_id)
+        ),
+        j AS (
+          SELECT g.user_id, g.h, o.v,
+                 last_value(o.v IGNORE NULLS) OVER w_back AS v0,
+                 last_value(CASE WHEN o.v IS NOT NULL THEN g.h END IGNORE NULLS)
+                   OVER w_back AS h0,
+                 first_value(o.v IGNORE NULLS) OVER w_fwd AS v1,
+                 first_value(CASE WHEN o.v IS NOT NULL THEN g.h END IGNORE NULLS)
+                   OVER w_fwd AS h1
+          FROM grid g LEFT JOIN obs o
+            ON o.user_id = g.user_id AND o.h = g.h
+          WINDOW
+            w_back AS (PARTITION BY g.user_id ORDER BY g.h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_fwd AS (PARTITION BY g.user_id ORDER BY g.h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, h,
+               v IS NOT NULL AS observed,
+               CASE
+                 WHEN v IS NOT NULL THEN v
+                 WHEN v1 IS NULL THEN v0
+                 ELSE v0 + (v1 - v0) *
+                   (CAST(h - h0 AS DOUBLE) / CAST(h1 - h0 AS DOUBLE))
+               END AS value_interp
+        FROM j
+      """)
+    ),
     // Robust PER-GROUP outlier flagging — the Tukey-fence complement
     // of q_quality_outlier_filter's global [p1,p99] band: each
     // event_type gets its own IQR fences. Quartiles are DISCRETE
