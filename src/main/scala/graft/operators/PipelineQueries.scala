@@ -577,6 +577,128 @@ object PipelineQueries extends QueryModule {
           ON o.user_id = g.user_id AND o.h = g.h
       """)
     ),
+    // OHLC bar aggregation (the financial/metrics downsample): per
+    // (user, hour) open/high/low/close/volume where open/close are
+    // argmin/argmax by (event time, event_id) — selected data values,
+    // engine-exact — and high/low/volume are order-free aggregates.
+    // One groupBy with map-side partials; no window, no sort.
+    QueryDef(
+      "q_timeseries_ohlc",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.events.select(
+          col("user_id"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"),
+          expr("unix_micros(ts)").as("us"),
+          col("event_id"), col("value"))
+          .groupBy(col("user_id"), col("h"))
+          .agg(
+            min(struct(col("us"), col("event_id"), col("value")))
+              .getField("value").as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max(struct(col("us"), col("event_id"), col("value")))
+              .getField("value").as("close"),
+            count(lit(1)).as("volume"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id,
+                 epoch_us(ts) // 3600000000 AS h,
+                 epoch_us(ts) AS us, event_id, value
+          FROM events
+        )
+        , ranked AS (
+          SELECT user_id, h, value,
+                 row_number() OVER (PARTITION BY user_id, h
+                                    ORDER BY us, event_id) AS rna,
+                 row_number() OVER (PARTITION BY user_id, h
+                                    ORDER BY us DESC, event_id DESC) AS rnd
+          FROM e
+        )
+        SELECT user_id, h,
+               max(CASE WHEN rna = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rnd = 1 THEN value END) AS close,
+               count(*) AS volume
+        FROM ranked GROUP BY user_id, h
+      """)
+    ),
+    // Session transition matrix (the Markov view of the journey
+    // corpus): count every consecutive event-type pair WITHIN a
+    // session — lag over the same session window as
+    // q_sessions_sequences — and normalize per source state. Counts
+    // are exact integers; the probability rounds a single division.
+    QueryDef(
+      "q_sessions_transitions",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val gapUs = 30L * 60 * 1000000
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val e = t.events.select(
+          col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+          .withColumn("new_sess",
+            when(col("us") - lag(col("us"), 1).over(wOrd) > gapUs ||
+              lag(col("us"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+          .withColumn("session_id",
+            sum(col("new_sess")).over(
+              wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wSess = Window.partitionBy(col("user_id"), col("session_id"))
+          .orderBy(col("us"), col("event_id"))
+        val pairs = e
+          .withColumn("prev_type", lag(col("event_type"), 1).over(wSess))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val wFrom = Window.partitionBy(col("from_type"))
+        pairs
+          .withColumn("total", sum(col("cnt")).over(wFrom))
+          .select(col("from_type"), col("to_type"), col("cnt"),
+            round(col("cnt") / col("total"), 6).as("p"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events
+        ),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN us - lag(us) OVER w > 1800000000
+                        OR lag(us) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        sess AS (
+          SELECT *,
+                 CAST(sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_id
+          FROM flagged
+        ),
+        pairs AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id, session_id
+                   ORDER BY us, event_id) AS from_type,
+                 event_type AS to_type
+          FROM sess
+        ),
+        counted AS (
+          SELECT from_type, to_type, count(*) AS cnt
+          FROM pairs WHERE from_type IS NOT NULL
+          GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, cnt,
+               round(cnt / CAST(sum(cnt) OVER (PARTITION BY from_type)
+                              AS DOUBLE), 6) AS p
+        FROM counted
+      """)
+    ),
     // Linear-interpolation resample — the densify grid with gaps
     // filled by lerp between the surrounding observations instead of
     // LOCF (trailing gaps fall back to LOCF). Four IGNORE-NULLS
