@@ -90,7 +90,11 @@ object Bench {
     // linear-in-corpus n-gram repetition gate (two-level agg over an
     // exploded token stream)
     "q_graph_pagerank",
-    "q_text_repetition_ngram"
+    "q_text_repetition_ngram",
+    // the hourly-grid explode + per-key LOCF window, and the
+    // sessionize + ordered-collect journey corpus
+    "q_timeseries_densify",
+    "q_sessions_sequences"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this
