@@ -577,6 +577,75 @@ object PipelineQueries extends QueryModule {
           ON o.user_id = g.user_id AND o.h = g.h
       """)
     ),
+    // Referential-integrity audit (the FK census an ingest runs before
+    // trusting joins downstream): for each declared FK edge, count
+    // orphans via LEFT ANTI join — the dimension side broadcasts when
+    // small, the fact side streams once per edge, nothing materializes
+    // but the counts. Null keys are counted separately from dangling
+    // ones (an anti join conflates them otherwise).
+    QueryDef(
+      "q_audit_referential",
+      (s, dir) => {
+        val t = tables(s, dir)
+        def audit(name: String, fact: org.apache.spark.sql.DataFrame,
+            key: String, dim: org.apache.spark.sql.DataFrame,
+            ref: String) = {
+          val nulls = fact.filter(col(key).isNull)
+            .agg(count(lit(1)).as("n")).select(
+              lit(name).as("fk"), lit("null_key").as("kind"), col("n"))
+          val orphans = fact.filter(col(key).isNotNull)
+            .join(dim, fact(key) === dim(ref), "left_anti")
+            .agg(count(lit(1)).as("n")).select(
+              lit(name).as("fk"), lit("orphan").as("kind"), col("n"))
+          nulls.unionByName(orphans)
+        }
+        audit("orders.custkey", t.orders, "o_custkey", t.customer, "c_custkey")
+          .unionByName(audit("lineitem.orderkey",
+            t.lineitem, "l_orderkey", t.orders, "o_orderkey"))
+          .unionByName(audit("lineitem.partkey",
+            t.lineitem, "l_partkey", t.part, "p_partkey"))
+          .unionByName(audit("lineitem.suppkey",
+            t.lineitem, "l_suppkey", t.supplier, "s_suppkey"))
+          .unionByName(audit("events.userkey",
+            t.events, "user_id", t.customer, "c_custkey"))
+      },
+      Some("""
+        SELECT 'orders.custkey' AS fk, 'null_key' AS kind,
+               count(*) FILTER (WHERE o_custkey IS NULL) AS n FROM orders
+        UNION ALL
+        SELECT 'orders.custkey', 'orphan', count(*)
+        FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'lineitem.orderkey', 'null_key',
+               count(*) FILTER (WHERE l_orderkey IS NULL) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.orderkey', 'orphan', count(*)
+        FROM lineitem WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'lineitem.partkey', 'null_key',
+               count(*) FILTER (WHERE l_partkey IS NULL) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.partkey', 'orphan', count(*)
+        FROM lineitem WHERE l_partkey IS NOT NULL
+          AND l_partkey NOT IN (SELECT p_partkey FROM part)
+        UNION ALL
+        SELECT 'lineitem.suppkey', 'null_key',
+               count(*) FILTER (WHERE l_suppkey IS NULL) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.suppkey', 'orphan', count(*)
+        FROM lineitem WHERE l_suppkey IS NOT NULL
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        UNION ALL
+        SELECT 'events.userkey', 'null_key',
+               count(*) FILTER (WHERE user_id IS NULL) FROM events
+        UNION ALL
+        SELECT 'events.userkey', 'orphan', count(*)
+        FROM events WHERE user_id IS NOT NULL
+          AND user_id NOT IN (SELECT c_custkey FROM customer)
+      """)
+    ),
     // OHLC bar aggregation (the financial/metrics downsample): per
     // (user, hour) open/high/low/close/volume where open/close are
     // argmin/argmax by (event time, event_id) — selected data values,
