@@ -577,6 +577,28 @@ object PipelineQueries extends QueryModule {
           ON o.user_id = g.user_id AND o.h = g.h
       """)
     ),
+    // Quantile (rank) normalization — the feature transform that maps
+    // a skewed numeric column onto [0,1] by empirical CDF position,
+    // per group: percent_rank over the group's value order. Ties share
+    // a rank, so the output is deterministic without a tiebreak, and
+    // (rank-1)/(n-1) is one integer-ratio division — engine-exact.
+    // One window per group; at 100 TB swap the exact rank for
+    // DistributedRank + broadcast group counts, same output.
+    QueryDef(
+      "q_normalize_quantile",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        t.events.select(col("event_id"), col("event_type"), col("value"))
+          .withColumn("q", percent_rank().over(w))
+      },
+      Some("""
+        SELECT event_id, event_type, value,
+               percent_rank() OVER (
+                 PARTITION BY event_type ORDER BY value) AS q
+        FROM events
+      """)
+    ),
     // Referential-integrity audit (the FK census an ingest runs before
     // trusting joins downstream): for each declared FK edge, count
     // orphans via LEFT ANTI join — the dimension side broadcasts when
