@@ -577,6 +577,77 @@ object PipelineQueries extends QueryModule {
           ON o.user_id = g.user_id AND o.h = g.h
       """)
     ),
+    // Distribution-drift audit (PSI — population stability index, the
+    // standard "did this slice shift?" gate between a reference corpus
+    // and a new batch): equi-width bins over broadcast global bounds,
+    // per-slice bin shares with +1 Laplace smoothing (PSI is undefined
+    // on empty bins), psi = Σ (p-q)·ln(p/q). Bin counts are exact
+    // integers; the per-bin term is identical IEEE arithmetic, and the
+    // final Σ runs over a fixed ORDERED bin list (sort_array before
+    // aggregate) so the summation order is engine-independent.
+    QueryDef(
+      "q_profile_drift_psi",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val nBins = 10
+        val docs = t.documents.select(col("lang"), col("n_chars"))
+        val bounds = docs.agg(
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        val binned = docs.crossJoin(broadcast(bounds))
+          .withColumn("bin",
+            least(lit(nBins - 1),
+              floor((col("n_chars") - col("lo")) * nBins /
+                (col("hi") - col("lo") + 1)).cast("int")))
+          .withColumn("slice",
+            when(col("lang") === "en", "ref").otherwise("new"))
+          .groupBy(col("bin"))
+          .agg(
+            sum(when(col("slice") === "ref", 1L).otherwise(0L)).as("c_ref"),
+            sum(when(col("slice") === "new", 1L).otherwise(0L)).as("c_new"))
+        val tot = binned.agg(
+          sum(col("c_ref")).as("t_ref"), sum(col("c_new")).as("t_new"))
+        binned.crossJoin(broadcast(tot))
+          .withColumn("p", (col("c_ref") + 1).cast("double") /
+            (col("t_ref") + lit(nBins)).cast("double"))
+          .withColumn("q", (col("c_new") + 1).cast("double") /
+            (col("t_new") + lit(nBins)).cast("double"))
+          .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+          .agg(
+            round(aggregate(
+              sort_array(collect_list(struct(col("bin"), col("term")))),
+              lit(0.0),
+              (acc, x) => acc + x.getField("term")), 6).as("psi"),
+            count(lit(1)).cast("long").as("n_bins"))
+      },
+      Some("""
+        WITH d AS (SELECT lang, n_chars FROM documents),
+        b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM d),
+        binned AS (
+          SELECT least(9, CAST(floor((n_chars - lo) * 10 /
+                   (hi - lo + 1)) AS INT)) AS bin,
+                 CASE WHEN lang = 'en' THEN 'ref' ELSE 'new' END AS slice
+          FROM d CROSS JOIN b
+        ),
+        counts AS (
+          SELECT bin,
+                 count(*) FILTER (WHERE slice = 'ref') AS c_ref,
+                 count(*) FILTER (WHERE slice = 'new') AS c_new
+          FROM binned GROUP BY bin
+        ),
+        tot AS (SELECT sum(c_ref) AS t_ref, sum(c_new) AS t_new FROM counts),
+        terms AS (
+          SELECT bin,
+                 (CAST(c_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE)) AS p,
+                 (CAST(c_new + 1 AS DOUBLE) / CAST(t_new + 10 AS DOUBLE)) AS q
+          FROM counts CROSS JOIN tot
+        ),
+        ordered AS (SELECT bin, (p - q) * ln(p / q) AS term
+                    FROM terms ORDER BY bin)
+        SELECT round(sum(term ORDER BY bin), 6) AS psi,
+               count(*) AS n_bins
+        FROM ordered
+      """)
+    ),
     // Quantile (rank) normalization — the feature transform that maps
     // a skewed numeric column onto [0,1] by empirical CDF position,
     // per group: percent_rank over the group's value order. Ties share
