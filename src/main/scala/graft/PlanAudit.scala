@@ -46,7 +46,9 @@ object PlanAudit {
       // 1-row broadcast vocab size joined onto the pair stream
       "q_text_bigram_logprob",
       // 1-row broadcast mixture totals (Σ weights, corpus size)
-      "q_mix_temperature"
+      "q_mix_temperature",
+      // 1-row broadcast bounds + totals for the PSI drift bins
+      "q_profile_drift_psi"
     )
     // Queries whose predicates MUST reach the parquet scan — every
     // selective filter over a base-table column. A regression here
