@@ -290,6 +290,87 @@ object TextQueries extends QueryModule {
         WHERE rn = 1
       """)
     ),
+    // BM25 retrieval scoring (Robertson/Okapi — the ranking function
+    // TF-IDF feeds in every lexical retrieval stack): top-20 documents
+    // for a fixed 3-term query. Exactness notes: avgdl is an INTEGER
+    // sum divided once (no float accumulation), every constant is the
+    // same decimal literal on both engines (1.2+1 in driver code is
+    // NOT the double 2.2 — the literal is), the ≤3 per-term scores
+    // fold in sorted term order, and the final top-20 sorts on the
+    // ROUNDED score with doc_id tiebreak so the cutoff can't flip on
+    // an ulp. Plan: the IN filter drops non-query tokens BEFORE the tf
+    // shuffle (only query-term hits ever shuffle), broadcast idf,
+    // sort-limit-20 — no global window.
+    QueryDef(
+      "q_text_bm25",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val qTerms = Seq("spark", "batch", "stream")
+        val docs = t.documents
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("w"),
+            size(col("w")).cast("long").as("dl"))
+        val stats = docs
+          .agg(sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
+          .collect()(0)
+        val nDocs = stats.getLong(1)
+        val avgdl = stats.getLong(0).toDouble / nDocs.toDouble
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
+          .filter(col("word").isin(qTerms: _*))
+          .groupBy(col("doc_id"), col("dl"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+          .withColumn("idf",
+            log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5))))
+        val scored = tf.join(broadcast(idf), "word")
+          .withColumn("term_score",
+            col("idf") * (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+        scored.groupBy(col("doc_id"))
+          .agg(round(aggregate(
+            sort_array(collect_list(struct(col("word"), col("term_score")))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("term_score")), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d),
+        stats AS (
+          SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM dd
+        ),
+        tf AS (
+          SELECT doc_id, dl, word, count(*) AS tf FROM (
+            SELECT doc_id, dl, unnest(w) AS word FROM dd)
+          WHERE word IN ('spark', 'batch', 'stream')
+          GROUP BY doc_id, dl, word
+        ),
+        idf AS (
+          SELECT word,
+                 ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+                   AS idf
+          FROM (SELECT word, count(*) AS df FROM tf GROUP BY word)
+        ),
+        ts AS (
+          SELECT tf.doc_id, tf.word,
+                 idf.idf * (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+                     (SELECT avgdl FROM stats))) AS term_score
+          FROM tf JOIN idf USING (word)
+        )
+        SELECT doc_id, round(sum(term_score ORDER BY word), 6) AS bm25
+        FROM ts GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20
+      """)
+    ),
     // N-gram novelty: the share of a document's (distinct) trigram
     // shingles that appear NOWHERE else in the corpus — the
     // diversity/novelty weight a mixture sampler feeds on (a doc full

@@ -100,12 +100,19 @@ object Iterations {
     // Each iteration then shuffles exactly once: the contribution
     // aggregation onto dst. On a skewed graph that one shuffle is
     // AQE's to split; everything else stays in place.
+    // N rides the vertex materialization as an observed metric — no
+    // separate count job (same fusion as connectedComponents)
+    val obs = org.apache.spark.sql.Observation("pagerank_n")
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex")))
       .distinct()
       .repartition(col("vertex"))
+      .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint()
-    val n = vertices.count().toDouble
+    val n = (obs.get("n") match {
+      case null => 0L
+      case x: Number => x.longValue()
+    }).toDouble
     // (src, dst, deg) — each edge annotated with its source's
     // out-degree, computed once; every iteration joins ranks against
     // this single materialized table
@@ -115,8 +122,10 @@ object Iterations {
       .repartition(col("src"))
       .localCheckpoint()
     // ranks inherit the vertex partitioning (projection preserves it,
-    // and so does every checkpoint in the loop)
-    var ranks = vertices.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    // and so does every checkpoint in the loop); the initial ranks are
+    // a pure projection of the checkpointed vertices — no job of
+    // their own
+    var ranks = vertices.withColumn("rank", lit(1.0 / n))
     var iter = 0
     while (iter < iters) {
       val contribs = withDeg
