@@ -86,6 +86,9 @@ object PlanAudit {
       // (each round's pair-count jobs scanned parquet; the final plan
       // is a local relation)
       "q_tokenizer_bpe",
+      // greedy MMR: shortlist + pair sims are distributed scans, the
+      // k-row selection is driver-assembled (bounded-collect contract)
+      "q_select_mmr",
       // the returned plan reads the streaming checkpoint's state store
       // (DSv2 statestore scan), not parquet
       "q_state_queryable",

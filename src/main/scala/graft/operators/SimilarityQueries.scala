@@ -663,7 +663,136 @@ object SimilarityQueries extends QueryModule {
       .filter(col("rnk") <= k)
   }
 
+  /** Greedy Maximal Marginal Relevance over a bounded shortlist: the
+    * diversified top-k selection a retrieval/dataset-curation pipeline
+    * runs after ANN (pick relevant items that aren't near-dups of each
+    * other). The DISTRIBUTED part is shortlist construction (relevance
+    * scan + sort-limit) and the candidate-pair similarity join; the
+    * greedy argmax then runs driver-side over the collected shortlist
+    * — bounded at `shortlist` rows by construction, the same
+    * bounded-collect contract as the PQ codebooks. All cosines are
+    * rounded to 6 decimals BEFORE the greedy (the module's ranking
+    * determinism rule), so the selection is an exact integer-ish
+    * computation both engines replay identically.
+    */
+  def mmrSelect(emb: DataFrame, queryId: Long, shortlist: Int, k: Int,
+      lambdaRel: Double = 0.7, lambdaDiv: Double = 0.3): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.SketchExpressions.register(s)
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("n2").as("qn"))
+    val cand = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("rel",
+        round(cosine(col("v"), col("qv"), col("n2"), col("qn")), 6))
+      .select(col("vec_id"), col("v"), col("n2"), col("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(shortlist)
+    val candC = graft.CacheScope.cached(cand)
+    val rels = candC.select(col("vec_id"), col("rel"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val sims = candC.as("a")
+      .join(broadcast(candC.as("b")),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        round(cosine(col("a.v"), col("b.v"), col("a.n2"), col("b.n2")), 6)
+          .as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val relMap = rels.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val remaining = scala.collection.mutable.SortedSet(rels.map(_._1): _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.iterator.map { id =>
+        val score =
+          if (selected.isEmpty) relMap(id)
+          else {
+            val ms = selected.iterator.map(sid => sims((id, sid))).max
+            // both weights are EXPLICIT decimal literals: 1.0 - 0.7
+            // in driver arithmetic is not the double 0.3 the oracle
+            // parses, so the complement is never derived
+            lambdaRel * relMap(id) - lambdaDiv * ms
+          }
+        (id, score)
+      }.reduceLeft { (x, y) =>
+        // argmax with vec_id tiebreak, ids ascend in iteration order
+        if (y._2 > x._2) y else x
+      }._1
+      selected += best
+      remaining -= best
+    }
+    import s.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case (id, i) => (i + 1, id, relMap(id)) }
+      .toDF("rank", "vec_id", "rel")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    // MMR diversified selection: shortlist of 50 by relevance to the
+    // vec_id-0 query, then 5 greedy picks trading relevance (0.7)
+    // against max similarity to the already-picked (0.3). The oracle
+    // replays the greedy exactly as chained CTEs over the SAME
+    // 6-decimal-rounded cosines.
+    QueryDef(
+      "q_select_mmr",
+      (s, dir) => mmrSelect(tables(s, dir).embeddings, 0L, 50, 5),
+      Some {
+        val step = (k: Int) => s"""
+        , m$k AS (
+          SELECT c.vec_id, c.rel, max(s.s) AS ms
+          FROM cand c JOIN sim s ON s.ia = c.vec_id
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${k - 1})
+            AND s.ib IN (SELECT vec_id FROM sel${k - 1})
+          GROUP BY c.vec_id, c.rel
+        ),
+        s$k AS (
+          SELECT vec_id, rel, $k AS rank FROM m$k
+          ORDER BY (0.7*rel - 0.3*ms) DESC, vec_id LIMIT 1
+        ),
+        sel$k AS (
+          SELECT vec_id FROM sel${k - 1}
+          UNION ALL SELECT vec_id FROM s$k
+        )"""
+        """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_inner_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]) AS n2
+          FROM embeddings
+        ),
+        q AS (SELECT v, n2 FROM e WHERE vec_id = 0),
+        cand AS (
+          SELECT e.vec_id, e.v, e.n2,
+                 round(list_inner_product(e.v, (SELECT v FROM q)) /
+                       sqrt(e.n2 * (SELECT n2 FROM q)), 6) AS rel
+          FROM e WHERE e.vec_id != 0
+          ORDER BY rel DESC, vec_id LIMIT 50
+        ),
+        sim AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 round(list_inner_product(a.v, b.v) /
+                       sqrt(a.n2 * b.n2), 6) AS s
+          FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+        ),
+        s1 AS (
+          SELECT vec_id, rel, 1 AS rank FROM cand
+          ORDER BY rel DESC, vec_id LIMIT 1
+        ),
+        sel1 AS (SELECT vec_id FROM s1)""" +
+          (2 to 5).map(step).mkString + """
+        SELECT rank, vec_id, rel FROM (
+          SELECT rank, vec_id, rel FROM s1
+          UNION ALL SELECT rank, vec_id, rel FROM s2
+          UNION ALL SELECT rank, vec_id, rel FROM s3
+          UNION ALL SELECT rank, vec_id, rel FROM s4
+          UNION ALL SELECT rank, vec_id, rel FROM s5
+        )
+        """
+      }
+    ),
     QueryDef(
       "q_ann_brute_force",
       (s, dir) => bruteForceTopK(tables(s, dir).embeddings, 10, 5),
