@@ -48,7 +48,10 @@ object PlanAudit {
       // 1-row broadcast mixture totals (Σ weights, corpus size)
       "q_mix_temperature",
       // 1-row broadcast bounds + totals for the PSI drift bins
-      "q_profile_drift_psi"
+      "q_profile_drift_psi",
+      // 1-row broadcast query vector crossed onto the embedding scan
+      // (same pattern as q_ann_brute_force)
+      "q_retrieval_hybrid_rrf"
     )
     // Queries whose predicates MUST reach the parquet scan — every
     // selective filter over a base-table column. A regression here

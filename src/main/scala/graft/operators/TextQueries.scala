@@ -14,6 +14,80 @@ object TextQueries extends QueryModule {
 
   private val Mod = 1000000007L
 
+  /** The BM25 scoring CTE chain shared by the q_text_bm25 and
+    * q_retrieval_hybrid_rrf oracles — ends with
+    * `bm(doc_id, bm25 rounded to 6)`.
+    */
+  private val Bm25CtesSql = """d AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d),
+        stats AS (
+          SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+                 CAST(count(*) AS DOUBLE) AS n
+          FROM dd
+        ),
+        tf AS (
+          SELECT doc_id, dl, word, count(*) AS tf FROM (
+            SELECT doc_id, dl, unnest(w) AS word FROM dd)
+          WHERE word IN ('spark', 'batch', 'stream')
+          GROUP BY doc_id, dl, word
+        ),
+        idf AS (
+          SELECT word,
+                 ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
+                   AS idf
+          FROM (SELECT word, count(*) AS df FROM tf GROUP BY word)
+        ),
+        ts AS (
+          SELECT tf.doc_id, tf.word,
+                 idf.idf * (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
+                     (SELECT avgdl FROM stats))) AS term_score
+          FROM tf JOIN idf USING (word)
+        ),
+        bm AS (
+          SELECT doc_id, round(sum(term_score ORDER BY word), 6) AS bm25
+          FROM ts GROUP BY doc_id
+        )"""
+
+  /** Okapi BM25 per-document scores for a fixed query-term set (see
+    * q_text_bm25 for the determinism contract: integer-exact avgdl,
+    * pinned decimal literals, sorted-term fold, 6-decimal rounding).
+    * Shared by the BM25 top-k query and the hybrid-retrieval RRF
+    * fusion.
+    */
+  def bm25Scores(documents: org.apache.spark.sql.DataFrame,
+      qTerms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val stats = docs
+      .agg(sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
+      .collect()(0)
+    val nDocs = stats.getLong(1)
+    val avgdl = stats.getLong(0).toDouble / nDocs.toDouble
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
+      .filter(col("word").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+    tf.join(broadcast(idf), "word")
+      .withColumn("term_score",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(round(aggregate(
+        sort_array(collect_list(struct(col("word"), col("term_score")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("term_score")), 6).as("bm25"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     // Token counting: whitespace tokens + a regex token pass (the
     // BPE-ish [a-z]+|[0-9]+ split) + distinct counts.
@@ -303,72 +377,88 @@ object TextQueries extends QueryModule {
     // sort-limit-20 — no global window.
     QueryDef(
       "q_text_bm25",
+      (s, dir) =>
+        bm25Scores(tables(s, dir).documents, Seq("spark", "batch", "stream"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20),
+      Some(s"""
+        WITH $Bm25CtesSql
+        SELECT doc_id, bm25 FROM bm
+        ORDER BY bm25 DESC, doc_id LIMIT 20
+      """)
+    ),
+    // Hybrid retrieval via Reciprocal Rank Fusion (the standard
+    // lexical+semantic combiner): BM25 ranking of the documents and
+    // cosine ranking of the embeddings (query = vec 0), fused as
+    // Σ 1/(60 + rank). Both global rankings run through
+    // DistributedRank (range-partition + local rank + broadcast
+    // offsets — no single-task partitionless window), ranks are exact
+    // integers over 6-decimal-rounded scores, and the fused score is
+    // two fixed-order divisions — engine-exact before its own
+    // rounding. Top-20 sorts on the ROUNDED fusion with id tiebreak.
+    QueryDef(
+      "q_retrieval_hybrid_rrf",
       (s, dir) => {
         val t = tables(s, dir)
-        val qTerms = Seq("spark", "batch", "stream")
-        val docs = t.documents
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .select(col("doc_id"), col("w"),
-            size(col("w")).cast("long").as("dl"))
-        val stats = docs
-          .agg(sum(col("dl")).as("sdl"), count(lit(1)).as("n"))
-          .collect()(0)
-        val nDocs = stats.getLong(1)
-        val avgdl = stats.getLong(0).toDouble / nDocs.toDouble
-        val tf = docs
-          .select(col("doc_id"), col("dl"), explode(col("w")).as("word"))
-          .filter(col("word").isin(qTerms: _*))
-          .groupBy(col("doc_id"), col("dl"), col("word"))
-          .agg(count(lit(1)).as("tf"))
-        val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-          .withColumn("idf",
-            log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
-              (col("df") + lit(0.5))))
-        val scored = tf.join(broadcast(idf), "word")
-          .withColumn("term_score",
-            col("idf") * (col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
-        scored.groupBy(col("doc_id"))
-          .agg(round(aggregate(
-            sort_array(collect_list(struct(col("word"), col("term_score")))),
-            lit(0.0),
-            (acc, x) => acc + x.getField("term_score")), 6).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
+        graft.functions.SketchExpressions.register(s)
+        val bm = bm25Scores(t.documents, Seq("spark", "batch", "stream"))
+        val (lex0, _) = graft.plans.DistributedRank.globalRank(
+          bm, "rank_lex", col("bm25").desc, col("doc_id"))
+        val lex = lex0.select(col("doc_id"), col("rank_lex").cast("long").as("rank_lex"))
+        val e = t.embeddings.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+          .withColumn("n2", SimilarityQueries.dot(col("v"), col("v")))
+        val q = e.filter(col("vec_id") === 0L)
+          .select(col("v").as("qv"), col("n2").as("qn"))
+        val sem0 = e.filter(col("vec_id") =!= 0L)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(SimilarityQueries.cosine(col("v"), col("qv"),
+              col("n2"), col("qn")), 6).as("cos"))
+        val (sem1, _) = graft.plans.DistributedRank.globalRank(
+          sem0, "rank_sem", col("cos").desc, col("vec_id"))
+        val sem = sem1.select(col("vec_id").as("doc_id"),
+          col("rank_sem").cast("long").as("rank_sem"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("rank_lex"), col("rank_sem"),
+            round(
+              coalesce(lit(1.0) / (lit(60.0) + col("rank_lex")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60.0) + col("rank_sem")), lit(0.0)),
+              6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
           .limit(20)
       },
-      Some("""
-        WITH d AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      Some(s"""
+        WITH $Bm25CtesSql,
+        lex AS (
+          SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_lex
+          FROM bm
         ),
-        dd AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d),
-        stats AS (
-          SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-                 CAST(count(*) AS DOUBLE) AS n
-          FROM dd
+        ev AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_inner_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]) AS n2
+          FROM embeddings
         ),
-        tf AS (
-          SELECT doc_id, dl, word, count(*) AS tf FROM (
-            SELECT doc_id, dl, unnest(w) AS word FROM dd)
-          WHERE word IN ('spark', 'batch', 'stream')
-          GROUP BY doc_id, dl, word
+        qv AS (SELECT v, n2 FROM ev WHERE vec_id = 0),
+        sem0 AS (
+          SELECT vec_id,
+                 round(list_inner_product(ev.v, (SELECT v FROM qv)) /
+                       sqrt(ev.n2 * (SELECT n2 FROM qv)), 6) AS cos
+          FROM ev WHERE vec_id != 0
         ),
-        idf AS (
-          SELECT word,
-                 ln(1.0 + ((SELECT n FROM stats) - df + 0.5) / (df + 0.5))
-                   AS idf
-          FROM (SELECT word, count(*) AS df FROM tf GROUP BY word)
-        ),
-        ts AS (
-          SELECT tf.doc_id, tf.word,
-                 idf.idf * (tf.tf * 2.2) /
-                   (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl /
-                     (SELECT avgdl FROM stats))) AS term_score
-          FROM tf JOIN idf USING (word)
+        sem AS (
+          SELECT vec_id AS doc_id, CAST(row_number() OVER (
+                   ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_sem
+          FROM sem0
         )
-        SELECT doc_id, round(sum(term_score ORDER BY word), 6) AS bm25
-        FROM ts GROUP BY doc_id
-        ORDER BY bm25 DESC, doc_id LIMIT 20
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.rank_lex, s.rank_sem,
+               round(COALESCE(1.0 / (60.0 + l.rank_lex), 0.0) +
+                     COALESCE(1.0 / (60.0 + s.rank_sem), 0.0), 6) AS rrf
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        ORDER BY rrf DESC, COALESCE(l.doc_id, s.doc_id) LIMIT 20
       """)
     ),
     // N-gram novelty: the share of a document's (distinct) trigram
