@@ -541,6 +541,55 @@ object DedupQueries extends QueryModule {
         FROM reach GROUP BY vertex
       """)
     ),
+    // Leakage-safe train/val split: near-duplicate documents must land
+    // on the SAME side of an eval split, or the val set leaks through
+    // paraphrases of training docs. Group key = the doc's near-dup
+    // component (PPJoin edges → connected components); singletons key
+    // on themselves; the side is a pure hash of the group key, so the
+    // split stays reproducible across retries AND respects the cluster
+    // structure. The 90/10 assignment is the same mix arithmetic the
+    // sampling family uses.
+    QueryDef(
+      "q_split_leakage_safe",
+      (s, dir) => {
+        val pairs = prefixFilterPairs(tables(s, dir), 4, 5)
+        val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        val comps = graft.plans.Iterations.connectedComponents(edges)
+          .select(col("vertex").as("doc_id"), col("component"))
+        val mixP = 1000003L
+        val docs = tables(s, dir).documents.select(col("doc_id"), col("lang"))
+        docs.join(comps, Seq("doc_id"), "left")
+          .withColumn("group_key", coalesce(col("component"), col("doc_id")))
+          .withColumn("bucket",
+            pmod(pmod(col("group_key"), lit(mixP)) * lit(2654435761L) +
+              lit(12345L), lit(mixP)) % 10)
+          .select(col("doc_id"), col("lang"), col("group_key"),
+            when(col("bucket") < 9, "train").otherwise("val").as("split"))
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS MATERIALIZED ($jaccardOracle),
+        edges AS MATERIALIZED (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL
+          SELECT d2 AS src, d1 AS dst FROM pairs
+        ),
+        reach(vertex, node) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.vertex, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT vertex AS doc_id, min(node) AS component
+          FROM reach GROUP BY vertex
+        )
+        SELECT d.doc_id, d.lang,
+               COALESCE(c.component, d.doc_id) AS group_key,
+               CASE WHEN ((COALESCE(c.component, d.doc_id) % 1000003)
+                          * 2654435761 + 12345) % 1000003 % 10 < 9
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+      """)
+    ),
     // Span-level dedup (the C4 / RefinedWeb shape): chunk every
     // document into fixed 20-word spans, keep only each span's first
     // occurrence corpus-wide ((doc_id, span_idx)-minimal), and
