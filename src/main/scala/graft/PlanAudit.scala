@@ -51,7 +51,10 @@ object PlanAudit {
       "q_profile_drift_psi",
       // 1-row broadcast query vector crossed onto the embedding scan
       // (same pattern as q_ann_brute_force)
-      "q_retrieval_hybrid_rrf"
+      "q_retrieval_hybrid_rrf",
+      // 10-query broadcast brute scoring (exact baseline, like
+      // q_ann_brute_force) under the near-dup veto
+      "q_mine_hard_negatives"
     )
     // Queries whose predicates MUST reach the parquet scan — every
     // selective filter over a base-table column. A regression here

@@ -590,6 +590,95 @@ object DedupQueries extends QueryModule {
         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
       """)
     ),
+    // Hard-negative mining for embedding/retrieval training: for each
+    // query document, the nearest neighbors by cosine that are NOT its
+    // near-duplicates — cosine similarity proposes, the near-dup
+    // component relation vetoes (a near-dup is a false negative that
+    // poisons a contrastive batch). Brute-force scoring over the
+    // 10-query broadcast (the exact baseline; at scale the candidate
+    // generator swaps for the bucketed ANN paths), components from the
+    // same PPJoin→CC machinery the cluster dedup uses, per-query top-3
+    // on the module's rounded-cosine determinism rule.
+    QueryDef(
+      "q_mine_hard_negatives",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.SketchExpressions.register(s)
+        val t = tables(s, dir)
+        val pairs = prefixFilterPairs(t, 4, 5)
+        val comps = graft.plans.Iterations
+          .connectedComponents(
+            pairs.select(col("d1").as("src"), col("d2").as("dst")))
+          .select(col("vertex"), col("component"))
+        val e = t.embeddings.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+          .withColumn("n2", SimilarityQueries.dot(col("v"), col("v")))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("n2").as("qn"))
+        val scored = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"),
+            round(SimilarityQueries.cosine(col("qv"), col("v"),
+              col("qn"), col("n2")), 6).as("cos"))
+        // veto pairs inside one near-dup component (either direction)
+        val qc = comps.select(col("vertex").as("q_id"),
+          col("component").as("q_comp"))
+        val cc = comps.select(col("vertex").as("cand_id"),
+          col("component").as("c_comp"))
+        val vetoed = scored
+          .join(broadcast(qc), Seq("q_id"), "left")
+          .join(broadcast(cc), Seq("cand_id"), "left")
+          .filter(col("q_comp").isNull || col("c_comp").isNull ||
+            col("q_comp") =!= col("c_comp"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("cand_id"))
+        vetoed
+          .select(col("q_id"), col("cand_id"), col("cos"),
+            row_number().over(w).as("rnk"))
+          .filter(col("rnk") <= 3)
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS MATERIALIZED ($jaccardOracle),
+        edges AS MATERIALIZED (
+          SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL
+          SELECT d2 AS src, d1 AS dst FROM pairs
+        ),
+        reach(vertex, node) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT r.vertex, e.dst FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (
+          SELECT vertex, min(node) AS component FROM reach GROUP BY vertex
+        ),
+        ev AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_inner_product(embedding::DOUBLE[],
+                                    embedding::DOUBLE[]) AS n2
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                 round(list_inner_product(q.v, c.v) /
+                       sqrt(q.n2 * c.n2), 6) AS cos
+          FROM ev q JOIN ev c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+        ),
+        vetoed AS (
+          SELECT s.q_id, s.cand_id, s.cos
+          FROM scored s
+          LEFT JOIN comp cq ON cq.vertex = s.q_id
+          LEFT JOIN comp cc ON cc.vertex = s.cand_id
+          WHERE cq.component IS NULL OR cc.component IS NULL
+             OR cq.component != cc.component
+        )
+        SELECT q_id, cand_id, cos, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, cand_id) AS INT) AS rnk
+          FROM vetoed)
+        WHERE rnk <= 3
+      """)
+    ),
     // Span-level dedup (the C4 / RefinedWeb shape): chunk every
     // document into fixed 20-word spans, keep only each span's first
     // occurrence corpus-wide ((doc_id, span_idx)-minimal), and
