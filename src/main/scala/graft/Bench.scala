@@ -94,7 +94,11 @@ object Bench {
     // the hourly-grid explode + per-key LOCF window, and the
     // sessionize + ordered-collect journey corpus
     "q_timeseries_densify",
-    "q_sessions_sequences"
+    "q_sessions_sequences",
+    // corpus-scan BM25 (explode + two-level agg + sort-limit) and the
+    // hybrid RRF fusion (two DistributedRank global rankings)
+    "q_text_bm25",
+    "q_retrieval_hybrid_rrf"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this
