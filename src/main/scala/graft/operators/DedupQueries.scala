@@ -590,6 +590,61 @@ object DedupQueries extends QueryModule {
         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
       """)
     ),
+    // Duplicate-cluster centrality: weighted PageRank over the
+    // near-dup similarity graph (edge weight = exact Jaccard), 3 fixed
+    // iterations — the centrality-based canonical-doc selector (the
+    // min-id rule keeps the OLDEST member; centrality keeps the member
+    // most representative of its cluster, the choice dataset curation
+    // actually wants). The oracle replays the weighted loop as chained
+    // CTEs, weights and all.
+    QueryDef(
+      "q_dedup_centrality",
+      (s, dir) => {
+        val pairs = prefixFilterPairs(tables(s, dir), 4, 5)
+        val edges = pairs
+          .select(col("d1").as("src"), col("d2").as("dst"),
+            col("jaccard").as("w"))
+          .union(pairs.select(col("d2").as("src"), col("d1").as("dst"),
+            col("jaccard").as("w")))
+        graft.plans.Iterations
+          .pageRankWeighted(edges, iters = 3)
+          .select(col("vertex").as("doc_id"),
+            round(col("rank"), 6).as("rank"))
+      },
+      Some {
+        val step = (k: Int) => s"""
+        p$k AS (
+          SELECT v.vertex,
+                 0.15/(SELECT n FROM nn)
+                   + 0.85*COALESCE(s.c, 0.0) AS rank
+          FROM verts v LEFT JOIN (
+            SELECT e.dst AS vertex, SUM(p.rank*e.w/o.ow) AS c
+            FROM p${k - 1} p
+            JOIN edges e ON p.vertex = e.src
+            JOIN outw o ON o.src = e.src
+            GROUP BY e.dst) s ON s.vertex = v.vertex
+        )"""
+        s"""
+        WITH pairs AS MATERIALIZED ($jaccardOracle),
+        edges AS (
+          SELECT d1 AS src, d2 AS dst, jaccard AS w FROM pairs
+          UNION ALL
+          SELECT d2 AS src, d1 AS dst, jaccard AS w FROM pairs
+        ),
+        verts AS (
+          SELECT src AS vertex FROM edges
+          UNION SELECT dst FROM edges
+        ),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+        outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+        p0 AS (
+          SELECT vertex, 1.0/(SELECT n FROM nn) AS rank FROM verts
+        ),""" +
+          (1 to 3).map(step).mkString(",") + """
+        SELECT vertex AS doc_id, round(rank, 6) AS rank FROM p3
+        """
+      }
+    ),
     // Hard-negative mining for embedding/retrieval training: for each
     // query document, the nearest neighbors by cosine that are NOT its
     // near-duplicates — cosine similarity proposes, the near-dup

@@ -144,6 +144,49 @@ object Iterations {
     ranks
   }
 
+  /** Weighted PageRank — [[pageRank]] generalized to a weighted edge
+    * list (`src`, `dst`, `w`): contributions are rank·w/Σw_out instead
+    * of rank/outdeg. Same loop shape, same partitioning contract, same
+    * fixed-iterations-for-the-oracle design.
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int,
+      damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    val obs = org.apache.spark.sql.Observation("pagerank_w_n")
+    val vertices = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex")))
+      .distinct()
+      .repartition(col("vertex"))
+      .observe(obs, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val n = (obs.get("n") match {
+      case null => 0L
+      case x: Number => x.longValue()
+    }).toDouble
+    val withW = e
+      .join(e.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
+      .repartition(col("src"))
+      .localCheckpoint()
+    var ranks = vertices.withColumn("rank", lit(1.0 / n))
+    var iter = 0
+    while (iter < iters) {
+      val contribs = withW
+        .join(ranks, withW("src") === ranks("vertex"))
+        .select(col("dst").as("vertex"),
+          (col("rank") * col("w") / col("ow")).as("c"))
+        .groupBy(col("vertex"))
+        .agg(sum(col("c")).as("in"))
+      ranks = vertices
+        .join(contribs, Seq("vertex"), "left")
+        .select(col("vertex"),
+          (lit(teleport / n) +
+            lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      iter += 1
+    }
+    ranks
+  }
+
   /** Transitive reachability from a source vertex over an undirected
     * edge list — BFS frontier expansion as a driver loop, each step
     * fully distributed (the oracle-checkable face of the iteration
