@@ -40,6 +40,19 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(ranks - 0.7875) < 1e-12)
   }
 
+  test("weighted pageRank with unit weights equals the unweighted loop") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 2L))
+    val a = Iterations.pageRank(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Iterations.pageRankWeighted(
+      edges.map { case (s2, d) => (s2, d, 1.0) }.toDF("src", "dst", "w"),
+      iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (v, r) => assert(math.abs(b(v) - r) < 1e-12, s"vertex $v") }
+  }
+
   test("random walks are a pure function of the graph — partitioning-invariant") {
     val dir = "/root/testdata/sf0.001"
     val q = graft.operators.GraphQueries.defs
