@@ -88,7 +88,7 @@ object PlanAudit {
     val nonParquet = Set(
       "q_values_inline", "q_source_jdbc_roundtrip", "q_source_sequencefile_roundtrip",
       "q_iterations_reachability", "q_dedup_clusters", "q_graph_pagerank",
-      "q_dedup_centrality",
+      "q_dedup_centrality", "q_graph_sssp",
       // iterative trainer: result is the driver-assembled merge table
       // (each round's pair-count jobs scanned parquet; the final plan
       // is a local relation)

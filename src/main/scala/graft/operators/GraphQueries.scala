@@ -90,6 +90,58 @@ object GraphQueries extends QueryModule {
         """
       }
     ),
+    // Single-source shortest paths over the weighted trade graph
+    // (edge weight = the minimum shipped quantity between the pair,
+    // an exact integer): 4 Bellman–Ford rounds from the
+    // smallest-suppkey supplier node, replayed exactly by chained
+    // CTEs. Min-plus over integers — no float anywhere, so distances
+    // hash-match with no rounding at all.
+    QueryDef(
+      "q_graph_sssp",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val und = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            col("o_custkey").as("a"),
+            (-(col("l_suppkey") + 1)).as("b"),
+            col("l_quantity").cast("long").as("q"))
+          .groupBy(col("a"), col("b"))
+          .agg(min(col("q")).as("w"))
+        val edges = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+          .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        val source = und.agg(max(col("b"))).collect()(0).getLong(0)
+        graft.plans.Iterations
+          .shortestPaths(edges, source, iters = 4)
+      },
+      Some {
+        val step = (k: Int) => s"""
+        d$k AS (
+          SELECT vertex, min(dist) AS dist FROM (
+            SELECT vertex, dist FROM d${k - 1}
+            UNION ALL
+            SELECT e.dst AS vertex, p.dist + e.w AS dist
+            FROM d${k - 1} p JOIN edges e ON e.src = p.vertex
+          ) GROUP BY vertex
+        )"""
+        """
+        WITH und AS (
+          SELECT o_custkey AS a, -(l_suppkey + 1) AS b,
+                 CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY a, b
+        ),
+        edges AS (
+          SELECT a AS src, b AS dst, w FROM und
+          UNION ALL
+          SELECT b AS src, a AS dst, w FROM und
+        ),
+        d0 AS (SELECT (SELECT max(b) FROM und) AS vertex, CAST(0 AS BIGINT) AS dist),""" +
+          (1 to 4).map(step).mkString(",") + """
+        SELECT vertex, dist FROM d4
+        """
+      }
+    ),
     // Deterministic random walks (the node2vec/DeepWalk sampling
     // stage of graph-embedding training data): from every supplier
     // node, 3 steps over the undirected trade graph, the "random"

@@ -187,6 +187,40 @@ object Iterations {
     ranks
   }
 
+  /** Single-source shortest paths, Bellman–Ford with a FIXED round
+    * count over a weighted edge list (`src`, `dst`, `w` — integer
+    * weights keep the min-plus arithmetic exact): round k relaxes
+    * every edge once, dist = min(dist, dist[src] + w). The reference's
+    * own canonical graph-library example (flink-gelly
+    * SingleSourceShortestPaths). Fixed rounds (not convergence) so
+    * DuckDB replays the loop exactly; k rounds = exact distances for
+    * every path of ≤ k hops. Same loop contract as pageRank: the edge
+    * table is src-partitioned and checkpointed once, each round is one
+    * relax join + one min aggregation.
+    */
+  def shortestPaths(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    var dist = Seq((source, 0L)).toDF("vertex", "dist")
+      .repartition(col("vertex"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < iters) {
+      val relaxed = e
+        .join(dist, e("src") === dist("vertex"))
+        .select(e("dst").as("vertex"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy(col("vertex"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      iter += 1
+    }
+    dist
+  }
+
   /** Transitive reachability from a source vertex over an undirected
     * edge list — BFS frontier expansion as a driver loop, each step
     * fully distributed (the oracle-checkable face of the iteration
