@@ -454,6 +454,75 @@ object PipelineQueries extends QueryModule {
         WHERE cum_tok <= CASE WHEN lang = 'en' THEN 300 ELSE 150 END
       """)
     ),
+    // Last-touch attribution: every purchase attributed to the user's
+    // most recent non-purchase event within a 24h lookback, else
+    // 'organic' — the conversion-analytics shape, and a reuse of the
+    // as-of join machinery (plans.AsOfJoin: ONE shuffle on the user
+    // key + a per-key ordered window, never a per-row lookup) on a
+    // same-table self-attribution. (user, ts) is unique in the events
+    // stream, so the as-of pick needs no extra tiebreak.
+    QueryDef(
+      "q_attribution_last_touch",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val e = t.events.select(col("user_id"), col("event_id"),
+          col("event_type"), expr("unix_micros(ts)").as("us"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("us"))
+        val sources = e.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("us"),
+            col("event_type").as("src_type"), col("us").as("src_us"))
+        val joined = graft.plans.AsOfJoin.join(
+          purchases, sources, key = "user_id", time = "us",
+          rightCols = Seq("src_type", "src_us"))
+        val lookbackUs = 24L * 3600 * 1000000
+        val attributed = joined.select(col("event_id"), col("user_id"),
+          when(col("us") - col("src_us") <= lookbackUs, col("src_type"))
+            .otherwise(lit("organic")).as("attributed_to"),
+          when(col("us") - col("src_us") <= lookbackUs,
+            expr("(us - src_us) DIV 1000000")).as("age_s"))
+        // purchases with NO preceding source at all are dropped by the
+        // inner as-of — restore them as organic
+        purchases.join(attributed.select(col("event_id")), Seq("event_id"),
+            "left_anti")
+          .select(col("event_id"), col("user_id"),
+            lit("organic").as("attributed_to"),
+            lit(null).cast("long").as("age_s"))
+          .unionByName(attributed)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events
+        ),
+        p AS (SELECT user_id, event_id, us FROM e
+              WHERE event_type = 'purchase'),
+        src AS (SELECT user_id, event_type, us FROM e
+                WHERE event_type != 'purchase'),
+        ranked AS (
+          SELECT p.event_id, p.user_id, p.us,
+                 s.event_type AS src_type, s.us AS src_us,
+                 row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY s.us DESC) AS rn
+          FROM p JOIN src s
+            ON s.user_id = p.user_id AND s.us <= p.us
+        ),
+        att AS (
+          SELECT event_id, user_id,
+                 CASE WHEN us - src_us <= 86400000000
+                      THEN src_type ELSE 'organic' END AS attributed_to,
+                 CASE WHEN us - src_us <= 86400000000
+                      THEN (us - src_us) // 1000000 END AS age_s
+          FROM ranked WHERE rn = 1
+        )
+        SELECT p.event_id, p.user_id,
+               'organic' AS attributed_to, CAST(NULL AS BIGINT) AS age_s
+        FROM p LEFT JOIN att ON att.event_id = p.event_id
+        WHERE att.event_id IS NULL
+        UNION ALL
+        SELECT event_id, user_id, attributed_to, age_s FROM att
+      """)
+    ),
     // Behavioral sequence extraction (the "user journey" corpus a
     // sequence model trains on): sessionize each user's events by a
     // 30-minute inactivity gap — lag + cumulative new-session flags,
