@@ -149,7 +149,22 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // parsed to Int up front: a non-numeric value must fail HERE with a
+    // clear error, not reach the JSON line and corrupt the record
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").trim.toInt
+    // optional subset filter (comma-separated query names) for
+    // cross-round A/B runs: restricting a fresh JVM to exactly an older
+    // record's query set separates suite-growth JVM pressure (GC /
+    // code-cache from 56 queries sharing one process) from real
+    // shared-path regressions. Unknown names fail fast.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map { s =>
+        val names = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names -- headline.toSet
+        require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names not in headline: $unknown")
+        names
+      }
+    val selected = only.fold(headline)(names => headline.filter(names))
     // K repeats per query IN THE SAME JVM; per-query min is the reported
     // number. Min-of-N is the standard defense against noisy-neighbor /
     // burst-throttled environments: external interference only ever adds
@@ -157,7 +172,7 @@ object Bench {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val spark = Engine.configure(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
@@ -190,8 +205,8 @@ object Bench {
     // back-to-back repeats of one query, so a transient throttling window
     // cannot inflate all K samples of the same query.
     val samples: Map[String, Seq[Double]] = {
-      val rounds = (1 to repeats).map(_ => headline.map(n => n -> runOnce(n)))
-      headline.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
+      val rounds = (1 to repeats).map(_ => selected.map(n => n -> runOnce(n)))
+      selected.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
     }
     val calAfter = calibrate(spark, repeats)
     // worst of the two windows: a throttle opening mid-run must show
@@ -202,18 +217,27 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val mins = headline.map(n => n -> samples(n).min)
+    val mins = selected.map(n => n -> samples(n).min)
     val qs = mins
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val meds = headline
+    val meds = selected
       .map(n => "\"" + n + f"""\":${median(samples(n))}%.3f""")
       .mkString("{", ",", "}")
+    // environment-suspect flags, in the record itself: a median that
+    // sits >1.5x above the same JVM's min means at least half the
+    // repeats hit external interference (throttle burst, noisy
+    // neighbor) — the r13 record had three such medians that read as
+    // code regressions until a calibrated re-run dissolved them.
+    // Cross-round comparisons must use MIN for flagged queries.
+    val suspect = selected
+      .filter(n => samples(n).min > 0 && median(samples(n)) / samples(n).min > 1.5)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum
     val calS = calibration.map(c => f"$c%.3f").getOrElse("null")
     val calR = calRatio.map(r => f"$r%.2f").getOrElse("null")
     println(
-      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"cpus":$cpus,"calibration_s":$calS,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ref_cpus":$CalibrationRefCpus,"calibration_ratio":$calR,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
+      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"cpus":$cpus,"calibration_s":$calS,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ref_cpus":$CalibrationRefCpus,"calibration_ratio":$calR,"suspect":$suspect,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

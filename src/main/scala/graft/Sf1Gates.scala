@@ -381,8 +381,8 @@ object Sf1Gates {
         DEFINE E AS value IS NOT NULL,
                V AS value IS NULL AND value IS NOT NULL
       )""", "1 minute")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_cep_gate").toString
+    val ckpt = graft.TempPaths
+      .dir("graft_cep_gate").toString
     MatchRecognize.CepStateProbe.reset()
     MatchRecognize.CepStateProbe.enabled = true
     try {
@@ -531,7 +531,10 @@ object Sf1Gates {
       datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01")))
         .cast("long").as("d_day"),
       col("l_partkey").as("pk"))
-    val out = "/tmp/graft_sf1_hilbert_layout"
+    // per-PID path: two concurrently running harnesses (Verify +
+    // Sf1Gates + sbt test) must not overwrite each other's layout
+    // mid-read — same concurrent-harness fix as the Derby per-PID dir
+    val out = s"/tmp/graft_sf1_hilbert_layout_${ProcessHandle.current().pid()}"
     graft.functions.Hilbert.writeHilbertOrdered(
       li, "d_day", "pk", out, bits = 8, numFiles = 64)
     val written = spark.read.parquet(out)

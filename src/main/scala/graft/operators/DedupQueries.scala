@@ -500,8 +500,10 @@ object DedupQueries extends QueryModule {
     // Dedup-cluster canonicalization — the step every corpus dedup
     // actually ships: near-dup PAIRS alone don't dedup; transitive
     // closure groups them into clusters and one canonical doc (min id)
-    // survives per cluster. Pairs → Iterations.connectedComponents
-    // (min-label propagation, localCheckpoint loop, fully distributed)
+    // survives per cluster. Pairs → Iterations.connectedComponentsAdaptive
+    // (min-label rounds while diameters are short, contraction +
+    // large-star/small-star on the quotient if they are not — O(log n)
+    // rounds even on long dup chains, fully distributed)
     // → keep = (doc_id == component). Oracle: DuckDB recursive CTE
     // computing min-reachable-id over the same exact-Jaccard edges.
     // The edge set comes from the PPJoin prefix-filter join — EXACT
@@ -517,7 +519,7 @@ object DedupQueries extends QueryModule {
         val pairs = prefixFilterPairs(tables(s, dir), 4, 5)
         val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
         graft.plans.Iterations
-          .connectedComponents(edges)
+          .connectedComponentsAdaptive(edges)
           .select(
             col("vertex").as("doc_id"),
             col("component").as("canonical_id"),
@@ -554,7 +556,7 @@ object DedupQueries extends QueryModule {
       (s, dir) => {
         val pairs = prefixFilterPairs(tables(s, dir), 4, 5)
         val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        val comps = graft.plans.Iterations.connectedComponents(edges)
+        val comps = graft.plans.Iterations.connectedComponentsAdaptive(edges)
           .select(col("vertex").as("doc_id"), col("component"))
         val mixP = 1000003L
         val docs = tables(s, dir).documents.select(col("doc_id"), col("lang"))
@@ -662,7 +664,7 @@ object DedupQueries extends QueryModule {
         val t = tables(s, dir)
         val pairs = prefixFilterPairs(t, 4, 5)
         val comps = graft.plans.Iterations
-          .connectedComponents(
+          .connectedComponentsAdaptive(
             pairs.select(col("d1").as("src"), col("d2").as("dst")))
           .select(col("vertex"), col("component"))
         val e = t.embeddings.select(col("vec_id"),
@@ -894,8 +896,8 @@ object DedupQueries extends QueryModule {
             new graft.streaming.Tws.SpanMinProcessor,
             TimeMode.None(),
             OutputMode.Update())
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_online_ckpt").toString
+        val ckpt = graft.TempPaths
+          .dir("graft_online_ckpt").toString
         val sink =
           s"dedup_online_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         val q = verdicts.toDF().writeStream
@@ -906,11 +908,16 @@ object DedupQueries extends QueryModule {
           .start()
         try q.processAllAvailable()
         finally q.stop()
-        s.table(sink)
+        // materialize off the memory sink, then drop the sink table —
+        // no per-invocation registry litter in long-lived sessions
+        val res = s.table(sink)
           .groupBy(col("doc_id"))
           .agg(min(col("span_min")).as("first_ref"))
           .select(col("doc_id"), col("first_ref"),
             (col("first_ref") < col("doc_id")).as("is_dup"))
+          .localCheckpoint()
+        s.catalog.dropTempView(sink)
+        res
       },
       Some(s"""
         WITH words AS (

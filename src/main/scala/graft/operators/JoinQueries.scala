@@ -277,7 +277,7 @@ object JoinQueries extends QueryModule {
           val f = new java.io.File(path)
           if (f.isDirectory) path
           else {
-            val d = java.nio.file.Files.createTempDirectory("graft_ssjoin_src")
+            val d = graft.TempPaths.dir("graft_ssjoin_src")
             java.nio.file.Files
               .createSymbolicLink(d.resolve("events.parquet"), f.toPath)
             d.toString
@@ -293,10 +293,10 @@ object JoinQueries extends QueryModule {
         val joined = graft.streaming.StreamingOps.intervalJoin(
           src.filter(col("event_type") === "signup"),
           src.filter(col("event_type") === "purchase"))
-        val outDir = java.nio.file.Files
-          .createTempDirectory("graft_ssjoin_out").toString
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_ssjoin_ckpt").toString
+        val outDir = graft.TempPaths
+          .dir("graft_ssjoin_out").toString
+        val ckpt = graft.TempPaths
+          .dir("graft_ssjoin_ckpt").toString
         val q = joined.writeStream
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
             b.write.mode("append").parquet(outDir)
@@ -316,6 +316,90 @@ object JoinQueries extends QueryModule {
                round(sum(p.value), 4) AS v_sum
         FROM (SELECT * FROM events WHERE event_type = 'signup') s
         JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        GROUP BY s.user_id
+      """)
+    ),
+    // LEFT OUTER stream-stream join (reference StreamExecJoin.java:61
+    // supports inner/left/right/full with state on both sides): same
+    // replay as q_join_stream_stream but unmatched signups must emit a
+    // null-extended row — which streaming can only do AFTER the
+    // watermark passes the signup's join horizon (s_ts + 30min window
+    // + 10min delay). Signups inside that horizon of the stream's end
+    // stay in state forever, so BOTH engines are cut at the same
+    // explicit horizon (max(ts) - 41min: join window + watermark + 1min
+    // margin so no row sits exactly on the eviction boundary) and the
+    // comparison is exact. The cutoff bound travels as a broadcast
+    // 1-row aggregate — no driver-side value.
+    QueryDef(
+      "q_join_stream_stream_left",
+      (s, dir) => {
+        val path = s"$dir/events.parquet"
+        val raw = s.read.parquet(path)
+        val streamPath = {
+          val f = new java.io.File(path)
+          if (f.isDirectory) path
+          else {
+            val d = graft.TempPaths.dir("graft_ssjoinl_src")
+            java.nio.file.Files
+              .createSymbolicLink(d.resolve("events.parquet"), f.toPath)
+            d.toString
+          }
+        }
+        val src0 = s.readStream.schema(raw.schema).parquet(streamPath)
+        def fixTs(df: org.apache.spark.sql.DataFrame) =
+          raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              df.withColumn("ts",
+                timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+            case _ => df
+          }
+        val src = fixTs(src0)
+        val joined = graft.streaming.StreamingOps.intervalJoinLeftOuter(
+          src.filter(col("event_type") === "signup"),
+          src.filter(col("event_type") === "purchase"))
+        val outDir = graft.TempPaths.dir("graft_ssjoinl_out").toString
+        val ckpt = graft.TempPaths.dir("graft_ssjoinl_ckpt").toString
+        val q = joined.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        // the combined watermark is the MIN across both sides' nodes,
+        // each seeing only its filtered events — so the horizon is
+        // least(max signup ts, max purchase ts), not the global max
+        val horizon = fixTs(raw)
+          .agg((least(
+            max(when(col("event_type") === "signup", col("ts"))),
+            max(when(col("event_type") === "purchase", col("ts"))))
+            - expr("INTERVAL 41 MINUTES")).as("cut"))
+        s.read.parquet(outDir)
+          .crossJoin(broadcast(horizon))
+          .filter(col("s_ts") < col("cut"))
+          .groupBy(col("s_user"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("p_id")).as("n_matched"),
+            round(coalesce(sum(col("p_value")), lit(0.0)), 4).as("v_sum"))
+      },
+      Some("""
+        WITH mx AS (
+          SELECT least(
+            max(CASE WHEN event_type = 'signup' THEN ts END),
+            max(CASE WHEN event_type = 'purchase' THEN ts END))
+            - INTERVAL 41 MINUTE AS cut
+          FROM events),
+        s AS (SELECT * FROM events
+              WHERE event_type = 'signup' AND ts < (SELECT cut FROM mx)),
+        p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        SELECT s.user_id AS s_user, count(*) AS n_rows,
+               count(p.event_id) AS n_matched,
+               round(coalesce(sum(p.value), 0), 4) AS v_sum
+        FROM s LEFT JOIN p
           ON s.user_id = p.user_id
          AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
         GROUP BY s.user_id

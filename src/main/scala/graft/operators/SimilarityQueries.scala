@@ -635,10 +635,20 @@ object SimilarityQueries extends QueryModule {
       e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"),
         col("v"), col("n2")),
       "q_id", nProbe)
-    val codes = pqEncode(emb, model)
-      .select(col("vec_id"), col("sub_id"), col("code_id"))
+    // codes pivoted to ONE array per vector (codes[j] = subspace-j code):
+    // the probe-side scan then touches one row per candidate, not m
+    val codesArr = pqEncode(emb, model)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("code_id")))),
+        x => x("code_id")).as("codes"))
       .join(cellAsg, "vec_id")
-    val lut = e
+    // per-query LUT flattened to a dense array indexed sub_id*k+code_id
+    // (the broadcast join on sub_id makes every (sub,code) slot present,
+    // so array_sort by idx yields exactly that dense layout) — ADC then
+    // becomes an arithmetic element_at instead of a per-(sub,code) hash
+    // probe against a 3-key broadcast join
+    val lutArr = e
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
@@ -648,14 +658,22 @@ object SimilarityQueries extends QueryModule {
       .join(broadcast(model.codebook), "sub_id")
       .withColumn("qd2",
         round(col("qsvn2") - lit(2.0) * dot(col("qsv"), col("cw")) + col("cwn2"), 6))
-      .select(col("q_id"), col("sub_id"), col("code_id"), col("qd2"))
-    def at(j: Int): Column = max(when(col("sub_id") === j, col("qd2")))
-    val scored = codes
-      .join(broadcast(probes), "list_id")
+      .groupBy(col("q_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(
+          (col("sub_id") * numCodes + col("code_id")).as("idx"), col("qd2")))),
+        x => x("qd2")).as("lut"))
+    // every (q_id, vec_id) pair appears at most once here (one cell per
+    // vector, distinct probed lists per query), so the ADC sum is a pure
+    // projection — fixed subspace order j = 0..m-1, same as before
+    val scored = codesArr
+      .join(broadcast(probes.join(lutArr, "q_id")), "list_id")
       .filter(col("q_id") =!= col("vec_id"))
-      .join(broadcast(lut), Seq("q_id", "sub_id", "code_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(at(0) + at(1) + at(2) + at(3), 6).as("adc_dist2"))
+      .select(col("q_id"), col("vec_id"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("lut"),
+            j * numCodes + element_at(col("codes"), j + 1) + 1)), 6)
+          .as("adc_dist2"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist2"), col("vec_id"))
     scored
       .select(col("q_id"), col("vec_id").as("cand_id"), col("adc_dist2"),

@@ -36,7 +36,7 @@ object StateQueries extends QueryModule {
     val f = new java.io.File(path)
     if (f.isDirectory) path
     else {
-      val d = java.nio.file.Files.createTempDirectory("graft_state_src")
+      val d = graft.TempPaths.dir("graft_state_src")
       java.nio.file.Files
         .createSymbolicLink(d.resolve("events.parquet"), f.toPath)
       d.toString
@@ -55,8 +55,8 @@ object StateQueries extends QueryModule {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value")).as("v_sum"))
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_state_ckpt").toString
+    val ckpt = graft.TempPaths
+      .dir("graft_state_ckpt").toString
     val q = agg.writeStream
       .outputMode("update")
       .format("noop")
@@ -71,6 +71,14 @@ object StateQueries extends QueryModule {
     * field order follows the agg declaration (grouping key, then the
     * aggregate buffer columns), so the projection is positional — the
     * internal buffer column NAMES are not part of the contract.
+    *
+    * Determinism note: v_sum is a STREAMING sum — the accumulation
+    * order is the micro-batch/shard arrival order and cannot be
+    * sort-folded the way the batch queries' doubles are (the state
+    * buffer is fold-as-you-go by construction). The 4dp round is the
+    * accepted tolerance: events.value carries ≤2 fractional digits, so
+    * a half-boundary landing exactly at 1e-4 would require a
+    * pathological ulp cascade the planted data cannot produce.
     */
   def readAggState(s: SparkSession, ckpt: String): DataFrame = {
     val state = s.read.format("statestore").load(ckpt)
@@ -103,8 +111,8 @@ object StateQueries extends QueryModule {
           new graft.streaming.Tws.KeyedProfileProcessor,
           TimeMode.None(),
           OutputMode.Update())
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_tws_ckpt").toString
+      val ckpt = graft.TempPaths
+        .dir("graft_tws_ckpt").toString
       val sink = s"tws_profile_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = out.toDF().writeStream
         .outputMode("update")
@@ -115,12 +123,19 @@ object StateQueries extends QueryModule {
       try q.processAllAvailable()
       finally q.stop()
       // update-mode sink appends one profile per key per microbatch;
-      // n_events grows monotonically, so max(struct) is the final one
-      s.table(sink)
+      // n_events grows monotonically, so max(struct) is the final one.
+      // localCheckpoint materializes the aggregation off the memory
+      // sink so the table can be dropped immediately — long-lived
+      // sessions would otherwise accumulate one registered sink table
+      // per invocation
+      val res = s.table(sink)
         .groupBy(col("user_id"))
         .agg(max(struct(col("n_events"), col("n_types"), col("v_max"))).as("p"))
         .select(col("user_id"), col("p.n_events").as("n_events"),
           col("p.n_types").as("n_types"), col("p.v_max").as("v_max"))
+        .localCheckpoint()
+      s.catalog.dropTempView(sink)
+      res
     }
 
   def defs: Seq[QueryDef] = Seq(

@@ -723,11 +723,20 @@ object TextQueries extends QueryModule {
           .crossJoin(broadcast(vocab))
           .select(
             col("doc_id"),
+            col("w1"), col("w2"),
             (-log((col("c2") + lit(1.0)) / (col("c1") + col("v")))).as("nll"))
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_pairs"),
-            round(sum(col("nll")) / count(lit(1)), 4).as("avg_nll"))
+            // fixed-order fold over (w1, w2)-sorted terms — the
+            // module's determinism discipline (same as bm25Scores): a
+            // partition-order double sum could land an ulp on a
+            // half-boundary and flip the 4dp rounding or the keep
+            // verdict between runs
+            round(aggregate(
+              sort_array(collect_list(struct(col("w1"), col("w2"), col("nll")))),
+              lit(0.0), (acc, x) => acc + x.getField("nll"))
+              / count(lit(1)), 4).as("avg_nll"))
           .withColumn("keep", col("avg_nll") < 3.42)
       },
       Some("""
@@ -803,8 +812,15 @@ object TextQueries extends QueryModule {
           .join(ll, Seq("cls", "word"), "left")
           .groupBy(col("doc_id"), col("cls"))
           .agg(
+            // word-sorted fixed-order fold (bm25Scores discipline): the
+            // argmax below compares 4dp-rounded scores, and a
+            // partition-order sum could flip a half-boundary rounding
+            // and with it the predicted class
             (first(col("logprior")) +
-              sum(coalesce(col("ll"), col("unseen_ll")))).as("score"))
+              aggregate(
+                sort_array(collect_list(struct(col("word"),
+                  coalesce(col("ll"), col("unseen_ll")).as("term")))),
+                lit(0.0), (acc, x) => acc + x.getField("term"))).as("score"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(round(col("score"), 4).desc, col("cls").asc)
         scored

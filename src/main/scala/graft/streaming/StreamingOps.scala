@@ -105,6 +105,46 @@ object StreamingOps {
     )
   }
 
+  /** LEFT OUTER stream-stream interval join (reference
+    * StreamExecJoin.java:61 keeps state on both sides for
+    * inner/left/right/full): matched pairs emit eagerly like the inner
+    * join; an unmatched signup emits ONCE with nulls when the
+    * watermark passes s_ts + 30min (its state-eviction time) — i.e.
+    * Spark can finally prove no purchase will ever match it. Signups
+    * within (30min join window + watermark delay) of the stream's end
+    * therefore stay in state unemitted; batch-parity consumers must
+    * cut both engines at the same horizon (see
+    * q_join_stream_stream_left).
+    */
+  def intervalJoinLeftOuter(
+      signups: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val s = signups
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id").as("s_user"),
+        col("ts").as("s_ts"),
+        col("event_id").as("s_id")
+      )
+    val p = purchases
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        col("event_id").as("p_id"),
+        col("value").as("p_value")
+      )
+    s.join(
+      p,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter"
+    )
+  }
+
   final case class CountWinState(batch_id: Long, n: Long, sum: Double)
   final case class CountWin(user_id: Long, batch_id: Long, n: Long, sv: Double)
 

@@ -56,4 +56,57 @@ class IterationsSpec extends AnyFunSuite {
     assert(comps.forall(_.getLong(1) == 1L))
     assert(comps.length == n)
   }
+
+  test("star CC matches min-label CC and converges in O(log n) rounds on a 64-chain") {
+    import spark.implicits._
+    // planted worst case for label propagation: one 64-vertex chain —
+    // min-label needs ~diameter rounds (one hop per round), the
+    // alternating large-star/small-star contraction needs O(log n)
+    val n = 64
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+    val (starLabels, starRounds) =
+      Iterations.connectedComponentsStarWithRounds(edges, maxIter = 80)
+    val (minLabels, minRounds) =
+      Iterations.connectedComponentsWithRounds(edges, maxIter = 80)
+    val star = starLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ml = minLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == ml, "star CC must produce identical min-id labels")
+    assert(star.values.forall(_ == 1L) && star.size == n)
+    assert(minRounds >= n / 2, s"min-label should pay ~diameter rounds, got $minRounds")
+    assert(starRounds <= 12, s"star should converge in O(log n) rounds, got $starRounds")
+  }
+
+  test("adaptive CC = min-label labels on both short-diameter and long-chain graphs") {
+    import spark.implicits._
+    // long chain: forces the contraction + star phase
+    val chain = (1 until 64).map(i => (i.toLong, (i + 1).toLong))
+    // plus a short-diameter blob (converges inside the label phase) and
+    // a lone pair
+    val edges = (chain ++ Seq((100L, 101L), (100L, 102L), (101L, 103L),
+      (200L, 201L))).toDF("src", "dst")
+    val adaptive = Iterations.connectedComponentsAdaptive(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ml = Iterations.connectedComponents(edges, maxIter = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(adaptive == ml)
+    assert(adaptive(64L) == 1L && adaptive(103L) == 100L && adaptive(201L) == 200L)
+  }
+
+  test("star CC handles forests, shuffled ids, self-loops and duplicate edges") {
+    import spark.implicits._
+    val edges = Seq(
+      (7L, 3L), (3L, 9L), (9L, 1L),      // component 1 via reversed/shuffled ids
+      (10L, 11L), (11L, 10L), (10L, 11L), // duplicate + reversed duplicate
+      (20L, 20L),                         // self-loop-only vertex
+      (30L, 31L), (31L, 32L), (30L, 32L)  // triangle
+    ).toDF("src", "dst")
+    val comps = Iterations.connectedComponentsStar(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps == Map(
+      1L -> 1L, 3L -> 1L, 7L -> 1L, 9L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L
+    ))
+  }
 }

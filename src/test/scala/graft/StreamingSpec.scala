@@ -114,6 +114,71 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming != batch:\n streaming=$streaming\n batch=$batch")
   }
 
+  test("stream-stream LEFT OUTER join null-extends unmatched signups after the watermark passes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sig = MemoryStream[Event]
+    val pur = MemoryStream[Event]
+    sig.addData(
+      Event(1, ts(0), 1, "signup", 0), // matched
+      Event(2, ts(0), 2, "signup", 0)  // never matched → null-extended
+    )
+    pur.addData(Event(10, ts(10), 1, "purchase", 9.99))
+    val out = StreamingOps.intervalJoinLeftOuter(sig.toDF(), pur.toDF())
+    val q = out.writeStream.format("memory").queryName("ijl_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark so far: 10min - 10min delay = 0 → signup 2's horizon
+      // (0 + 30min) not passed, no null row yet
+      val early = spark.sql("SELECT s_user FROM ijl_out WHERE p_id IS NULL").count()
+      assert(early == 0, "unmatched row must NOT emit before its horizon")
+      // advance the watermark far past s_ts + 30min — on BOTH inputs:
+      // the combined watermark is the min across the two sides' nodes
+      sig.addData(Event(98, ts(600), 9, "signup", 0))
+      pur.addData(Event(99, ts(600), 9, "purchase", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT s_user, p_id FROM ijl_out")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((1L, 10L)), s"matched pair must emit: $rows")
+    assert(rows.contains((2L, -1L)), s"unmatched signup must null-extend: $rows")
+  }
+
+  test("stream-stream LEFT OUTER join over events equals the batch left join at the same horizon") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streaming = SparkEntry.queries("q_join_stream_stream_left")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // identical computation on the batch engine
+    val raw0 = spark.read.parquet(s"$dir/events.parquet")
+    val raw = raw0.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw0.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      case _ => raw0
+    }
+    val horizon = raw.agg((least(
+      max(when(col("event_type") === "signup", col("ts"))),
+      max(when(col("event_type") === "purchase", col("ts"))))
+      - expr("INTERVAL 41 MINUTES")).as("cut"))
+    val s = raw.filter(col("event_type") === "signup")
+      .crossJoin(broadcast(horizon)).filter(col("ts") < col("cut"))
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val p = raw.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"), col("value").as("p_value"))
+    val batch = s.join(p,
+        col("s_user") === col("p_user") && col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"), "leftOuter")
+      .groupBy(col("s_user"))
+      .agg(count(lit(1)).as("n_rows"), count(col("p_id")).as("n_matched"),
+        round(coalesce(sum(col("p_value")), lit(0.0)), 4).as("v_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streaming.nonEmpty)
+    assert(streaming == batch,
+      s"streaming != batch:\n streaming=$streaming\n batch=$batch")
+  }
+
   test("streaming top-n keeps bounded per-key state and re-emits on change") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -17,6 +17,15 @@ import java.sql.Timestamp
   * idleness — live, late rows from the idle side may be dropped).
   * These tests pin both behaviors on a two-source union so the
   * mapping is verified, not just documented.
+  *
+  * The mapping is deliberately LOOSER than the reference's: Flink's
+  * withIdleness only excludes a source after its idle timeout elapses
+  * and re-admits it on the next record, whereas `max` ALWAYS lets the
+  * fastest source advance the global watermark — including past an
+  * ACTIVE-but-slower source, whose in-flight late rows are then
+  * dropped. Flink without idleness never drops those. Pipelines whose
+  * sources run at genuinely different event-time speeds must stay on
+  * `min` (and accept stalls) or debounce the slow source upstream.
   */
 class WatermarkIdlenessSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.get
