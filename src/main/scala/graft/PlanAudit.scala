@@ -35,6 +35,10 @@ object PlanAudit {
       // nQueries rows, independent of corpus size
       "q_ann_sq8", "q_ann_ivf_sq8", "q_dedup_semantic", "q_ann_ivf_pq",
       "q_ann_ivf_pq_rerank",
+      // nQueries-row broadcast LUT-array crosses (the fused full-corpus
+      // ADC scan: every candidate scored against each broadcast query
+      // LUT by design)
+      "q_ann_pq", "q_ann_pq_rerank",
       // 1-row broadcast bounds/percentiles (histogram + outlier gate +
       // hilbert layout quantization bounds)
       "q_profile_histogram", "q_profile_histogram_equidepth",
@@ -47,6 +51,9 @@ object PlanAudit {
       "q_text_bigram_logprob",
       // 1-row broadcast mixture totals (Σ weights, corpus size)
       "q_mix_temperature",
+      // 1-row broadcast watermark-horizon bound cut onto the dumped
+      // stream-stream join rows
+      "q_join_stream_stream_left", "q_join_stream_stream_full",
       // 1-row broadcast bounds + totals for the PSI drift bins
       "q_profile_drift_psi",
       // 1-row broadcast query vector crossed onto the embedding scan

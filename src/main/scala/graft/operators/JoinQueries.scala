@@ -405,6 +405,125 @@ object JoinQueries extends QueryModule {
         GROUP BY s.user_id
       """)
     ),
+    // FULL OUTER stream-stream join — the last of the reference's
+    // inner/left/right/full family (StreamExecJoin.java:61; right outer
+    // is the left-outer with sides swapped, see StreamingOps). Both
+    // sides cut at ONE horizon C = least(max signup ts, max purchase
+    // ts) - 41min (inside both eviction guarantees: signups need
+    // wm > s_ts+30min, purchases wm > p_ts). Matched-ness must be
+    // judged AGAINST THE CUT SIDES, so the dumped rows are classified
+    // batch-side: a pair row with an out-of-cut counterpart makes the
+    // in-cut row "only"-classified exactly as the batch full join of
+    // the two cut inputs would. The dump is complete for this: every
+    // true pair emits eagerly and every in-cut never-matched row
+    // null-extends before the cut (1min margin).
+    QueryDef(
+      "q_join_stream_stream_full",
+      (s, dir) => {
+        val path = s"$dir/events.parquet"
+        val raw = s.read.parquet(path)
+        val streamPath = {
+          val f = new java.io.File(path)
+          if (f.isDirectory) path
+          else {
+            val d = graft.TempPaths.dir("graft_ssjoinf_src")
+            java.nio.file.Files
+              .createSymbolicLink(d.resolve("events.parquet"), f.toPath)
+            d.toString
+          }
+        }
+        val src0 = s.readStream.schema(raw.schema).parquet(streamPath)
+        def fixTs(df: org.apache.spark.sql.DataFrame) =
+          raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              df.withColumn("ts",
+                timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+            case _ => df
+          }
+        val src = fixTs(src0)
+        val joined = graft.streaming.StreamingOps.intervalJoinFullOuter(
+          src.filter(col("event_type") === "signup"),
+          src.filter(col("event_type") === "purchase"))
+        val outDir = graft.TempPaths.dir("graft_ssjoinf_out").toString
+        val ckpt = graft.TempPaths.dir("graft_ssjoinf_ckpt").toString
+        val q = joined.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        val horizon = fixTs(raw)
+          .agg((least(
+            max(when(col("event_type") === "signup", col("ts"))),
+            max(when(col("event_type") === "purchase", col("ts"))))
+            - expr("INTERVAL 41 MINUTES")).as("cut"))
+        val d = s.read.parquet(outDir).crossJoin(broadcast(horizon))
+        // matched = both sides in cut (pair emission is complete)
+        val matched = d
+          .filter(col("s_ts") < col("cut") && col("p_ts") < col("cut"))
+          .groupBy(col("s_user").as("user_id"))
+          .agg(count(lit(1)).as("n_matched"),
+            round(sum(col("p_value")), 4).as("v_sum"))
+        // an in-cut signup is left-only iff NONE of its pairs land in
+        // the cut (null p_ts from a null-extension compares to false)
+        val leftOnly = d
+          .filter(col("s_id").isNotNull && col("s_ts") < col("cut"))
+          .groupBy(col("s_id"), col("s_user"))
+          .agg(sum(when(col("p_ts") < col("cut"), 1).otherwise(0)).as("m"))
+          .filter(col("m") === 0)
+          .groupBy(col("s_user").as("user_id"))
+          .agg(count(lit(1)).as("n_left_only"))
+        val rightOnly = d
+          .filter(col("p_id").isNotNull && col("p_ts") < col("cut"))
+          .groupBy(col("p_id"), col("p_user"))
+          .agg(sum(when(col("s_ts") < col("cut"), 1).otherwise(0)).as("m"))
+          .filter(col("m") === 0)
+          .groupBy(col("p_user").as("user_id"))
+          .agg(count(lit(1)).as("n_right_only"))
+        matched
+          .join(leftOnly, Seq("user_id"), "full")
+          .join(rightOnly, Seq("user_id"), "full")
+          .select(col("user_id"),
+            coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+            coalesce(col("n_left_only"), lit(0L)).as("n_left_only"),
+            coalesce(col("n_right_only"), lit(0L)).as("n_right_only"),
+            coalesce(col("v_sum"), lit(0.0)).as("v_sum"))
+      },
+      Some("""
+        WITH mx AS (
+          SELECT least(
+            max(CASE WHEN event_type = 'signup' THEN ts END),
+            max(CASE WHEN event_type = 'purchase' THEN ts END))
+            - INTERVAL 41 MINUTE AS cut
+          FROM events),
+        s AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'signup' AND ts < (SELECT cut FROM mx)),
+        p AS (SELECT user_id, ts, event_id, value FROM events
+              WHERE event_type = 'purchase' AND ts < (SELECT cut FROM mx)),
+        j AS (SELECT s.user_id AS s_user, s.event_id AS s_id,
+                     p.user_id AS p_user, p.event_id AS p_id, p.value AS p_value
+              FROM s FULL JOIN p
+                ON s.user_id = p.user_id
+               AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE),
+        m AS (SELECT s_user AS user_id, count(*) AS n_matched,
+                     round(sum(p_value), 4) AS v_sum
+              FROM j WHERE s_id IS NOT NULL AND p_id IS NOT NULL GROUP BY 1),
+        l AS (SELECT s_user AS user_id, count(*) AS n_left_only
+              FROM j WHERE p_id IS NULL GROUP BY 1),
+        r AS (SELECT p_user AS user_id, count(*) AS n_right_only
+              FROM j WHERE s_id IS NULL GROUP BY 1)
+        SELECT coalesce(m.user_id, l.user_id, r.user_id) AS user_id,
+               coalesce(n_matched, 0) AS n_matched,
+               coalesce(n_left_only, 0) AS n_left_only,
+               coalesce(n_right_only, 0) AS n_right_only,
+               coalesce(v_sum, 0) AS v_sum
+        FROM m
+        FULL JOIN l ON m.user_id = l.user_id
+        FULL JOIN r ON coalesce(m.user_id, l.user_id) = r.user_id
+      """)
+    ),
     // Pure range join (NO equi key): lineitem ship-days vs derived
     // promo windows, via the banded rewrite (plans/RangeJoin) — an
     // equi-join on the bin instead of a nested loop, exact predicate

@@ -481,10 +481,18 @@ object SimilarityQueries extends QueryModule {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val model = pqCodebook(emb, m, numCodes)
-    val codes = pqEncode(emb, model)
-      .select(col("vec_id").as("cand_id"), col("sub_id"), col("code_id"))
+    // one codes array per candidate (same fusion as ivfPqTopK): the
+    // corpus-side scan is then one row per candidate per query instead
+    // of m LUT-join rows per candidate per query, and the ADC sum is an
+    // arithmetic element_at projection — no (sub,code) hash probe, no
+    // (q_id, cand_id) re-aggregation shuffle
+    val codesArr = pqEncode(emb, model)
+      .groupBy(col("vec_id").as("cand_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("code_id")))),
+        x => x("code_id")).as("codes"))
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val lut = e
+    val lutArr = e
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
@@ -494,13 +502,22 @@ object SimilarityQueries extends QueryModule {
       .join(broadcast(model.codebook), "sub_id")
       .withColumn("qd2",
         round(col("qsvn2") - lit(2.0) * dot(col("qsv"), col("cw")) + col("cwn2"), 6))
-      .select(col("q_id"), col("sub_id"), col("code_id"), col("qd2"))
-    def at(j: Int): Column = max(when(col("sub_id") === j, col("qd2")))
-    val scored = codes
-      .join(broadcast(lut), Seq("sub_id", "code_id"))
-      .filter(col("q_id") =!= col("cand_id"))
-      .groupBy(col("q_id"), col("cand_id"))
-      .agg(round(at(0) + at(1) + at(2) + at(3), 6).as("adc_dist2"))
+      .groupBy(col("q_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(
+          (col("sub_id") * numCodes + col("code_id")).as("idx"), col("qd2")))),
+        x => x("qd2")).as("lut"))
+    // full-corpus ADC is BY DESIGN a bounded cartesian: every candidate
+    // is scored against each of the nQueries broadcast LUT rows (the
+    // "scan only the m-byte codes" contract) — fixed subspace order
+    // j = 0..m-1, same as the pivot sum it replaces
+    val scored = codesArr
+      .join(broadcast(lutArr), col("q_id") =!= col("cand_id"))
+      .select(col("q_id"), col("cand_id"),
+        round(aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("lut"),
+            j * numCodes + element_at(col("codes"), j + 1) + 1)), 6)
+          .as("adc_dist2"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist2"), col("cand_id"))
     scored
       .select(col("q_id"), col("cand_id"), col("adc_dist2"),

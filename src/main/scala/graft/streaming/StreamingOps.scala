@@ -145,6 +145,43 @@ object StreamingOps {
     )
   }
 
+  /** FULL OUTER stream-stream interval join — the last face of the
+    * reference's inner/left/right/full family (StreamExecJoin.java:61);
+    * rightOuter is [[intervalJoinLeftOuter]] with the sides swapped.
+    * Matched pairs emit eagerly; each side's unmatched rows null-extend
+    * when the watermark proves no counterpart can arrive (signups at
+    * wm > s_ts + 30min, purchases at wm > p_ts — purchases only match
+    * signups at-or-before them).
+    */
+  def intervalJoinFullOuter(
+      signups: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val s = signups
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id").as("s_user"),
+        col("ts").as("s_ts"),
+        col("event_id").as("s_id")
+      )
+    val p = purchases
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        col("event_id").as("p_id"),
+        col("value").as("p_value")
+      )
+    s.join(
+      p,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"),
+      "fullOuter"
+    )
+  }
+
   final case class CountWinState(batch_id: Long, n: Long, sum: Double)
   final case class CountWin(user_id: Long, batch_id: Long, n: Long, sv: Double)
 

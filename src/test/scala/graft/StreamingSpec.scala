@@ -145,6 +145,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((2L, -1L)), s"unmatched signup must null-extend: $rows")
   }
 
+  test("stream-stream FULL OUTER join null-extends both sides") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sig = MemoryStream[Event]
+    val pur = MemoryStream[Event]
+    sig.addData(
+      Event(1, ts(0), 1, "signup", 0), // matched
+      Event(2, ts(0), 2, "signup", 0)  // unmatched → null-extended right side
+    )
+    pur.addData(
+      Event(10, ts(10), 1, "purchase", 9.99), // matches signup 1
+      Event(11, ts(5), 3, "purchase", 4.0)    // unmatched → null-extended left side
+    )
+    val out = StreamingOps.intervalJoinFullOuter(sig.toDF(), pur.toDF())
+    val q = out.writeStream.format("memory").queryName("ijf_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      sig.addData(Event(98, ts(600), 9, "signup", 0))
+      pur.addData(Event(99, ts(600), 9, "purchase", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT s_id, p_id FROM ijf_out")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0),
+         if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((1L, 10L)), s"matched pair must emit: $rows")
+    assert(rows.contains((2L, -1L)), s"unmatched signup must null-extend: $rows")
+    assert(rows.contains((-1L, 11L)), s"unmatched purchase must null-extend: $rows")
+  }
+
   test("stream-stream LEFT OUTER join over events equals the batch left join at the same horizon") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
