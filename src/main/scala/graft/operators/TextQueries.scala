@@ -806,7 +806,13 @@ object TextQueries extends QueryModule {
           .select(
             col("lang").as("cls"), col("word"),
             log((col("c") + lit(1)) / (col("tot") + col("v"))).as("ll"))
-        val scored = words.select(col("doc_id"), col("word"))
+        // per-doc DISTINCT word counts first: the class fan-out and the
+        // per-(doc,cls) fold then run over unique words (term = n_w·ll)
+        // instead of every token instance — ~2x fewer joined rows and
+        // shorter folds at identical 4dp-rounded scores
+        val wcd = words.groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("nw"))
+        val scored = wcd
           .crossJoin(broadcast(model.select(
             col("cls"), col("logprior"), col("unseen_ll"))))
           .join(ll, Seq("cls", "word"), "left")
@@ -819,7 +825,8 @@ object TextQueries extends QueryModule {
             (first(col("logprior")) +
               aggregate(
                 sort_array(collect_list(struct(col("word"),
-                  coalesce(col("ll"), col("unseen_ll")).as("term")))),
+                  (col("nw") * coalesce(col("ll"), col("unseen_ll")))
+                    .as("term")))),
                 lit(0.0), (acc, x) => acc + x.getField("term"))).as("score"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(round(col("score"), 4).desc, col("cls").asc)
