@@ -47,6 +47,8 @@ object PlanAudit {
       // k-class broadcast model fan-out (k=3 rows): the NB scorer
       // multiplies the token stream by the class count by design
       "q_text_nb_classify",
+      // 1-row broadcast vocab/total scalars on the DSIR ratio model
+      "q_select_dsir",
       // 1-row broadcast vocab size joined onto the pair stream
       "q_text_bigram_logprob",
       // 1-row broadcast mixture totals (Σ weights, corpus size)

@@ -881,6 +881,86 @@ object TextQueries extends QueryModule {
         WHERE r.rn = 1
       """)
     ),
+    // DSIR-shaped importance-resampling selection ("Data Selection for
+    // Language Models via Importance Resampling", Xie et al., NeurIPS
+    // 2023): score every raw doc by its unigram log likelihood-ratio
+    // against a TARGET distribution (here the 'en' slice stands in for
+    // the curated target corpus) and keep docs the target model likes
+    // better than the raw model — λ(d)/|d| = Σ n_w·(ln p_t(w) − ln
+    // p_r(w))/Σ n_w with Laplace smoothing over the shared vocab (the
+    // hashed-feature variant trades exactness for memory; at any scale
+    // the model here is one vocab-sized table, broadcast- or
+    // shuffle-joined — same scale shape). Distinct-word counts + the
+    // word-sorted fold keep the double sum deterministic (nb_classify
+    // discipline); exact DuckDB oracle.
+    QueryDef(
+      "q_select_dsir",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val words = t.documents.select(col("doc_id"), col("lang"),
+            explode(split(lower(col("text")), " ")).as("word"))
+          .filter(col("word") =!= "")
+        val vocabN = words.select(col("word")).distinct()
+          .agg(count(lit(1)).cast("double").as("v"))
+        val rawC = words.groupBy(col("word")).agg(count(lit(1)).as("cr"))
+        val tgtC = words.filter(col("lang") === "en")
+          .groupBy(col("word")).agg(count(lit(1)).as("ct"))
+        val rawT = words.agg(count(lit(1)).cast("double").as("nr"))
+        val tgtT = words.filter(col("lang") === "en")
+          .agg(count(lit(1)).cast("double").as("nt"))
+        val model = rawC.join(tgtC, Seq("word"), "left")
+          .crossJoin(broadcast(vocabN))
+          .crossJoin(broadcast(rawT))
+          .crossJoin(broadcast(tgtT))
+          .select(col("word"),
+            (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+                (col("nt") + col("v")))
+              - log((col("cr") + lit(1.0)) /
+                (col("nr") + col("v")))).as("lr"))
+        val wcd = words.groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("nw"))
+        wcd.join(model, "word")
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("nw")).as("n_tokens"),
+            round(
+              aggregate(
+                sort_array(collect_list(struct(col("word"),
+                  (col("nw") * col("lr")).as("term")))),
+                lit(0.0), (acc, x) => acc + x.getField("term"))
+                / sum(col("nw")), 4).as("avg_logratio"))
+          .withColumn("keep", col("avg_logratio") > 0.0)
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents
+        ),
+        wf AS (SELECT * FROM w WHERE word <> ''),
+        v AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM wf),
+        cr AS (SELECT word, count(*) AS cr FROM wf GROUP BY 1),
+        ct AS (SELECT word, count(*) AS ct FROM wf WHERE lang = 'en' GROUP BY 1),
+        nr AS (SELECT CAST(count(*) AS DOUBLE) AS nr FROM wf),
+        nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM wf WHERE lang = 'en'),
+        model AS (
+          SELECT cr.word,
+                 ln((coalesce(ct.ct, 0) + 1.0)
+                    / ((SELECT nt FROM nt) + (SELECT v FROM v)))
+               - ln((cr.cr + 1.0)
+                    / ((SELECT nr FROM nr) + (SELECT v FROM v))) AS lr
+          FROM cr LEFT JOIN ct ON cr.word = ct.word
+        ),
+        wcd AS (SELECT doc_id, word, count(*) AS nw FROM wf GROUP BY 1, 2),
+        scored AS (
+          SELECT wcd.doc_id, CAST(sum(wcd.nw) AS BIGINT) AS n_tokens,
+                 round(sum(wcd.nw * m.lr) / sum(wcd.nw), 4) AS avg_logratio
+          FROM wcd JOIN model m ON wcd.word = m.word GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, avg_logratio,
+               avg_logratio > 0.0 AS keep
+        FROM scored
+      """)
+    ),
     // Corpus heavy hitters (φ = 1%): Misra–Gries sketch proposes
     // candidates in one O(capacity)-state pass, then an exact count
     // over candidates only verifies — the propose-then-verify pattern
