@@ -84,11 +84,14 @@ object Iterations {
     // bidir on dst, so the (big) edge side never re-shuffles — labels
     // arrive vertex-partitioned from the previous round's aggregation
     // and the union→groupBy pays the round's single shuffle
+    // repartition-then-dedup: HashPartitioning(dst) satisfies the
+    // dedup's ClusteredDistribution(src, dst), so one shuffle does
+    // both (distinct-then-repartition would pay two)
     val bidir = edges
       .select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .repartition(col("dst"))
+      .dropDuplicates("src", "dst")
       .persist()
     val vertices = bidir.select(col("src").as("vertex")).distinct()
     var labels = vertices
@@ -246,7 +249,6 @@ object Iterations {
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       teleport: Double = 0.15): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
     // Loop-invariant tables are hash-partitioned on their join keys
     // ONCE before checkpointing — LogicalRDD preserves the output
     // partitioning, so the per-iteration joins (edges⋈ranks on src,
@@ -254,13 +256,25 @@ object Iterations {
     // Each iteration then shuffles exactly once: the contribution
     // aggregation onto dst. On a skewed graph that one shuffle is
     // AQE's to split; everything else stays in place.
+    //
+    // Prep discipline: repartition(key) FIRST, dedup after —
+    // HashPartitioning(key) satisfies the dedup aggregation's
+    // ClusteredDistribution (partitioning exprs ⊆ grouping keys), so
+    // distinct-then-repartition's second shuffle never happens. The
+    // src-partitioned dedup also feeds the out-degree aggregation and
+    // the degree join exchange-free, so the whole edge prep pays ONE
+    // shuffle.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .localCheckpoint()
     // N rides the vertex materialization as an observed metric — no
     // separate count job (same fusion as connectedComponents)
     val obs = org.apache.spark.sql.Observation("pagerank_n")
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex")))
-      .distinct()
       .repartition(col("vertex"))
+      .dropDuplicates("vertex")
       .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint()
     val n = (obs.get("n") match {
@@ -269,11 +283,12 @@ object Iterations {
     }).toDouble
     // (src, dst, deg) — each edge annotated with its source's
     // out-degree, computed once; every iteration joins ranks against
-    // this single materialized table
+    // this single materialized table. Both sides are the
+    // src-partitioned checkpoint, so neither the aggregation nor the
+    // join shuffles.
     val withDeg = e
       .join(e.groupBy(col("src"))
         .agg(count(lit(1)).cast("double").as("deg")), "src")
-      .repartition(col("src"))
       .localCheckpoint()
     // ranks inherit the vertex partitioning (projection preserves it,
     // and so does every checkpoint in the loop); the initial ranks are
@@ -309,12 +324,18 @@ object Iterations {
     */
   def pageRankWeighted(edges: DataFrame, iters: Int,
       damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    // same prep discipline as pageRank: one src shuffle feeds the
+    // weight-sum aggregation and the join exchange-free (duplicate
+    // weighted edges fold into ow and contribute individually — no
+    // dedup by design)
     val e = edges.select(col("src"), col("dst"), col("w"))
+      .repartition(col("src"))
+      .localCheckpoint()
     val obs = org.apache.spark.sql.Observation("pagerank_w_n")
     val vertices = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex")))
-      .distinct()
       .repartition(col("vertex"))
+      .dropDuplicates("vertex")
       .observe(obs, count(lit(1)).as("n"))
       .localCheckpoint()
     val n = (obs.get("n") match {
@@ -323,7 +344,6 @@ object Iterations {
     }).toDouble
     val withW = e
       .join(e.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
-      .repartition(col("src"))
       .localCheckpoint()
     var ranks = vertices.withColumn("rank", lit(1.0 / n))
     var iter = 0
