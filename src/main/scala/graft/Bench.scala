@@ -98,7 +98,10 @@ object Bench {
     // corpus-scan BM25 (explode + two-level agg + sort-limit) and the
     // hybrid RRF fusion (two DistributedRank global rankings)
     "q_text_bm25",
-    "q_retrieval_hybrid_rrf"
+    "q_retrieval_hybrid_rrf",
+    // round-14 addition: the DSIR importance-ratio selector (two
+    // unigram models + a distinct-word fold over the corpus)
+    "q_select_dsir"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this

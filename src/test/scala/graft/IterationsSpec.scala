@@ -48,6 +48,24 @@ class IterationsSpec extends AnyFunSuite {
     assert(joined.count() == 1000)
   }
 
+  test("repartition-then-dedup pays exactly one exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the iteration-prep discipline: HashPartitioning(src) satisfies
+    // the dedup aggregation's ClusteredDistribution(src, dst), so the
+    // dedup runs in place — distinct().repartition(src) would pay two
+    val df = (1 to 1000).map(i => (i.toLong % 97, i.toLong % 31))
+      .toDF("src", "dst")
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+    // the AQE wrapper hides its children from collect(); count the
+    // Exchange nodes in the rendered plan instead
+    val planStr = df.queryExecution.executedPlan.toString
+    val exchanges = planStr.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected one exchange, got:\n$planStr")
+    assert(df.count() == df.select(col("src"), col("dst")).distinct().count())
+  }
+
   test("long chain needs several iterations and still converges") {
     import spark.implicits._
     val n = 30
