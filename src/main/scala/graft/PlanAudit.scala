@@ -56,6 +56,7 @@ object PlanAudit {
       // 1-row broadcast watermark-horizon bound cut onto the dumped
       // stream-stream join rows
       "q_join_stream_stream_left", "q_join_stream_stream_full",
+      "q_join_stream_stream_right",
       // 1-row broadcast bounds + totals for the PSI drift bins
       "q_profile_drift_psi",
       // 1-row broadcast query vector crossed onto the embedding scan

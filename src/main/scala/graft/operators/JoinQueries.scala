@@ -405,6 +405,81 @@ object JoinQueries extends QueryModule {
         GROUP BY s.user_id
       """)
     ),
+    // RIGHT OUTER stream-stream join: simpler horizon than the left —
+    // only the kept (purchase) side needs the cut, because a purchase's
+    // eviction horizon is its OWN timestamp (it can only match signups
+    // at-or-before it) and matched signup partners are plain payload,
+    // never null-extended. Signups stay UNFILTERED on both engines.
+    QueryDef(
+      "q_join_stream_stream_right",
+      (s, dir) => {
+        val path = s"$dir/events.parquet"
+        val raw = s.read.parquet(path)
+        val streamPath = {
+          val f = new java.io.File(path)
+          if (f.isDirectory) path
+          else {
+            val d = graft.TempPaths.dir("graft_ssjoinr_src")
+            java.nio.file.Files
+              .createSymbolicLink(d.resolve("events.parquet"), f.toPath)
+            d.toString
+          }
+        }
+        val src0 = s.readStream.schema(raw.schema).parquet(streamPath)
+        def fixTs(df: org.apache.spark.sql.DataFrame) =
+          raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              df.withColumn("ts",
+                timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+            case _ => df
+          }
+        val src = fixTs(src0)
+        val joined = graft.streaming.StreamingOps.intervalJoinRightOuter(
+          src.filter(col("event_type") === "signup"),
+          src.filter(col("event_type") === "purchase"))
+        val outDir = graft.TempPaths.dir("graft_ssjoinr_out").toString
+        val ckpt = graft.TempPaths.dir("graft_ssjoinr_ckpt").toString
+        val q = joined.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        val horizon = fixTs(raw)
+          .agg((least(
+            max(when(col("event_type") === "signup", col("ts"))),
+            max(when(col("event_type") === "purchase", col("ts"))))
+            - expr("INTERVAL 41 MINUTES")).as("cut"))
+        s.read.parquet(outDir)
+          .crossJoin(broadcast(horizon))
+          .filter(col("p_ts") < col("cut"))
+          .groupBy(col("p_user"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("s_id")).as("n_matched"),
+            round(sum(col("p_value")), 4).as("v_sum"))
+      },
+      Some("""
+        WITH mx AS (
+          SELECT least(
+            max(CASE WHEN event_type = 'signup' THEN ts END),
+            max(CASE WHEN event_type = 'purchase' THEN ts END))
+            - INTERVAL 41 MINUTE AS cut
+          FROM events),
+        s AS (SELECT * FROM events WHERE event_type = 'signup'),
+        p AS (SELECT * FROM events
+              WHERE event_type = 'purchase' AND ts < (SELECT cut FROM mx))
+        SELECT p.user_id AS p_user, count(*) AS n_rows,
+               count(s.event_id) AS n_matched,
+               round(sum(p.value), 4) AS v_sum
+        FROM s RIGHT JOIN p
+          ON s.user_id = p.user_id
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+        GROUP BY p.user_id
+      """)
+    ),
     // FULL OUTER stream-stream join — the last of the reference's
     // inner/left/right/full family (StreamExecJoin.java:61; right outer
     // is the left-outer with sides swapped, see StreamingOps). Both

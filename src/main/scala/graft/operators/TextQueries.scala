@@ -717,26 +717,33 @@ object TextQueries extends QueryModule {
                 "i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("p"))
           .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
         val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-        pairs
+        // per-doc DISTINCT pair counts (nb_classify discipline): the
+        // model joins and the per-doc fold run over unique (w1, w2)
+        // with term = n·nll — fewer joined rows, shorter folds,
+        // identical 4dp-rounded averages
+        val pcd = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+          .agg(count(lit(1)).as("np"))
+        pcd
           .join(bi, Seq("w1", "w2"))
           .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))
           .crossJoin(broadcast(vocab))
           .select(
             col("doc_id"),
-            col("w1"), col("w2"),
+            col("w1"), col("w2"), col("np"),
             (-log((col("c2") + lit(1.0)) / (col("c1") + col("v")))).as("nll"))
           .groupBy(col("doc_id"))
           .agg(
-            count(lit(1)).as("n_pairs"),
+            sum(col("np")).as("n_pairs"),
             // fixed-order fold over (w1, w2)-sorted terms — the
             // module's determinism discipline (same as bm25Scores): a
             // partition-order double sum could land an ulp on a
             // half-boundary and flip the 4dp rounding or the keep
             // verdict between runs
             round(aggregate(
-              sort_array(collect_list(struct(col("w1"), col("w2"), col("nll")))),
-              lit(0.0), (acc, x) => acc + x.getField("nll"))
-              / count(lit(1)), 4).as("avg_nll"))
+              sort_array(collect_list(struct(col("w1"), col("w2"),
+                (col("np") * col("nll")).as("term")))),
+              lit(0.0), (acc, x) => acc + x.getField("term"))
+              / sum(col("np")), 4).as("avg_nll"))
           .withColumn("keep", col("avg_nll") < 3.42)
       },
       Some("""

@@ -145,9 +145,42 @@ object StreamingOps {
     )
   }
 
+  /** RIGHT OUTER stream-stream interval join: every purchase survives,
+    * null-extended once the watermark passes p_ts (a purchase only
+    * matches signups at-or-before it, so its horizon is its own
+    * timestamp — no +30min window term, unlike the left side).
+    */
+  def intervalJoinRightOuter(
+      signups: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val s = signups
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id").as("s_user"),
+        col("ts").as("s_ts"),
+        col("event_id").as("s_id")
+      )
+    val p = purchases
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        col("event_id").as("p_id"),
+        col("value").as("p_value")
+      )
+    s.join(
+      p,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 30 MINUTES"),
+      "rightOuter"
+    )
+  }
+
   /** FULL OUTER stream-stream interval join — the last face of the
-    * reference's inner/left/right/full family (StreamExecJoin.java:61);
-    * rightOuter is [[intervalJoinLeftOuter]] with the sides swapped.
+    * reference's inner/left/right/full family (StreamExecJoin.java:61).
     * Matched pairs emit eagerly; each side's unmatched rows null-extend
     * when the watermark proves no counterpart can arrive (signups at
     * wm > s_ts + 30min, purchases at wm > p_ts — purchases only match
