@@ -76,4 +76,29 @@ class PipelineSpec extends AnyFunSuite {
       rows.foreach(r => assert(r.getLong(2) >= 1, "every sequence holds >= 1 doc"))
     }
   }
+
+  test("DSIR importance ratios prefer target-like documents") {
+    // the selector's purpose, not its arithmetic (the oracle pins
+    // that): docs FROM the target slice must score higher on average
+    // than raw docs, and the keep set must be en-enriched vs the corpus
+    val t = Engine.Tables(spark, dir)
+    val scored = CacheScope.scoped {
+      SparkEntry.queries("q_select_dsir")(spark, dir)
+        .join(t.documents.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("lang"), col("avg_logratio"), col("keep"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    }
+    val (en, rest) = scored.partition(_._1 == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val enMean = en.map(_._2).sum / en.length
+    val restMean = rest.map(_._2).sum / rest.length
+    assert(enMean > restMean,
+      s"target slice must score higher: en=$enMean rest=$restMean")
+    val keepEnFrac = {
+      val k = scored.filter(_._3); k.count(_._1 == "en").toDouble / k.length
+    }
+    val corpusEnFrac = en.length.toDouble / scored.length
+    assert(keepEnFrac > corpusEnFrac,
+      s"keep set must be en-enriched: $keepEnFrac vs corpus $corpusEnFrac")
+  }
 }
