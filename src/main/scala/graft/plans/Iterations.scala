@@ -177,7 +177,8 @@ object Iterations {
       .filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("p"))
-      .distinct()
+      .repartition(col("u"))
+      .dropDuplicates("u", "p") // one shuffle (same prep discipline)
       .localCheckpoint()
     var rounds = 0
     var prevSig: Option[(Long, Long, Long)] = None
