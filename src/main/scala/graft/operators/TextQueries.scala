@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryModule}
+import graft.functions.SketchExpressions
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: token statistics,
@@ -59,6 +60,7 @@ object TextQueries extends QueryModule {
     */
   def bm25Scores(documents: org.apache.spark.sql.DataFrame,
       qTerms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    SketchExpressions.register(documents.sparkSession)
     val docs = documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("dl"))
@@ -82,10 +84,9 @@ object TextQueries extends QueryModule {
           (col("tf") + lit(1.2) *
             (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
       .groupBy(col("doc_id"))
-      .agg(round(aggregate(
-        sort_array(collect_list(struct(col("word"), col("term_score")))),
-        lit(0.0),
-        (acc, x) => acc + x.getField("term_score")), 6).as("bm25"))
+      .agg(round(SketchExpressions.struct_term_sum(
+        sort_array(collect_list(struct(col("word"), col("term_score"))))),
+        6).as("bm25"))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -701,6 +702,7 @@ object TextQueries extends QueryModule {
     QueryDef(
       "q_text_bigram_logprob",
       (s, dir) => {
+        SketchExpressions.register(s)
         val t = tables(s, dir)
         val docs = t.documents
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -738,11 +740,11 @@ object TextQueries extends QueryModule {
             // module's determinism discipline (same as bm25Scores): a
             // partition-order double sum could land an ulp on a
             // half-boundary and flip the 4dp rounding or the keep
-            // verdict between runs
-            round(aggregate(
+            // verdict between runs. Native codegen'd kernel
+            // (struct_term_sum), bit-identical to the interpreted fold.
+            round(SketchExpressions.struct_term_sum(
               sort_array(collect_list(struct(col("w1"), col("w2"),
-                (col("np") * col("nll")).as("term")))),
-              lit(0.0), (acc, x) => acc + x.getField("term"))
+                (col("np") * col("nll")).as("term")))))
               / sum(col("np")), 4).as("avg_nll"))
           .withColumn("keep", col("avg_nll") < 3.42)
       },
@@ -757,13 +759,15 @@ object TextQueries extends QueryModule {
               FROM d WHERE len(ws) >= 2),
         pp AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p),
         bi AS (SELECT w1, w2, count(*) AS c2 FROM pp GROUP BY 1, 2),
+        pcd AS (SELECT doc_id, w1, w2, count(*) AS np FROM pp GROUP BY 1, 2, 3),
         scored AS (
-          SELECT pp.doc_id,
-                 -ln((bi.c2 + 1.0) / (uni.c1 + (SELECT v FROM v))) AS nll
-          FROM pp JOIN bi USING (w1, w2) JOIN uni ON pp.w1 = uni.word)
-        SELECT doc_id, count(*) AS n_pairs,
-               round(sum(nll) / count(*), 4) AS avg_nll,
-               round(sum(nll) / count(*), 4) < 3.42 AS keep
+          SELECT pcd.doc_id, pcd.w1, pcd.w2, pcd.np,
+                 pcd.np * -ln((bi.c2 + 1.0) / (uni.c1 + (SELECT v FROM v)))
+                   AS term
+          FROM pcd JOIN bi USING (w1, w2) JOIN uni ON pcd.w1 = uni.word)
+        SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pairs,
+               round(sum(term ORDER BY w1, w2) / sum(np), 4) AS avg_nll,
+               round(sum(term ORDER BY w1, w2) / sum(np), 4) < 3.42 AS keep
         FROM scored GROUP BY doc_id
       """)
     ),
@@ -785,6 +789,7 @@ object TextQueries extends QueryModule {
       "q_text_nb_classify",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        SketchExpressions.register(s)
         val t = tables(s, dir)
         val docs = t.documents.select(col("doc_id"), col("lang"), col("text"))
         val words = docs.select(
@@ -830,11 +835,10 @@ object TextQueries extends QueryModule {
             // partition-order sum could flip a half-boundary rounding
             // and with it the predicted class
             (first(col("logprior")) +
-              aggregate(
+              SketchExpressions.struct_term_sum(
                 sort_array(collect_list(struct(col("word"),
                   (col("nw") * coalesce(col("ll"), col("unseen_ll")))
-                    .as("term")))),
-                lit(0.0), (acc, x) => acc + x.getField("term"))).as("score"))
+                    .as("term")))))).as("score"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(round(col("score"), 4).desc, col("cls").asc)
         scored
@@ -868,13 +872,15 @@ object TextQueries extends QueryModule {
                  ln((wc.c + 1) / (t.tot + (SELECT v FROM vocab))) AS ll
           FROM wc JOIN langtot t ON wc.lang = t.lang
         ),
+        wcd AS (SELECT doc_id, word, count(*) AS nw FROM wf GROUP BY 1, 2),
         scored AS (
-          SELECT wf.doc_id, m.cls,
+          SELECT wcd.doc_id, m.cls,
                  any_value(m.logprior) +
-                   sum(coalesce(ll.ll, m.unseen_ll)) AS score
-          FROM wf CROSS JOIN model m
-          LEFT JOIN ll ON ll.cls = m.cls AND ll.word = wf.word
-          GROUP BY wf.doc_id, m.cls
+                   sum(wcd.nw * coalesce(ll.ll, m.unseen_ll)
+                       ORDER BY wcd.word) AS score
+          FROM wcd CROSS JOIN model m
+          LEFT JOIN ll ON ll.cls = m.cls AND ll.word = wcd.word
+          GROUP BY wcd.doc_id, m.cls
         ),
         ranked AS (
           SELECT doc_id, cls, score,
@@ -903,6 +909,7 @@ object TextQueries extends QueryModule {
     QueryDef(
       "q_select_dsir",
       (s, dir) => {
+        SketchExpressions.register(s)
         val t = tables(s, dir)
         val words = t.documents.select(col("doc_id"), col("lang"),
             explode(split(lower(col("text")), " ")).as("word"))
@@ -931,10 +938,9 @@ object TextQueries extends QueryModule {
           .agg(
             sum(col("nw")).as("n_tokens"),
             round(
-              aggregate(
+              SketchExpressions.struct_term_sum(
                 sort_array(collect_list(struct(col("word"),
-                  (col("nw") * col("lr")).as("term")))),
-                lit(0.0), (acc, x) => acc + x.getField("term"))
+                  (col("nw") * col("lr")).as("term")))))
                 / sum(col("nw")), 4).as("avg_logratio"))
           .withColumn("keep", col("avg_logratio") > 0.0)
       },
@@ -960,7 +966,8 @@ object TextQueries extends QueryModule {
         wcd AS (SELECT doc_id, word, count(*) AS nw FROM wf GROUP BY 1, 2),
         scored AS (
           SELECT wcd.doc_id, CAST(sum(wcd.nw) AS BIGINT) AS n_tokens,
-                 round(sum(wcd.nw * m.lr) / sum(wcd.nw), 4) AS avg_logratio
+                 round(sum(wcd.nw * m.lr ORDER BY wcd.word)
+                       / sum(wcd.nw), 4) AS avg_logratio
           FROM wcd JOIN model m ON wcd.word = m.word GROUP BY 1
         )
         SELECT doc_id, n_tokens, avg_logratio,
