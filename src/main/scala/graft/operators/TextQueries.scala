@@ -702,7 +702,6 @@ object TextQueries extends QueryModule {
     QueryDef(
       "q_text_bigram_logprob",
       (s, dir) => {
-        SketchExpressions.register(s)
         val t = tables(s, dir)
         val docs = t.documents
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -719,33 +718,34 @@ object TextQueries extends QueryModule {
                 "i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("p"))
           .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
         val bi = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-        // per-doc DISTINCT pair counts (nb_classify discipline): the
-        // model joins and the per-doc fold run over unique (w1, w2)
-        // with term = n·nll — fewer joined rows, shorter folds,
-        // identical 4dp-rounded averages
-        val pcd = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
-          .agg(count(lit(1)).as("np"))
-        pcd
+        // fixed-point determinism discipline: quantize each per-pair
+        // term to an integer number of 1e-9 units (both engines compute
+        // the identical double and round identically — HALF_UP away
+        // from zero on ties), then SUM LONGS. Integer addition is
+        // associative, so the result is order-independent — no sorted
+        // fold, no per-doc distinct-pair pre-aggregation (that prep was
+        // a full pair-level shuffle that only existed to shorten the
+        // sorted fold's collect_list), and the per-doc aggregate keeps
+        // codegen'd map-side partial aggregation: the shuffle carries
+        // one (long, long) pair per (doc × map partition). Quantization
+        // error on the 4dp-rounded average is bounded by 0.5e-9
+        // (per-term bound / n cancels n); the per-term |nll| < 40 keeps
+        // round()'s double exact (< 2^53/1e9 ≈ 9e6) with huge margin.
+        pairs
           .join(bi, Seq("w1", "w2"))
           .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))
           .crossJoin(broadcast(vocab))
           .select(
             col("doc_id"),
-            col("w1"), col("w2"), col("np"),
-            (-log((col("c2") + lit(1.0)) / (col("c1") + col("v")))).as("nll"))
+            round((-log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+              * lit(1.0e9)).cast("long").as("qterm"))
           .groupBy(col("doc_id"))
           .agg(
-            sum(col("np")).as("n_pairs"),
-            // fixed-order fold over (w1, w2)-sorted terms — the
-            // module's determinism discipline (same as bm25Scores): a
-            // partition-order double sum could land an ulp on a
-            // half-boundary and flip the 4dp rounding or the keep
-            // verdict between runs. Native codegen'd kernel
-            // (struct_term_sum), bit-identical to the interpreted fold.
-            round(SketchExpressions.struct_term_sum(
-              sort_array(collect_list(struct(col("w1"), col("w2"),
-                (col("np") * col("nll")).as("term")))))
-              / sum(col("np")), 4).as("avg_nll"))
+            count(lit(1)).as("n_pairs"),
+            sum(col("qterm")).as("qsum"))
+          .select(col("doc_id"), col("n_pairs"),
+            round(col("qsum").cast("double") / lit(1.0e9)
+              / col("n_pairs").cast("double"), 4).as("avg_nll"))
           .withColumn("keep", col("avg_nll") < 3.42)
       },
       Some("""
@@ -759,15 +759,16 @@ object TextQueries extends QueryModule {
               FROM d WHERE len(ws) >= 2),
         pp AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p),
         bi AS (SELECT w1, w2, count(*) AS c2 FROM pp GROUP BY 1, 2),
-        pcd AS (SELECT doc_id, w1, w2, count(*) AS np FROM pp GROUP BY 1, 2, 3),
         scored AS (
-          SELECT pcd.doc_id, pcd.w1, pcd.w2, pcd.np,
-                 pcd.np * -ln((bi.c2 + 1.0) / (uni.c1 + (SELECT v FROM v)))
-                   AS term
-          FROM pcd JOIN bi USING (w1, w2) JOIN uni ON pcd.w1 = uni.word)
-        SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pairs,
-               round(sum(term ORDER BY w1, w2) / sum(np), 4) AS avg_nll,
-               round(sum(term ORDER BY w1, w2) / sum(np), 4) < 3.42 AS keep
+          SELECT pp.doc_id,
+                 CAST(round((-ln((bi.c2 + 1.0) / (uni.c1 + (SELECT v FROM v))))
+                      * 1000000000.0) AS BIGINT) AS qterm
+          FROM pp JOIN bi USING (w1, w2) JOIN uni ON pp.w1 = uni.word)
+        SELECT doc_id, count(*) AS n_pairs,
+               round(CAST(sum(qterm) AS DOUBLE) / 1000000000.0
+                     / CAST(count(*) AS DOUBLE), 4) AS avg_nll,
+               round(CAST(sum(qterm) AS DOUBLE) / 1000000000.0
+                     / CAST(count(*) AS DOUBLE), 4) < 3.42 AS keep
         FROM scored GROUP BY doc_id
       """)
     ),
@@ -789,7 +790,6 @@ object TextQueries extends QueryModule {
       "q_text_nb_classify",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        SketchExpressions.register(s)
         val t = tables(s, dir)
         val docs = t.documents.select(col("doc_id"), col("lang"), col("text"))
         val words = docs.select(
@@ -818,27 +818,27 @@ object TextQueries extends QueryModule {
           .select(
             col("lang").as("cls"), col("word"),
             log((col("c") + lit(1)) / (col("tot") + col("v"))).as("ll"))
-        // per-doc DISTINCT word counts first: the class fan-out and the
-        // per-(doc,cls) fold then run over unique words (term = n_w·ll)
-        // instead of every token instance — ~2x fewer joined rows and
-        // shorter folds at identical 4dp-rounded scores
-        val wcd = words.groupBy(col("doc_id"), col("word"))
-          .agg(count(lit(1)).as("nw"))
-        val scored = wcd
+        // fixed-point determinism (see q_text_bigram_logprob): the
+        // argmax below compares 4dp-rounded scores, and a
+        // partition-order double sum could flip a half-boundary
+        // rounding and with it the predicted class. Quantizing each
+        // per-token term to 1e-9 units and summing longs is
+        // order-independent AND keeps codegen'd map-side partial
+        // aggregation over raw token instances — no per-doc
+        // distinct-count prep (that was a full token-level shuffle that
+        // only existed to shorten the sorted fold's collect_list), and
+        // the (doc, cls) shuffle carries one (long, double) pair per
+        // group per map partition.
+        val scored = words.select(col("doc_id"), col("word"))
           .crossJoin(broadcast(model.select(
             col("cls"), col("logprior"), col("unseen_ll"))))
           .join(ll, Seq("cls", "word"), "left")
+          .select(col("doc_id"), col("cls"), col("logprior"),
+            round(coalesce(col("ll"), col("unseen_ll"))
+              * lit(1.0e9)).cast("long").as("qterm"))
           .groupBy(col("doc_id"), col("cls"))
-          .agg(
-            // word-sorted fixed-order fold (bm25Scores discipline): the
-            // argmax below compares 4dp-rounded scores, and a
-            // partition-order sum could flip a half-boundary rounding
-            // and with it the predicted class
-            (first(col("logprior")) +
-              SketchExpressions.struct_term_sum(
-                sort_array(collect_list(struct(col("word"),
-                  (col("nw") * coalesce(col("ll"), col("unseen_ll")))
-                    .as("term")))))).as("score"))
+          .agg((first(col("logprior")) +
+            sum(col("qterm")).cast("double") / lit(1.0e9)).as("score"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(round(col("score"), 4).desc, col("cls").asc)
         scored
@@ -872,15 +872,15 @@ object TextQueries extends QueryModule {
                  ln((wc.c + 1) / (t.tot + (SELECT v FROM vocab))) AS ll
           FROM wc JOIN langtot t ON wc.lang = t.lang
         ),
-        wcd AS (SELECT doc_id, word, count(*) AS nw FROM wf GROUP BY 1, 2),
         scored AS (
-          SELECT wcd.doc_id, m.cls,
+          SELECT wf.doc_id, m.cls,
                  any_value(m.logprior) +
-                   sum(wcd.nw * coalesce(ll.ll, m.unseen_ll)
-                       ORDER BY wcd.word) AS score
-          FROM wcd CROSS JOIN model m
-          LEFT JOIN ll ON ll.cls = m.cls AND ll.word = wcd.word
-          GROUP BY wcd.doc_id, m.cls
+                   CAST(sum(CAST(round(coalesce(ll.ll, m.unseen_ll)
+                          * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                     / 1000000000.0 AS score
+          FROM wf CROSS JOIN model m
+          LEFT JOIN ll ON ll.cls = m.cls AND ll.word = wf.word
+          GROUP BY wf.doc_id, m.cls
         ),
         ranked AS (
           SELECT doc_id, cls, score,
@@ -903,13 +903,12 @@ object TextQueries extends QueryModule {
     // p_r(w))/Σ n_w with Laplace smoothing over the shared vocab (the
     // hashed-feature variant trades exactness for memory; at any scale
     // the model here is one vocab-sized table, broadcast- or
-    // shuffle-joined — same scale shape). Distinct-word counts + the
-    // word-sorted fold keep the double sum deterministic (nb_classify
-    // discipline); exact DuckDB oracle.
+    // shuffle-joined — same scale shape). Per-token fixed-point
+    // quantized sums keep the score deterministic regardless of
+    // summation order (nb_classify discipline); exact DuckDB oracle.
     QueryDef(
       "q_select_dsir",
       (s, dir) => {
-        SketchExpressions.register(s)
         val t = tables(s, dir)
         val words = t.documents.select(col("doc_id"), col("lang"),
             explode(split(lower(col("text")), " ")).as("word"))
@@ -931,17 +930,17 @@ object TextQueries extends QueryModule {
                 (col("nt") + col("v")))
               - log((col("cr") + lit(1.0)) /
                 (col("nr") + col("v")))).as("lr"))
-        val wcd = words.groupBy(col("doc_id"), col("word"))
-          .agg(count(lit(1)).as("nw"))
-        wcd.join(model, "word")
+        // fixed-point determinism (see q_text_bigram_logprob):
+        // order-independent long sum over raw token instances,
+        // map-side combinable — no per-doc distinct-count shuffle
+        words.select(col("doc_id"), col("word")).join(model, "word")
+          .select(col("doc_id"),
+            round(col("lr") * lit(1.0e9)).cast("long").as("qterm"))
           .groupBy(col("doc_id"))
           .agg(
-            sum(col("nw")).as("n_tokens"),
-            round(
-              SketchExpressions.struct_term_sum(
-                sort_array(collect_list(struct(col("word"),
-                  (col("nw") * col("lr")).as("term")))))
-                / sum(col("nw")), 4).as("avg_logratio"))
+            count(lit(1)).as("n_tokens"),
+            round(sum(col("qterm")).cast("double") / lit(1.0e9)
+              / count(lit(1)).cast("double"), 4).as("avg_logratio"))
           .withColumn("keep", col("avg_logratio") > 0.0)
       },
       Some("""
@@ -963,12 +962,13 @@ object TextQueries extends QueryModule {
                     / ((SELECT nr FROM nr) + (SELECT v FROM v))) AS lr
           FROM cr LEFT JOIN ct ON cr.word = ct.word
         ),
-        wcd AS (SELECT doc_id, word, count(*) AS nw FROM wf GROUP BY 1, 2),
         scored AS (
-          SELECT wcd.doc_id, CAST(sum(wcd.nw) AS BIGINT) AS n_tokens,
-                 round(sum(wcd.nw * m.lr ORDER BY wcd.word)
-                       / sum(wcd.nw), 4) AS avg_logratio
-          FROM wcd JOIN model m ON wcd.word = m.word GROUP BY 1
+          SELECT wf.doc_id, count(*) AS n_tokens,
+                 round(CAST(sum(CAST(round(m.lr
+                          * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                       / 1000000000.0
+                       / CAST(count(*) AS DOUBLE), 4) AS avg_logratio
+          FROM wf JOIN model m ON wf.word = m.word GROUP BY 1
         )
         SELECT doc_id, n_tokens, avg_logratio,
                avg_logratio > 0.0 AS keep

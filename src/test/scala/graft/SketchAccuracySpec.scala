@@ -32,6 +32,33 @@ class SketchAccuracySpec extends AnyFunSuite {
     assert(df.limit(5).collect().forall(r => r.getSeq[Long](0).nonEmpty))
   }
 
+  test("struct_term_sum: codegen'd, bit-identical to the interpreted ordered fold") {
+    graft.functions.SketchExpressions.register(spark)
+    val docs = Engine.Tables(spark, "/root/testdata/sf0.001").documents
+    // per-doc sorted (word, term) structs — the exact shape the
+    // bm25 score fold feeds it
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("word"),
+        (col("c") * lit(0.1234567) - lit(0.7)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("word"), col("term")))).as("arr"))
+    val both = terms.select(
+      graft.functions.SketchExpressions.struct_term_sum(col("arr")).as("native"),
+      aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("term"))
+        .as("interp"))
+    // bit-identical, not approximately equal: same seed, same order
+    assert(both.collect().forall(r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    import org.apache.spark.sql.execution.debug._
+    val code = codegenString(
+      terms.select(graft.functions.SketchExpressions.struct_term_sum(col("arr")))
+        .queryExecution.executedPlan)
+    assert(!code.contains("CodegenFallback"), "struct_term_sum fell back")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val t = Engine.Tables(spark, "/root/testdata/sf0.01")
     val row = t.lineitem
