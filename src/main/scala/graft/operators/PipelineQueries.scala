@@ -1502,9 +1502,12 @@ object PipelineQueries extends QueryModule {
     // q_layout_zorder but along the Hilbert curve (strictly better
     // locality: consecutive positions are always grid-adjacent, so
     // bucket bounding boxes are tighter). The index needs per-level
-    // rotation state, so no SQL engine can express it — no DuckDB
-    // oracle; HilbertSpec proves bijection/adjacency/codegen and the
-    // write path's per-file narrowness.
+    // rotation state, so it is not a per-bit shift/add formula like
+    // Morton — but the walk IS expressible as a recursive CTE carrying
+    // (x, y, d, s) through the 8 levels, run over the ≤ 2^16 DISTINCT
+    // quantized cells and joined back: an exact DuckDB oracle.
+    // HilbertSpec additionally proves bijection/adjacency/codegen and
+    // the write path's per-file narrowness.
     QueryDef(
       "q_layout_hilbert",
       (s, dir) => {
@@ -1529,7 +1532,48 @@ object PipelineQueries extends QueryModule {
             min(col("d_day")).as("min_day"), max(col("d_day")).as("max_day"),
             min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"))
       },
-      None
+      Some(s"""
+        WITH RECURSIVE li AS (
+          SELECT CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS d_day,
+                 l_partkey AS pk
+          FROM lineitem
+        ), b AS (
+          SELECT min(d_day) AS dmin, max(d_day) AS dmax,
+                 min(pk) AS pmin, max(pk) AS pmax
+          FROM li
+        ), q AS (
+          SELECT d_day, pk,
+                 ${graft.functions.ZOrder.quantizeSql("d_day", "dmin", "dmax", 8)} AS qx,
+                 ${graft.functions.ZOrder.quantizeSql("pk", "pmin", "pmax", 8)} AS qy
+          FROM li, b
+        ), cells AS (SELECT DISTINCT qx, qy FROM q),
+        walk AS (
+          -- the graft.functions.Hilbert.xy2d level walk, one recursion
+          -- step per level: d += s^2 * ((3*rx) XOR ry), reflect+swap
+          -- the frame when ry = 0, halve s
+          SELECT qx, qy, qx AS x, qy AS y,
+                 CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s
+          FROM cells
+          UNION ALL
+          SELECT qx, qy,
+                 CASE WHEN (y & s) = 0
+                      THEN CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END
+                      ELSE x END,
+                 CASE WHEN (y & s) = 0
+                      THEN CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END
+                      ELSE y END,
+                 d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                                 (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)),
+                 s // 2
+          FROM walk WHERE s > 0
+        ),
+        hidx AS (SELECT qx, qy, d AS h FROM walk WHERE s = 0)
+        SELECT h // 64 AS hbucket, count(*) AS n,
+               min(d_day) AS min_day, max(d_day) AS max_day,
+               min(pk) AS min_pk, max(pk) AS max_pk
+        FROM q JOIN hidx USING (qx, qy)
+        GROUP BY 1
+      """)
     ),
     // Epoch upsampling (domain-weighted mixture): rare domains repeat
     // more epochs per training pass. A per-row explode of a tiny
