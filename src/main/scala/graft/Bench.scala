@@ -100,8 +100,18 @@ object Bench {
     "q_text_bm25",
     "q_retrieval_hybrid_rrf",
     // round-14 addition: the DSIR importance-ratio selector (two
-    // unigram models + a distinct-word fold over the corpus)
-    "q_select_dsir"
+    // unigram models + a per-token fixed-point fold over the corpus)
+    "q_select_dsir",
+    // round-15 additions: the r14 operators that were oracle-green but
+    // unbenched — streaming state cost is exactly what the 100x-scale
+    // story needs numbers for. The three outer stream-stream joins
+    // (symmetric hash join state both sides + watermark-horizon null
+    // extension) and the state-API-v2 online dedup over the document
+    // stream.
+    "q_join_stream_stream_left",
+    "q_join_stream_stream_right",
+    "q_join_stream_stream_full",
+    "q_dedup_online"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this
