@@ -42,7 +42,8 @@ object Sf1Gates {
       "cep_state_bound_sf1" -> (() => cepStateBound(spark, dir)),
       "heavy_hitters_sf1" -> (() => heavyHitters(spark, dir)),
       "bpe_reference_parity_sf1" -> (() => bpeParity(spark, dir)),
-      "hilbert_narrowness_sf1" -> (() => hilbertNarrowness(spark, dir))
+      "hilbert_narrowness_sf1" -> (() => hilbertNarrowness(spark, dir)),
+      "adaptive_cc_chain_sf1" -> (() => adaptiveCcChain(spark, dir))
     )
     all.collect { case (n, g) if only.isEmpty || only(n) => g() }
   }
@@ -531,10 +532,11 @@ object Sf1Gates {
       datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01")))
         .cast("long").as("d_day"),
       col("l_partkey").as("pk"))
-    // per-PID path: two concurrently running harnesses (Verify +
-    // Sf1Gates + sbt test) must not overwrite each other's layout
-    // mid-read — same concurrent-harness fix as the Derby per-PID dir
-    val out = s"/tmp/graft_sf1_hilbert_layout_${ProcessHandle.current().pid()}"
+    // TempPaths dir: per-process unique (no concurrent-harness
+    // overwrite — same fix as the Derby per-PID dir) AND removed at
+    // JVM exit, so repeated gate runs don't accumulate 64-file
+    // layouts under /tmp
+    val out = graft.TempPaths.dir("graft_sf1_hilbert_layout").toString
     graft.functions.Hilbert.writeHilbertOrdered(
       li, "d_day", "pk", out, bits = 8, numFiles = 64)
     val written = spark.read.parquet(out)
@@ -558,6 +560,58 @@ object Sf1Gates {
       f"files=${perFile.length} dayFrac=$dayFrac%.3f pkFrac=$pkFrac%.3f rowsOk=$rowsOk"
     )
   }
+
+  /** Adaptive CC at sf1: the REAL dedup edge set (PPJoin prefix-filter
+    * pairs over the probe's documents) plus a PLANTED 4096-vertex
+    * chain on synthetic ids above the doc-id range — the worst case
+    * for label propagation (diameter = 4095). The adaptive path must
+    * (a) label the chain correctly (component = the chain's min id)
+    * alongside the real clusters, and (b) stay inside its round
+    * budget: labelRounds min-label rounds + O(log n) star rounds on
+    * the quotient — NOT the O(diameter) a pure min-label run pays.
+    * The chain contracts to ~diameter/(labelRounds+1) quotient
+    * vertices, so the star budget is 2*ceil(log2(quotient)) + 4
+    * (each large+small pair at least halves tree depth; +4 covers
+    * init/observe slack).
+    */
+  private def adaptiveCcChain(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      import spark.implicits._
+      val t = Engine.Tables(spark, dir)
+      val real = graft.operators.DedupQueries.prefixFilterPairs(t, 4, 5)
+        .select(col("d1").as("src"), col("d2").as("dst"))
+      // synthetic ids strictly above the probe's doc_id range (ScaleUp
+      // key-shifts ids by 10x, so a fixed constant would collide);
+      // 1-row bounded driver scalar
+      val base = t.documents.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+      val n = 4096
+      val chain = (0 until n - 1)
+        .map(i => (base + i, base + i + 1)).toDF("src", "dst")
+      val labelRounds = 6
+      val (labels, lbl, star) = graft.plans.Iterations
+        .connectedComponentsAdaptiveWithRounds(
+          real.union(chain), labelRounds = labelRounds, maxIter = 40)
+      val chainLabels = labels.filter(col("vertex") >= base)
+        .select(col("component")).distinct().collect().map(_.getLong(0))
+      val chainOk = chainLabels.toSeq == Seq(base)
+      // real-cluster sanity: same labels the pure min-label path gives
+      val realOk = {
+        val a = labels.filter(col("vertex") < base)
+        val b = graft.plans.Iterations.connectedComponents(real, maxIter = 40)
+        a.join(b.withColumnRenamed("component", "c2"), "vertex")
+          .filter(col("component") =!= col("c2")).count() == 0
+      }
+      val quotientUpper = n / (labelRounds + 1) + 1
+      val starBudget =
+        2 * (64 - java.lang.Long.numberOfLeadingZeros(quotientUpper)) + 4
+      Gate(
+        "adaptive_cc_chain_sf1",
+        chainOk && realOk && lbl <= labelRounds && star > 0 &&
+          lbl + star <= labelRounds + starBudget,
+        s"chainOk=$chainOk realOk=$realOk labelRounds=$lbl starRounds=$star " +
+          s"budget=$labelRounds+$starBudget"
+      )
+    }
 
   /** BPE trainer at sf1: the distributed merge table must equal the
     * sequential reference on the probe vocabulary — at probe volume

@@ -406,6 +406,12 @@ object SimilarityQueries extends QueryModule {
       .select(col("v"))
       .collect()
       .map(_.getSeq[Double](0))
+    // the fused ADC scan indexes a DENSE flattened LUT as
+    // j*numCodes + code — a short codebook would silently misalign
+    // every distance (or throw ANSI out-of-bounds), so fail loudly here
+    require(seedRows.length == numCodes,
+      s"pqCodebook: corpus yielded ${seedRows.length} seed rows, " +
+        s"need numCodes=$numCodes (corpus smaller than the codebook?)")
     val dim = seedRows.head.size
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m

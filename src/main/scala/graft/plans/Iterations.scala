@@ -45,9 +45,19 @@ object Iterations {
     * 63 for pure min-label.
     */
   def connectedComponentsAdaptive(edges: DataFrame, labelRounds: Int = 6,
-      maxIter: Int = 40): DataFrame = {
-    val (labels, _, converged) = minLabelCore(edges, labelRounds)
-    if (converged) labels
+      maxIter: Int = 40): DataFrame =
+    connectedComponentsAdaptiveWithRounds(edges, labelRounds, maxIter)._1
+
+  /** [[connectedComponentsAdaptive]] plus (label rounds executed, star
+    * rounds executed on the quotient) — star rounds are 0 when the
+    * label phase converged. The pair is the adaptive path's round
+    * budget: ≤ labelRounds + O(log quotient) total, the bound the sf1
+    * scale gate asserts on a planted worst-case chain.
+    */
+  def connectedComponentsAdaptiveWithRounds(edges: DataFrame,
+      labelRounds: Int = 6, maxIter: Int = 40): (DataFrame, Int, Int) = {
+    val (labels, lblRounds, converged) = minLabelCore(edges, labelRounds)
+    if (converged) (labels, lblRounds, 0)
     else {
       // quotient graph over current labels: connectivity is preserved
       // under contraction, and every label IS a vertex id with the
@@ -61,12 +71,15 @@ object Iterations {
           "dst")
         .select(col("csrc").as("src"), col("cdst").as("dst"))
         .filter(col("src") =!= col("dst"))
-      val quotient = connectedComponentsStar(relabeled, maxIter)
+      val (starLabels, starRounds) =
+        connectedComponentsStarWithRounds(relabeled, maxIter)
+      val quotient = starLabels
         .select(col("vertex").as("component"), col("component").as("root"))
       // components already fully labeled have no quotient row → self
-      l.join(quotient, Seq("component"), "left")
+      val out = l.join(quotient, Seq("component"), "left")
         .select(col("vertex"),
           coalesce(col("root"), col("component")).as("component"))
+      (out, lblRounds, starRounds)
     }
   }
 
@@ -124,21 +137,31 @@ object Iterations {
     }
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // fuse two rounds per materialization: round A lazy, round B
-      // observed + checkpointed (except when maxIter cuts us to one)
-      val pair = maxIter - iter >= 2
-      val first = if (pair) step(labels, None).select(col("vertex"), col("component"))
-                  else labels
-      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
-      val next = step(first, Some(obs)).localCheckpoint()
-      val changed = obs.get("changed") match {
+    def metric(o: org.apache.spark.sql.Observation): Long =
+      o.get("changed") match {
         case null => 0L
         case n: Number => n.longValue()
       }
+    while (!converged && iter < maxIter) {
+      // fuse two rounds per materialization: round A lazy (but still
+      // observed — its CollectMetrics rides round B's checkpoint job,
+      // no extra scan), round B observed + checkpointed (except when
+      // maxIter cuts us to one)
+      val pair = maxIter - iter >= 2
+      val obsA =
+        if (pair) Some(org.apache.spark.sql.Observation(s"cc_changed_a_$iter"))
+        else None
+      val first = if (pair) step(labels, obsA).select(col("vertex"), col("component"))
+                  else labels
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$iter")
+      val next = step(first, Some(obs)).localCheckpoint()
+      val changed = metric(obs)
       labels = next.select(col("vertex"), col("component"))
       converged = changed == 0
-      iter += (if (pair) 2 else 1)
+      // exact round accounting: if round A already saw no change,
+      // convergence held at entry and an unfused loop would have run
+      // exactly ONE (observing) round — count 1, not 2
+      iter += (if (!pair) 1 else if (metric(obsA.get) == 0L) 1 else 2)
     }
     bidir.unpersist()
     (labels, iter, converged)
@@ -224,6 +247,14 @@ object Iterations {
       e = next
       rounds += 1
     }
+    // a non-converged edge set is not an approximation — treating its
+    // parent edges as final roots yields plausible-looking but WRONG
+    // labels, so a too-small maxIter must surface, not ship (star
+    // needs O(log n) rounds + 1 to observe the fixed point; the
+    // default 30 covers any feasible graph)
+    require(converged,
+      s"connectedComponentsStar did not reach the edge-set fixed point " +
+        s"in maxIter=$maxIter rounds; raise maxIter")
     // at the fixed point e IS the star: (v, root) for every non-root;
     // roots (and self-loop-only vertices) label themselves
     val labels = vertices

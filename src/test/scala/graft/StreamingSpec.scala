@@ -176,6 +176,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((-1L, 11L)), s"unmatched purchase must null-extend: $rows")
   }
 
+  test("stream-stream RIGHT OUTER join null-extends unmatched purchases only after the watermark passes p_ts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sig = MemoryStream[Event]
+    val pur = MemoryStream[Event]
+    sig.addData(Event(1, ts(0), 1, "signup", 0)) // matches purchase 10
+    pur.addData(
+      Event(10, ts(10), 1, "purchase", 9.99), // matched
+      Event(11, ts(5), 3, "purchase", 4.0)    // unmatched -> null-extended
+    )
+    val out = StreamingOps.intervalJoinRightOuter(sig.toDF(), pur.toDF())
+    val q = out.writeStream.format("memory").queryName("ijr_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark so far ~0 < p_ts (5min). The right side's eviction
+      // horizon is the purchase's OWN timestamp (purchases only match
+      // signups at-or-before them — no +30min window term, the cut the
+      // q_join_stream_stream_right oracle applies to the purchase side
+      // only): before wm > p_ts, no null row may emit
+      val early = spark.sql("SELECT p_id FROM ijr_out WHERE s_id IS NULL").count()
+      assert(early == 0,
+        "unmatched purchase must NOT null-extend before the watermark passes p_ts")
+      // advance the combined watermark (min across sides) past p_ts
+      sig.addData(Event(98, ts(600), 9, "signup", 0))
+      pur.addData(Event(99, ts(600), 9, "purchase", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT s_id, p_id FROM ijr_out")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0),
+         if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((1L, 10L)), s"matched pair must emit: $rows")
+    assert(rows.contains((-1L, 11L)),
+      s"unmatched purchase must null-extend after its horizon: $rows")
+  }
+
   test("stream-stream LEFT OUTER join over events equals the batch left join at the same horizon") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
