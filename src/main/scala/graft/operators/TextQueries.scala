@@ -792,10 +792,16 @@ object TextQueries extends QueryModule {
         import org.apache.spark.sql.expressions.Window
         val t = tables(s, dir)
         val docs = t.documents.select(col("doc_id"), col("lang"), col("text"))
-        val words = docs.select(
+        // the token stream feeds SIX derived tables (wc, vocab, langTot
+        // via wc, and the scored fan-out) — cache it once for the
+        // consuming action (CacheScope releases it) instead of
+        // re-scanning + re-exploding documents per branch; at 100 TB
+        // this is the materialize-the-tokenized-intermediate-once call
+        // every multi-pass pipeline makes
+        val words = graft.CacheScope.cached(docs.select(
           col("doc_id"), col("lang"),
           explode(split(lower(col("text")), " ")).as("word"))
-          .filter(col("word") =!= "")
+          .filter(col("word") =!= ""))
         val wc = words.groupBy(col("lang"), col("word"))
           .agg(count(lit(1)).as("c"))
         val vocab = words.select(col("word")).distinct()
