@@ -900,14 +900,18 @@ object DedupQueries extends QueryModule {
           .dir("graft_online_ckpt").toString
         val sink =
           s"dedup_online_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        val q = verdicts.toDF().writeStream
-          .outputMode("update")
-          .format("memory")
-          .queryName(sink)
-          .option("checkpointLocation", ckpt)
-          .start()
-        try q.processAllAvailable()
-        finally q.stop()
+        // state partitions sized to state volume, not the CPU default
+        // (see StreamingOps.withStatePartitions)
+        graft.streaming.StreamingOps.withStatePartitions(s) {
+          val q = verdicts.toDF().writeStream
+            .outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+          try q.processAllAvailable()
+          finally q.stop()
+        }
         // materialize off the memory sink, then drop the sink table —
         // no per-invocation registry litter in long-lived sessions
         val res = s.table(sink)

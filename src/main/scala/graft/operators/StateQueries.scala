@@ -57,13 +57,17 @@ object StateQueries extends QueryModule {
         sum(col("value")).as("v_sum"))
     val ckpt = graft.TempPaths
       .dir("graft_state_ckpt").toString
-    val q = agg.writeStream
-      .outputMode("update")
-      .format("noop")
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // state partitions sized to state volume, not the CPU default
+    // (see StreamingOps.withStatePartitions)
+    graft.streaming.StreamingOps.withStatePartitions(s) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     ckpt
   }
 
@@ -114,14 +118,16 @@ object StateQueries extends QueryModule {
       val ckpt = graft.TempPaths
         .dir("graft_tws_ckpt").toString
       val sink = s"tws_profile_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = out.toDF().writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      graft.streaming.StreamingOps.withStatePartitions(s) {
+        val q = out.toDF().writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
       // update-mode sink appends one profile per key per microbatch;
       // n_events grows monotonically, so max(struct) is the final one.
       // localCheckpoint materializes the aggregation off the memory

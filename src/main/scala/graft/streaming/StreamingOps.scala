@@ -27,6 +27,30 @@ import java.sql.Timestamp
   */
 object StreamingOps {
 
+  /** Run `body` (a start + processAllAvailable of one streaming query)
+    * with the session's shuffle-partition count set to the streaming
+    * STATE partition count, restoring the previous value after.
+    *
+    * Stateful streaming cost is dominated by state-store commits —
+    * per micro-batch, EVERY state partition writes + renames a delta
+    * file per store instance (a symmetric hash join keeps 4 stores per
+    * side pair), regardless of how few rows it holds. The partition
+    * count is baked into the checkpoint at first start, so it is a
+    * per-query deployment knob, NOT the job-wide CPU default: size it
+    * to state volume the way the reference sizes a stateful operator's
+    * parallelism independently of the job parallelism. Default 8
+    * (measured on the sf0.1 replay: 32 partitions → 11–17 s, 8 → ~3.5 s,
+    * identical results); raise `spark.graft.stream.statePartitions`
+    * with state volume on a real deployment.
+    */
+  def withStatePartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key,
+      s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8"))
+    try body finally s.conf.set(key, prev)
+  }
+
   final case class Event(
       event_id: Long,
       ts: Timestamp,
