@@ -162,6 +162,15 @@ object PlanAudit {
         if (name == "q_scan_partition_pruned" &&
           !full.toLowerCase.contains("dynamicpruning"))
           problems += "missing-dynamic-partition-pruning"
+        // The corpus scorers sum fixed-point longs through codegen'd
+        // HashAggregate with map-side partial aggregation. The r14
+        // regression class — a collect_list/sort_array fold — shows up
+        // as ObjectHashAggregate (no partial combine: every token
+        // struct crosses the shuffle); keep it impossible to
+        // reintroduce silently.
+        if (Set("q_text_nb_classify", "q_text_bigram_logprob",
+            "q_select_dsir")(name) && plan.contains("ObjectHashAggregate"))
+          problems += "scorer-lost-map-side-combine(ObjectHashAggregate)"
 
         val ps = problems.result()
         if (ps.nonEmpty) {

@@ -114,6 +114,20 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming != batch:\n streaming=$streaming\n batch=$batch")
   }
 
+  test("withStatePartitions pins the state partition count and restores the default") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val seen = StreamingOps.withStatePartitions(spark) { spark.conf.get(key) }
+    assert(seen == "8", s"default state partition count must be 8, got $seen")
+    assert(spark.conf.get(key) == before, "must restore the session default")
+    spark.conf.set("spark.graft.stream.statePartitions", "3")
+    try {
+      val custom = StreamingOps.withStatePartitions(spark) { spark.conf.get(key) }
+      assert(custom == "3", s"knob must override, got $custom")
+    } finally spark.conf.unset("spark.graft.stream.statePartitions")
+    assert(spark.conf.get(key) == before)
+  }
+
   test("stream-stream LEFT OUTER join null-extends unmatched signups after the watermark passes") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
