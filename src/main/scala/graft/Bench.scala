@@ -195,20 +195,28 @@ object Bench {
       .queries("q_agg_pricing_summary")(spark, sfDir)
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
-    def runOnce(name: String): Double = {
+    // A failed run returns None and is EXCLUDED from the samples — an
+    // elapsed-until-failure time is not a timing of the query, and
+    // min-of-K would otherwise select a fast failure as a perf win.
+    // Failure counts are published in the record ("failed") so a
+    // flaky query is visible in the JSON, not only on stderr.
+    def runOnce(name: String): Option[Double] = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // scoped: operator-internal caches are released per query, so the
       // timing includes the cache's full lifecycle and queries don't
       // inherit each other's pinned blocks
-      try CacheScope.scoped {
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      try {
+        CacheScope.scoped {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }
+        Some((System.nanoTime() - t0) / 1e9)
       }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // host self-calibration: min-of-K of the fixed workload, sampled
     // BEFORE and AFTER the query rounds so a throttle window opening
@@ -217,10 +225,17 @@ object Bench {
     // Interleave rounds (all queries once, then again) rather than
     // back-to-back repeats of one query, so a transient throttling window
     // cannot inflate all K samples of the same query.
-    val samples: Map[String, Seq[Double]] = {
+    val rawSamples: Map[String, Seq[Option[Double]]] = {
       val rounds = (1 to repeats).map(_ => selected.map(n => n -> runOnce(n)))
       selected.map(n => n -> rounds.map(_.toMap.apply(n))).toMap
     }
+    val failures: Map[String, Int] =
+      rawSamples.view.mapValues(_.count(_.isEmpty)).filter(_._2 > 0).toMap
+    // queries with at least one successful repeat keep their (real)
+    // samples; all-failed queries drop out of mins/medians/total
+    val samples: Map[String, Seq[Double]] =
+      rawSamples.view.mapValues(_.flatten).filter(_._2.nonEmpty).toMap
+    val timed = selected.filter(samples.contains)
     val calAfter = calibrate(spark, repeats)
     // worst of the two windows: a throttle opening mid-run must show
     val calibration = (calBefore.toSeq ++ calAfter.toSeq)
@@ -230,11 +245,11 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val mins = selected.map(n => n -> samples(n).min)
+    val mins = timed.map(n => n -> samples(n).min)
     val qs = mins
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val meds = selected
+    val meds = timed
       .map(n => "\"" + n + f"""\":${median(samples(n))}%.3f""")
       .mkString("{", ",", "}")
     // environment-suspect flags, in the record itself: a median that
@@ -243,14 +258,20 @@ object Bench {
     // neighbor) — the r13 record had three such medians that read as
     // code regressions until a calibrated re-run dissolved them.
     // Cross-round comparisons must use MIN for flagged queries.
-    val suspect = selected
+    val suspect = timed
       .filter(n => samples(n).min > 0 && median(samples(n)) / samples(n).min > 1.5)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum
     val calS = calibration.map(c => f"$c%.3f").getOrElse("null")
     val calR = calRatio.map(r => f"$r%.2f").getOrElse("null")
+    // per-query failure counts (runs excluded from the samples above);
+    // {} on a clean record — a non-empty map is a red flag the driver
+    // and the next round's comparison must see in the JSON itself
+    val failedJson = failures.toSeq.sorted
+      .map { case (k, v) => "\"" + k + s"""\":$v""" }
+      .mkString("{", ",", "}")
     println(
-      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"cpus":$cpus,"calibration_s":$calS,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ref_cpus":$CalibrationRefCpus,"calibration_ratio":$calR,"suspect":$suspect,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
+      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"cpus":$cpus,"calibration_s":$calS,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ref_cpus":$CalibrationRefCpus,"calibration_ratio":$calR,"suspect":$suspect,"failed":$failedJson,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

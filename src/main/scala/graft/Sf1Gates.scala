@@ -569,10 +569,13 @@ object Sf1Gates {
     * alongside the real clusters, and (b) stay inside its round
     * budget: labelRounds min-label rounds + O(log n) star rounds on
     * the quotient — NOT the O(diameter) a pure min-label run pays.
-    * The chain contracts to ~diameter/(labelRounds+1) quotient
-    * vertices, so the star budget is 2*ceil(log2(quotient)) + 4
-    * (each large+small pair at least halves tree depth; +4 covers
-    * init/observe slack).
+    * Min-label on an increasing-id chain shifts labels r hops left
+    * per round, so after labelRounds the quotient is still a
+    * ~(n − labelRounds)-vertex path (contraction barely shrinks a
+    * chain — that is exactly WHY the star phase exists); the star
+    * budget is therefore taken on the full chain length:
+    * 2*ceil(log2(n)) + 4 (each large+small pair at least halves path
+    * depth; +4 covers init + the fixed-point-observation round).
     */
   private def adaptiveCcChain(spark: SparkSession, dir: String): Gate =
     CacheScope.scoped {
@@ -601,9 +604,8 @@ object Sf1Gates {
         a.join(b.withColumnRenamed("component", "c2"), "vertex")
           .filter(col("component") =!= col("c2")).count() == 0
       }
-      val quotientUpper = n / (labelRounds + 1) + 1
       val starBudget =
-        2 * (64 - java.lang.Long.numberOfLeadingZeros(quotientUpper)) + 4
+        2 * (64 - java.lang.Long.numberOfLeadingZeros(n.toLong)) + 4
       Gate(
         "adaptive_cc_chain_sf1",
         chainOk && realOk && lbl <= labelRounds && star > 0 &&

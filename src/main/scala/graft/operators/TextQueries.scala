@@ -727,18 +727,21 @@ object TextQueries extends QueryModule {
         // a full pair-level shuffle that only existed to shorten the
         // sorted fold's collect_list), and the per-doc aggregate keeps
         // codegen'd map-side partial aggregation: the shuffle carries
-        // one (long, long) pair per (doc × map partition). Quantization
+        // one (long, long) pair per (doc × map partition). The round()
+        // quantizer (a per-value BigDecimal walk) runs in the
+        // distinct-pair-sized MODEL table, not per pair instance — the
+        // hot path carries zero double math. Quantization
         // error on the 4dp-rounded average is bounded by 0.5e-9
         // (per-term bound / n cancels n); the per-term |nll| < 40 keeps
         // round()'s double exact (< 2^53/1e9 ≈ 9e6) with huge margin.
-        pairs
-          .join(bi, Seq("w1", "w2"))
+        val biModel = bi
           .join(uni.withColumnRenamed("word", "w1"), Seq("w1"))
           .crossJoin(broadcast(vocab))
-          .select(
-            col("doc_id"),
+          .select(col("w1"), col("w2"),
             round((-log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
               * lit(1.0e9)).cast("long").as("qterm"))
+        pairs
+          .join(biModel, Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_pairs"),
@@ -759,11 +762,14 @@ object TextQueries extends QueryModule {
               FROM d WHERE len(ws) >= 2),
         pp AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM p),
         bi AS (SELECT w1, w2, count(*) AS c2 FROM pp GROUP BY 1, 2),
-        scored AS (
-          SELECT pp.doc_id,
+        bm AS (
+          SELECT bi.w1, bi.w2,
                  CAST(round((-ln((bi.c2 + 1.0) / (uni.c1 + (SELECT v FROM v))))
                       * 1000000000.0) AS BIGINT) AS qterm
-          FROM pp JOIN bi USING (w1, w2) JOIN uni ON pp.w1 = uni.word)
+          FROM bi JOIN uni ON bi.w1 = uni.word),
+        scored AS (
+          SELECT pp.doc_id, bm.qterm
+          FROM pp JOIN bm USING (w1, w2))
         SELECT doc_id, count(*) AS n_pairs,
                round(CAST(sum(qterm) AS DOUBLE) / 1000000000.0
                      / CAST(count(*) AS DOUBLE), 4) AS avg_nll,
@@ -817,13 +823,14 @@ object TextQueries extends QueryModule {
           .select(
             col("lang").as("cls"),
             log(col("nd") / col("n")).as("logprior"),
-            log(lit(1.0) / (col("tot") + col("v"))).as("unseen_ll"),
-            (col("tot") + col("v")).as("denom"))
-        // per-(class, word) likelihood
+            round(log(lit(1.0) / (col("tot") + col("v"))) * lit(1.0e9))
+              .cast("long").as("unseen_qll"))
+        // per-(class, word) likelihood, quantized in the model table
         val ll = wc.join(langTot, "lang").crossJoin(broadcast(vocab))
           .select(
             col("lang").as("cls"), col("word"),
-            log((col("c") + lit(1)) / (col("tot") + col("v"))).as("ll"))
+            round(log((col("c") + lit(1)) / (col("tot") + col("v")))
+              * lit(1.0e9)).cast("long").as("qll"))
         // fixed-point determinism (see q_text_bigram_logprob): the
         // argmax below compares 4dp-rounded scores, and a
         // partition-order double sum could flip a half-boundary
@@ -834,17 +841,19 @@ object TextQueries extends QueryModule {
         // distinct-count prep (that was a full token-level shuffle that
         // only existed to shorten the sorted fold's collect_list), and
         // the (doc, cls) shuffle carries one (long, double) pair per
-        // group per map partition.
+        // group per map partition. Likelihoods are quantized in the
+        // k×vocab MODEL tables above (each instance term IS one model
+        // row's value, so rounding there or per instance is
+        // value-identical) — zero per-row double math on the token
+        // stream; the round() BigDecimal walk runs on vocab-sized rows.
         val scored = words.select(col("doc_id"), col("word"))
           .crossJoin(broadcast(model.select(
-            col("cls"), col("logprior"), col("unseen_ll"))))
+            col("cls"), col("logprior"), col("unseen_qll"))))
           .join(ll, Seq("cls", "word"), "left")
-          .select(col("doc_id"), col("cls"), col("logprior"),
-            round(coalesce(col("ll"), col("unseen_ll"))
-              * lit(1.0e9)).cast("long").as("qterm"))
           .groupBy(col("doc_id"), col("cls"))
           .agg((first(col("logprior")) +
-            sum(col("qterm")).cast("double") / lit(1.0e9)).as("score"))
+            sum(coalesce(col("qll"), col("unseen_qll"))).cast("double")
+              / lit(1.0e9)).as("score"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(round(col("score"), 4).desc, col("cls").asc)
         scored
@@ -870,19 +879,20 @@ object TextQueries extends QueryModule {
         ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
         model AS (
           SELECT p.lang AS cls, ln(p.nd / (SELECT n FROM ndocs)) AS logprior,
-                 ln(1.0 / (t.tot + (SELECT v FROM vocab))) AS unseen_ll
+                 CAST(round(ln(1.0 / (t.tot + (SELECT v FROM vocab)))
+                      * 1000000000.0) AS BIGINT) AS unseen_qll
           FROM priors p JOIN langtot t ON p.lang = t.lang
         ),
         ll AS (
           SELECT wc.lang AS cls, wc.word,
-                 ln((wc.c + 1) / (t.tot + (SELECT v FROM vocab))) AS ll
+                 CAST(round(ln((wc.c + 1) / (t.tot + (SELECT v FROM vocab)))
+                      * 1000000000.0) AS BIGINT) AS qll
           FROM wc JOIN langtot t ON wc.lang = t.lang
         ),
         scored AS (
           SELECT wf.doc_id, m.cls,
                  any_value(m.logprior) +
-                   CAST(sum(CAST(round(coalesce(ll.ll, m.unseen_ll)
-                          * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                   CAST(sum(coalesce(ll.qll, m.unseen_qll)) AS DOUBLE)
                      / 1000000000.0 AS score
           FROM wf CROSS JOIN model m
           LEFT JOIN ll ON ll.cls = m.cls AND ll.word = wf.word
@@ -932,16 +942,18 @@ object TextQueries extends QueryModule {
           .crossJoin(broadcast(rawT))
           .crossJoin(broadcast(tgtT))
           .select(col("word"),
-            (log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+            round((log((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
                 (col("nt") + col("v")))
               - log((col("cr") + lit(1.0)) /
-                (col("nr") + col("v")))).as("lr"))
+                (col("nr") + col("v")))) * lit(1.0e9))
+              .cast("long").as("qterm"))
         // fixed-point determinism (see q_text_bigram_logprob):
         // order-independent long sum over raw token instances,
-        // map-side combinable — no per-doc distinct-count shuffle
+        // map-side combinable — no per-doc distinct-count shuffle; the
+        // log-ratio is quantized in the vocab-sized MODEL table (value-
+        // identical to per-instance rounding), so the token stream
+        // carries zero double math
         words.select(col("doc_id"), col("word")).join(model, "word")
-          .select(col("doc_id"),
-            round(col("lr") * lit(1.0e9)).cast("long").as("qterm"))
           .groupBy(col("doc_id"))
           .agg(
             count(lit(1)).as("n_tokens"),
@@ -962,16 +974,16 @@ object TextQueries extends QueryModule {
         nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM wf WHERE lang = 'en'),
         model AS (
           SELECT cr.word,
-                 ln((coalesce(ct.ct, 0) + 1.0)
+                 CAST(round((ln((coalesce(ct.ct, 0) + 1.0)
                     / ((SELECT nt FROM nt) + (SELECT v FROM v)))
                - ln((cr.cr + 1.0)
-                    / ((SELECT nr FROM nr) + (SELECT v FROM v))) AS lr
+                    / ((SELECT nr FROM nr) + (SELECT v FROM v))))
+                   * 1000000000.0) AS BIGINT) AS qterm
           FROM cr LEFT JOIN ct ON cr.word = ct.word
         ),
         scored AS (
           SELECT wf.doc_id, count(*) AS n_tokens,
-                 round(CAST(sum(CAST(round(m.lr
-                          * 1000000000.0) AS BIGINT)) AS DOUBLE)
+                 round(CAST(sum(m.qterm) AS DOUBLE)
                        / 1000000000.0
                        / CAST(count(*) AS DOUBLE), 4) AS avg_logratio
           FROM wf JOIN model m ON wf.word = m.word GROUP BY 1

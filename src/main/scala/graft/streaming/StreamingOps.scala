@@ -43,13 +43,22 @@ object StreamingOps {
     * identical results); raise `spark.graft.stream.statePartitions`
     * with state volume on a real deployment.
     */
-  def withStatePartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key,
-      s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8"))
-    try body finally s.conf.set(key, prev)
-  }
+  def withStatePartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T =
+    // serialized per session: the pin mutates session-scoped conf, so a
+    // concurrent entry would capture the pinned value as its `prev` and
+    // leak 8 partitions into the session default on exit (and any batch
+    // query planned inside the window would silently inherit the pin).
+    // The replay queries run one-at-a-time today; the lock makes that a
+    // guarantee instead of an assumption. Deployments that need
+    // concurrent streams with different state sizing should use
+    // separate sessions (spark.newSession()), whose confs are isolated.
+    s.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(key)
+      s.conf.set(key,
+        s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8"))
+      try body finally s.conf.set(key, prev)
+    }
 
   final case class Event(
       event_id: Long,
