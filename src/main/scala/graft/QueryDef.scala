@@ -14,7 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    in the same order are bit-identical);
   *  - timestamps are never returned raw — always epoch seconds
   *    (BIGINT) or DATE (events.ts is ns in parquet, µs in Spark);
-  *  - rankings order by a unique composite key, never a bare double.
+  *  - rankings order by a unique composite key, never a bare double;
+  *  - any rounded score column that can straddle zero normalizes
+  *    signed zero on the oracle side (`round(...) + 0.0`): libm round
+  *    emits -0.0 for a tiny negative, Spark's BigDecimal round emits
+  *    +0.0 — equal under `==`, different under the driver's raw-bit
+  *    hash (see README "Determinism contract", signed-zero rule).
   */
 final case class QueryDef(
     name: String,

@@ -982,10 +982,15 @@ object TextQueries extends QueryModule {
           FROM cr LEFT JOIN ct ON cr.word = ct.word
         ),
         scored AS (
+          -- "+ 0.0" normalizes signed zero: a tiny negative score that
+          -- rounds to zero at 4dp comes out of libm round as -0.0, but
+          -- Spark's BigDecimal round emits +0.0 — equal under ==, hash-
+          -- different under the driver's raw-bit compare (IEEE 754:
+          -- -0.0 + 0.0 = +0.0). See README "Determinism contract".
           SELECT wf.doc_id, count(*) AS n_tokens,
                  round(CAST(sum(m.qterm) AS DOUBLE)
                        / 1000000000.0
-                       / CAST(count(*) AS DOUBLE), 4) AS avg_logratio
+                       / CAST(count(*) AS DOUBLE), 4) + 0.0 AS avg_logratio
           FROM wf JOIN model m ON wf.word = m.word GROUP BY 1
         )
         SELECT doc_id, n_tokens, avg_logratio,

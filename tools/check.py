@@ -113,7 +113,25 @@ def main():
         for c in g.columns:
             a, b = g[c], e[c]
             if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
-                same = (a.isna() & b.isna()) | (a == b)
+                # BIT-exact compare, matching the driver's raw hash: the
+                # driver hashes float bits, so -0.0 != +0.0 and any NaN-
+                # payload divergence must fail HERE too (a `==` compare
+                # passed q_select_dsir locally for two rounds while the
+                # driver failed it on a -0.0). NaNs are canonicalized to
+                # one quiet NaN on both sides before viewing as uint64.
+                av = a.to_numpy(dtype="float64", na_value=np.nan).copy()
+                bv = b.to_numpy(dtype="float64", na_value=np.nan).copy()
+                av[np.isnan(av)] = np.float64("nan")
+                bv[np.isnan(bv)] = np.float64("nan")
+                same = pd.Series(av.view(np.uint64) == bv.view(np.uint64),
+                                 index=a.index)
+                signed_zero = ((av == 0.0) & (bv == 0.0)
+                               & (np.signbit(av) != np.signbit(bv)))
+                if signed_zero.any():
+                    idx = signed_zero.nonzero()[0][:3]
+                    print(f"[SIGNED-ZERO] {name}.{c}: rows {list(map(int, idx))} "
+                          f"spark={[repr(av[i]) for i in idx]} "
+                          f"oracle={[repr(bv[i]) for i in idx]}")
             else:
                 same = (a.isna() & b.isna()) | (a.astype(object) == b.astype(object))
             if not bool(same.all()):
