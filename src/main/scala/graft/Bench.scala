@@ -270,9 +270,23 @@ object Bench {
     val failedJson = failures.toSeq.sorted
       .map { case (k, v) => "\"" + k + s"""\":$v""" }
       .mkString("{", ",", "}")
-    println(
-      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"cpus":$cpus,"calibration_s":$calS,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ref_cpus":$CalibrationRefCpus,"calibration_ratio":$calR,"suspect":$suspect,"failed":$failedJson,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
-    )
+    // queries_timed vs queries_selected makes an all-failed dropout
+    // visible from the total line alone: total_of_mins silently shrinks
+    // its query set when a query fails every repeat, so cross-round
+    // total comparisons are only valid when the two counts match.
+    val line =
+      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"cpus":$cpus,"queries_timed":${timed.size},"queries_selected":${selected.size},"calibration_s":$calS,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ref_cpus":$CalibrationRefCpus,"calibration_ratio":$calR,"suspect":$suspect,"failed":$failedJson,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
+    println(line)
+    // the driver tail-parses stdout and sbt appends its own "[success]"
+    // trailer after this line, so the stdout copy can be missed — also
+    // write the record whole to a file the driver (and the repo's
+    // evidence commits) can pick up verbatim
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

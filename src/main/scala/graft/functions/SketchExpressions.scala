@@ -315,7 +315,12 @@ object SimHash64 {
   * dsir score folds: `struct_term_sum(sort_array(collect_list(
   * struct(key…, term))))`). Bit-identical to the interpreted
   * `aggregate(…, 0.0, (acc, x) => acc + x.term)` fold it replaces
-  * (same 0.0 seed, same left-to-right adds), but runs as one tight
+  * FOR NON-NULL TERMS — the only shape current callers produce
+  * (every fold feeds `collect_list`, which drops null structs, over
+  * terms built from non-null aggregates). On a null element or null
+  * term field this kernel SKIPS it, where the interpreted fold would
+  * propagate null (`acc + null => null`) — revisit if a caller ever
+  * folds nullable terms. Runs as one tight
   * JIT'd loop inside whole-stage codegen instead of a per-element
   * interpreted closure — the same ~10–50x hot-loop gap the other
   * kernels in this file exist for.

@@ -874,7 +874,13 @@ object DedupQueries extends QueryModule {
         import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
         val k = SpanWords
         val raw = s.read.parquet(s"$dir/documents.parquet")
-        val src = s.readStream.schema(raw.schema)
+        // state-pinned cloned session: state-volume-sized shuffle
+        // partitions for the stateful query, parent conf untouched; the
+        // clone is created INSIDE withRocksDb so it inherits the
+        // provider pin (StreamingOps.statePinnedSession copies the
+        // parent's runtime conf)
+        val ps = graft.streaming.StreamingOps.statePinnedSession(s)
+        val src = ps.readStream.schema(raw.schema)
           .parquet(StateQueries.asStreamDir(s"$dir/documents.parquet"))
         val spans = src
           .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -900,9 +906,7 @@ object DedupQueries extends QueryModule {
           .dir("graft_online_ckpt").toString
         val sink =
           s"dedup_online_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        // state partitions sized to state volume, not the CPU default
-        // (see StreamingOps.withStatePartitions)
-        graft.streaming.StreamingOps.withStatePartitions(s) {
+        locally {
           val q = verdicts.toDF().writeStream
             .outputMode("update")
             .format("memory")
@@ -913,14 +917,16 @@ object DedupQueries extends QueryModule {
           finally q.stop()
         }
         // materialize off the memory sink, then drop the sink table —
-        // no per-invocation registry litter in long-lived sessions
-        val res = s.table(sink)
+        // no per-invocation registry litter in long-lived sessions.
+        // Memory-sink temp views are session-scoped: read via ps, the
+        // session the query ran on.
+        val res = ps.table(sink)
           .groupBy(col("doc_id"))
           .agg(min(col("span_min")).as("first_ref"))
           .select(col("doc_id"), col("first_ref"),
             (col("first_ref") < col("doc_id")).as("is_dup"))
           .localCheckpoint()
-        s.catalog.dropTempView(sink)
+        ps.catalog.dropTempView(sink)
         res
       },
       Some(s"""

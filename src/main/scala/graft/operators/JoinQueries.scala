@@ -283,7 +283,12 @@ object JoinQueries extends QueryModule {
             d.toString
           }
         }
-        val src0 = s.readStream.schema(raw.schema).parquet(streamPath)
+        // built on the state-pinned cloned session so the stateful
+        // query plans with state-volume-sized shuffle partitions while
+        // the parent session's conf is never touched
+        // (StreamingOps.statePinnedSession)
+        val ps = graft.streaming.StreamingOps.statePinnedSession(s)
+        val src0 = ps.readStream.schema(raw.schema).parquet(streamPath)
         val src = raw.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>
             src0.withColumn("ts",
@@ -297,9 +302,7 @@ object JoinQueries extends QueryModule {
           .dir("graft_ssjoin_out").toString
         val ckpt = graft.TempPaths
           .dir("graft_ssjoin_ckpt").toString
-        // state partitions sized to state volume, not the CPU default
-        // (see StreamingOps.withStatePartitions)
-        graft.streaming.StreamingOps.withStatePartitions(s) {
+        locally {
           val q = joined.writeStream
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
               b.write.mode("append").parquet(outDir)
@@ -351,7 +354,12 @@ object JoinQueries extends QueryModule {
             d.toString
           }
         }
-        val src0 = s.readStream.schema(raw.schema).parquet(streamPath)
+        // built on the state-pinned cloned session so the stateful
+        // query plans with state-volume-sized shuffle partitions while
+        // the parent session's conf is never touched
+        // (StreamingOps.statePinnedSession)
+        val ps = graft.streaming.StreamingOps.statePinnedSession(s)
+        val src0 = ps.readStream.schema(raw.schema).parquet(streamPath)
         def fixTs(df: org.apache.spark.sql.DataFrame) =
           raw.schema("ts").dataType match {
             case org.apache.spark.sql.types.LongType =>
@@ -365,9 +373,7 @@ object JoinQueries extends QueryModule {
           src.filter(col("event_type") === "purchase"))
         val outDir = graft.TempPaths.dir("graft_ssjoinl_out").toString
         val ckpt = graft.TempPaths.dir("graft_ssjoinl_ckpt").toString
-        // state partitions sized to state volume, not the CPU default
-        // (see StreamingOps.withStatePartitions)
-        graft.streaming.StreamingOps.withStatePartitions(s) {
+        locally {
           val q = joined.writeStream
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
               b.write.mode("append").parquet(outDir)
@@ -433,7 +439,12 @@ object JoinQueries extends QueryModule {
             d.toString
           }
         }
-        val src0 = s.readStream.schema(raw.schema).parquet(streamPath)
+        // built on the state-pinned cloned session so the stateful
+        // query plans with state-volume-sized shuffle partitions while
+        // the parent session's conf is never touched
+        // (StreamingOps.statePinnedSession)
+        val ps = graft.streaming.StreamingOps.statePinnedSession(s)
+        val src0 = ps.readStream.schema(raw.schema).parquet(streamPath)
         def fixTs(df: org.apache.spark.sql.DataFrame) =
           raw.schema("ts").dataType match {
             case org.apache.spark.sql.types.LongType =>
@@ -447,9 +458,7 @@ object JoinQueries extends QueryModule {
           src.filter(col("event_type") === "purchase"))
         val outDir = graft.TempPaths.dir("graft_ssjoinr_out").toString
         val ckpt = graft.TempPaths.dir("graft_ssjoinr_ckpt").toString
-        // state partitions sized to state volume, not the CPU default
-        // (see StreamingOps.withStatePartitions)
-        graft.streaming.StreamingOps.withStatePartitions(s) {
+        locally {
           val q = joined.writeStream
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
               b.write.mode("append").parquet(outDir)
@@ -519,7 +528,12 @@ object JoinQueries extends QueryModule {
             d.toString
           }
         }
-        val src0 = s.readStream.schema(raw.schema).parquet(streamPath)
+        // built on the state-pinned cloned session so the stateful
+        // query plans with state-volume-sized shuffle partitions while
+        // the parent session's conf is never touched
+        // (StreamingOps.statePinnedSession)
+        val ps = graft.streaming.StreamingOps.statePinnedSession(s)
+        val src0 = ps.readStream.schema(raw.schema).parquet(streamPath)
         def fixTs(df: org.apache.spark.sql.DataFrame) =
           raw.schema("ts").dataType match {
             case org.apache.spark.sql.types.LongType =>
@@ -533,9 +547,7 @@ object JoinQueries extends QueryModule {
           src.filter(col("event_type") === "purchase"))
         val outDir = graft.TempPaths.dir("graft_ssjoinf_out").toString
         val ckpt = graft.TempPaths.dir("graft_ssjoinf_ckpt").toString
-        // state partitions sized to state volume, not the CPU default
-        // (see StreamingOps.withStatePartitions)
-        graft.streaming.StreamingOps.withStatePartitions(s) {
+        locally {
           val q = joined.writeStream
             .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
               b.write.mode("append").parquet(outDir)

@@ -48,7 +48,11 @@ object StateQueries extends QueryModule {
     */
   private def runAggToState(s: SparkSession, dir: String): String = {
     val raw = s.read.parquet(s"$dir/events.parquet")
-    val src = s.readStream.schema(raw.schema)
+    // state-pinned cloned session: state-volume-sized shuffle partitions
+    // for the stateful query, parent conf untouched
+    // (StreamingOps.statePinnedSession)
+    val ps = graft.streaming.StreamingOps.statePinnedSession(s)
+    val src = ps.readStream.schema(raw.schema)
       .parquet(asStreamDir(s"$dir/events.parquet"))
     val agg = src
       .groupBy(col("user_id"))
@@ -57,9 +61,7 @@ object StateQueries extends QueryModule {
         sum(col("value")).as("v_sum"))
     val ckpt = graft.TempPaths
       .dir("graft_state_ckpt").toString
-    // state partitions sized to state volume, not the CPU default
-    // (see StreamingOps.withStatePartitions)
-    graft.streaming.StreamingOps.withStatePartitions(s) {
+    locally {
       val q = agg.writeStream
         .outputMode("update")
         .format("noop")
@@ -106,7 +108,10 @@ object StateQueries extends QueryModule {
       import s.implicits._
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       val raw = s.read.parquet(s"$dir/events.parquet")
-      val src = s.readStream.schema(raw.schema)
+      // state-pinned clone created INSIDE withRocksDb so it inherits
+      // the provider pin (statePinnedSession copies the runtime conf)
+      val ps = graft.streaming.StreamingOps.statePinnedSession(s)
+      val src = ps.readStream.schema(raw.schema)
         .parquet(asStreamDir(s"$dir/events.parquet"))
         .select(col("user_id"), col("event_type"), col("value"))
         .as[graft.streaming.Tws.TwsEvent]
@@ -118,7 +123,7 @@ object StateQueries extends QueryModule {
       val ckpt = graft.TempPaths
         .dir("graft_tws_ckpt").toString
       val sink = s"tws_profile_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.StreamingOps.withStatePartitions(s) {
+      locally {
         val q = out.toDF().writeStream
           .outputMode("update")
           .format("memory")
@@ -134,13 +139,15 @@ object StateQueries extends QueryModule {
       // sink so the table can be dropped immediately — long-lived
       // sessions would otherwise accumulate one registered sink table
       // per invocation
-      val res = s.table(sink)
+      // memory-sink temp views are session-scoped: read via ps, the
+      // session the query ran on
+      val res = ps.table(sink)
         .groupBy(col("user_id"))
         .agg(max(struct(col("n_events"), col("n_types"), col("v_max"))).as("p"))
         .select(col("user_id"), col("p.n_events").as("n_events"),
           col("p.n_types").as("n_types"), col("p.v_max").as("v_max"))
         .localCheckpoint()
-      s.catalog.dropTempView(sink)
+      ps.catalog.dropTempView(sink)
       res
     }
 

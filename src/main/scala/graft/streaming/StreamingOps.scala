@@ -27,9 +27,14 @@ import java.sql.Timestamp
   */
 object StreamingOps {
 
-  /** Run `body` (a start + processAllAvailable of one streaming query)
-    * with the session's shuffle-partition count set to the streaming
-    * STATE partition count, restoring the previous value after.
+  /** A cloned session (same SparkContext, isolated SQL conf) whose
+    * shuffle-partition count is pinned to the streaming STATE partition
+    * count. Build the streaming source AND start the query on the
+    * returned session; the parent session's conf is never touched, so
+    * concurrent batch queries on the parent can never inherit the pin —
+    * isolation by construction, not by a single-caller convention (the
+    * previous conf-mutate-and-restore version only serialized other
+    * callers of itself).
     *
     * Stateful streaming cost is dominated by state-store commits —
     * per micro-batch, EVERY state partition writes + renames a delta
@@ -42,23 +47,25 @@ object StreamingOps {
     * (measured on the sf0.1 replay: 32 partitions → 11–17 s, 8 → ~3.5 s,
     * identical results); raise `spark.graft.stream.statePartitions`
     * with state volume on a real deployment.
+    *
+    * NOTE: `newSession()` starts from the SparkContext conf, not the
+    * parent's runtime mutations (e.g. the RocksDB provider pinned by
+    * `Tws.withRocksDb`), so the parent's runtime conf is copied first;
+    * entries the runtime conf refuses (static confs — unchangeable on a
+    * shared context anyway) are skipped. Memory-sink tables registered
+    * by a query started on the pinned session are session-scoped: read
+    * them back through the SAME returned session.
     */
-  def withStatePartitions[T](s: org.apache.spark.sql.SparkSession)(body: => T): T =
-    // serialized per session: the pin mutates session-scoped conf, so a
-    // concurrent entry would capture the pinned value as its `prev` and
-    // leak 8 partitions into the session default on exit (and any batch
-    // query planned inside the window would silently inherit the pin).
-    // The replay queries run one-at-a-time today; the lock makes that a
-    // guarantee instead of an assumption. Deployments that need
-    // concurrent streams with different state sizing should use
-    // separate sessions (spark.newSession()), whose confs are isolated.
-    s.synchronized {
-      val key = "spark.sql.shuffle.partitions"
-      val prev = s.conf.get(key)
-      s.conf.set(key,
-        s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8"))
-      try body finally s.conf.set(key, prev)
+  def statePinnedSession(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val pinned = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      try pinned.conf.set(k, v) catch { case _: Throwable => () }
     }
+    pinned.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8"))
+    pinned
+  }
 
   final case class Event(
       event_id: Long,
