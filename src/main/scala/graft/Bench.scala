@@ -186,6 +186,15 @@ object Bench {
     val spark = Engine.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // streaming state partitions sized to the replay's state volume
+      // (the statePinnedSession sizing rule, applied at this SF): the
+      // sf0.1 stream-stream joins hold ~40k rows of state — 2 shards
+      // carry that comfortably, and the per-batch commit cost is per
+      // shard per store. Measured min-of-3 at sf0.1, same host window:
+      // 8 shards → 3.46/3.35/4.11 s (left/right/full), 2 → 2.68/2.50/
+      // 3.07, 1 → no further gain (2.60/2.57/3.16) — the knee is 2. A
+      // real deployment raises this with state volume, not CPU count.
+      .config("spark.graft.stream.statePartitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()

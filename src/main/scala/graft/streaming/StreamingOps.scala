@@ -63,7 +63,9 @@ object StreamingOps {
       try pinned.conf.set(k, v) catch { case _: Throwable => () }
     }
     pinned.conf.set("spark.sql.shuffle.partitions",
-      s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8"))
+      s.conf.getOption("spark.graft.stream.statePartitions")
+        .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS"))
+        .getOrElse("8"))
     pinned
   }
 
