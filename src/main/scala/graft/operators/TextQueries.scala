@@ -798,16 +798,19 @@ object TextQueries extends QueryModule {
         import org.apache.spark.sql.expressions.Window
         val t = tables(s, dir)
         val docs = t.documents.select(col("doc_id"), col("lang"), col("text"))
-        // the token stream feeds SIX derived tables (wc, vocab, langTot
-        // via wc, and the scored fan-out) — cache it once for the
-        // consuming action (CacheScope releases it) instead of
-        // re-scanning + re-exploding documents per branch; at 100 TB
-        // this is the materialize-the-tokenized-intermediate-once call
-        // every multi-pass pipeline makes
-        val words = graft.CacheScope.cached(docs.select(
+        // deliberately NOT cached (reverting the r14 cache): the token
+        // stream is a plain codegen'd scan+split+explode — trivially
+        // recomputable — and materializing it is a pipeline barrier on
+        // an intermediate LARGER than its pruned columnar source, at
+        // any scale. The r16 paired A/B measured the cache at +0.5 s
+        // on the sf0.1 min (1.07 s uncached vs 1.58–1.96 cached); the
+        // other CacheScope.cached sites stay because they materialize
+        // EXPENSIVE per-row transforms (minhash signatures, shingles),
+        // not a re-runnable explode.
+        val words = docs.select(
           col("doc_id"), col("lang"),
           explode(split(lower(col("text")), " ")).as("word"))
-          .filter(col("word") =!= ""))
+          .filter(col("word") =!= "")
         val wc = words.groupBy(col("lang"), col("word"))
           .agg(count(lit(1)).as("c"))
         val vocab = words.select(col("word")).distinct()
