@@ -20,6 +20,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
 
+  test("bench headline names are all registered queries, without duplicates") {
+    // a headline typo would surface only as a per-query bench failure
+    // count at sf0.1; catch it statically here
+    val unknown = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"headline entries without queries: $unknown")
+    val dups = Bench.headline.groupBy(identity).collect {
+      case (n, occ) if occ.size > 1 => n
+    }
+    assert(dups.isEmpty, s"duplicate headline entries: $dups")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       // scoped like every consuming surface: releases operator-internal
