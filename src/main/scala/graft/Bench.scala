@@ -297,5 +297,13 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    // The driver tail-captures stdout, so a long record line loses its
+    // HEAD (r15/r16 both parsed null despite the file sink above). Emit
+    // one short summary — scalars only, no per-query maps — as the very
+    // LAST stdout line (after spark.stop(), so no executor-shutdown log
+    // line can land after it): the tail always keeps a short last line
+    // intact. Full per-query maps live in the big line and the file.
+    println(
+      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","queries_timed":${timed.size},"queries_selected":${selected.size},"calibration_ratio":$calR,"suspect":$suspect,"failed":$failedJson,"sf":"$sfDir","detail":"$outPath"}""")
   }
 }

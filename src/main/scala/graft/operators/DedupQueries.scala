@@ -906,16 +906,14 @@ object DedupQueries extends QueryModule {
           .dir("graft_online_ckpt").toString
         val sink =
           s"dedup_online_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        locally {
-          val q = verdicts.toDF().writeStream
-            .outputMode("update")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", ckpt)
-            .start()
-          try q.processAllAvailable()
-          finally q.stop()
-        }
+        val q = verdicts.toDF().writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
         // materialize off the memory sink, then drop the sink table —
         // no per-invocation registry litter in long-lived sessions.
         // Memory-sink temp views are session-scoped: read via ps, the

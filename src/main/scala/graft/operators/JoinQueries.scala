@@ -302,16 +302,14 @@ object JoinQueries extends QueryModule {
           .dir("graft_ssjoin_out").toString
         val ckpt = graft.TempPaths
           .dir("graft_ssjoin_ckpt").toString
-        locally {
-          val q = joined.writeStream
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-              b.write.mode("append").parquet(outDir)
-            }
-            .option("checkpointLocation", ckpt)
-            .start()
-          try q.processAllAvailable()
-          finally q.stop()
-        }
+        val q = joined.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
         s.read.parquet(outDir)
           .groupBy(col("s_user"))
           .agg(
@@ -373,16 +371,14 @@ object JoinQueries extends QueryModule {
           src.filter(col("event_type") === "purchase"))
         val outDir = graft.TempPaths.dir("graft_ssjoinl_out").toString
         val ckpt = graft.TempPaths.dir("graft_ssjoinl_ckpt").toString
-        locally {
-          val q = joined.writeStream
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-              b.write.mode("append").parquet(outDir)
-            }
-            .option("checkpointLocation", ckpt)
-            .start()
-          try q.processAllAvailable()
-          finally q.stop()
-        }
+        val q = joined.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
         // the combined watermark is the MIN across both sides' nodes,
         // each seeing only its filtered events — so the horizon is
         // least(max signup ts, max purchase ts), not the global max
@@ -458,16 +454,14 @@ object JoinQueries extends QueryModule {
           src.filter(col("event_type") === "purchase"))
         val outDir = graft.TempPaths.dir("graft_ssjoinr_out").toString
         val ckpt = graft.TempPaths.dir("graft_ssjoinr_ckpt").toString
-        locally {
-          val q = joined.writeStream
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-              b.write.mode("append").parquet(outDir)
-            }
-            .option("checkpointLocation", ckpt)
-            .start()
-          try q.processAllAvailable()
-          finally q.stop()
-        }
+        val q = joined.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
         val horizon = fixTs(raw)
           .agg((least(
             max(when(col("event_type") === "signup", col("ts"))),
@@ -547,16 +541,14 @@ object JoinQueries extends QueryModule {
           src.filter(col("event_type") === "purchase"))
         val outDir = graft.TempPaths.dir("graft_ssjoinf_out").toString
         val ckpt = graft.TempPaths.dir("graft_ssjoinf_ckpt").toString
-        locally {
-          val q = joined.writeStream
-            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-              b.write.mode("append").parquet(outDir)
-            }
-            .option("checkpointLocation", ckpt)
-            .start()
-          try q.processAllAvailable()
-          finally q.stop()
-        }
+        val q = joined.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
         val horizon = fixTs(raw)
           .agg((least(
             max(when(col("event_type") === "signup", col("ts"))),

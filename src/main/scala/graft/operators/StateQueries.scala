@@ -61,15 +61,13 @@ object StateQueries extends QueryModule {
         sum(col("value")).as("v_sum"))
     val ckpt = graft.TempPaths
       .dir("graft_state_ckpt").toString
-    locally {
-      val q = agg.writeStream
-        .outputMode("update")
-        .format("noop")
-        .option("checkpointLocation", ckpt)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
+    val q = agg.writeStream
+      .outputMode("update")
+      .format("noop")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
     ckpt
   }
 
@@ -123,16 +121,14 @@ object StateQueries extends QueryModule {
       val ckpt = graft.TempPaths
         .dir("graft_tws_ckpt").toString
       val sink = s"tws_profile_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      locally {
-        val q = out.toDF().writeStream
-          .outputMode("update")
-          .format("memory")
-          .queryName(sink)
-          .option("checkpointLocation", ckpt)
-          .start()
-        try q.processAllAvailable()
-        finally q.stop()
-      }
+      val q = out.toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
       // update-mode sink appends one profile per key per microbatch;
       // n_events grows monotonically, so max(struct) is the final one.
       // localCheckpoint materializes the aggregation off the memory

@@ -50,17 +50,60 @@ object StreamingOps {
     *
     * NOTE: `newSession()` starts from the SparkContext conf, not the
     * parent's runtime mutations (e.g. the RocksDB provider pinned by
-    * `Tws.withRocksDb`), so the parent's runtime conf is copied first;
-    * entries the runtime conf refuses (static confs — unchangeable on a
-    * shared context anyway) are skipped. Memory-sink tables registered
-    * by a query started on the pinned session are session-scoped: read
-    * them back through the SAME returned session.
+    * `Tws.withRocksDb`), so the parent's runtime conf is re-synced into
+    * the clone on every call; static confs (unchangeable per-session on
+    * a shared context, so already equal) are skipped, any OTHER copy
+    * failure is logged — a silently dropped dynamic conf like the
+    * provider pin would run the query on the wrong state store with no
+    * signal. Memory-sink tables registered by a query started on the
+    * pinned session are session-scoped: read them back through the SAME
+    * returned session.
+    *
+    * ONE clone is memoized per parent session (weak key — the clone
+    * does not reference the parent, so the entry dies with it): each
+    * clone lazily registers a StreamingQueryListenerBus on the shared
+    * LiveListenerBus that is never unregistered, so a fresh clone per
+    * invocation on a long-lived session would accumulate listeners and
+    * pinned sessions linearly. Re-syncing the conf each call keeps the
+    * cached clone tracking later parent mutations AND un-sets (e.g.
+    * withRocksDb restoring the provider after its body).
     */
+  private val pinnedClones =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]()
+  private val staticConfKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def statePinnedSession(
       s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
-    val pinned = s.newSession()
-    s.conf.getAll.foreach { case (k, v) =>
-      try pinned.conf.set(k, v) catch { case _: Throwable => () }
+    val pinned = pinnedClones.synchronized {
+      Option(pinnedClones.get(s)).getOrElse {
+        val p = s.newSession(); pinnedClones.put(s, p); p
+      }
+    }
+    val parent = s.conf.getAll
+    // keys the parent has since unset must leave the clone too — a
+    // stale provider pin would silently outlive its withRocksDb scope
+    pinned.conf.getAll.keysIterator
+      .filterNot(parent.contains)
+      .filterNot(staticConfKeys.contains)
+      .foreach { k =>
+        try pinned.conf.unset(k)
+        catch { case scala.util.control.NonFatal(_) => staticConfKeys.add(k) }
+      }
+    parent.foreach { case (k, v) =>
+      if (!staticConfKeys.contains(k) && !pinned.conf.getOption(k).contains(v)) {
+        try pinned.conf.set(k, v)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            // static conf — per-session set is rejected by design and
+            // the clone already holds the same context-level value
+            staticConfKeys.add(k)
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] statePinnedSession: could not sync conf $k: ${e.getMessage}")
+        }
+      }
     }
     pinned.conf.set("spark.sql.shuffle.partitions",
       s.conf.getOption("spark.graft.stream.statePartitions")

@@ -113,12 +113,17 @@ def main():
         for c in g.columns:
             a, b = g[c], e[c]
             if pd.api.types.is_float_dtype(a) and pd.api.types.is_float_dtype(b):
-                # BIT-exact compare, matching the driver's raw hash: the
-                # driver hashes float bits, so -0.0 != +0.0 and any NaN-
-                # payload divergence must fail HERE too (a `==` compare
-                # passed q_select_dsir locally for two rounds while the
-                # driver failed it on a -0.0). NaNs are canonicalized to
-                # one quiet NaN on both sides before viewing as uint64.
+                # BIT-exact compare for FINITE values, matching the
+                # driver's raw hash on the case that actually bit us:
+                # -0.0 != +0.0 (a `==` compare passed q_select_dsir
+                # locally for two rounds while the driver failed it).
+                # Scope: NaN payloads are canonicalized to one quiet NaN
+                # by design, and SQL NULL folds to NaN upstream (duckdb
+                # .df() / pandas load) — so a NaN-payload or NULL-vs-NaN
+                # divergence would pass here but could fail a raw-bit
+                # driver hash. No oracle query produces NaN or NULL
+                # floats today; if one ever does, compare null masks at
+                # load time (dtype_backend='numpy_nullable') first.
                 av = a.to_numpy(dtype="float64", na_value=np.nan).copy()
                 bv = b.to_numpy(dtype="float64", na_value=np.nan).copy()
                 av[np.isnan(av)] = np.float64("nan")
