@@ -186,12 +186,16 @@ object SimilarityQueries extends QueryModule {
     }
 
     /** nearest-centroid assignment: broadcast codebook, argmin of
-      * squared euclidean, ties to the lower list id
+      * squared euclidean rounded to 1e-6 (the same argmin contract as
+      * the hash-oracled IVF-PQ coarse quantizer — an oracle replaying
+      * this assignment in SQL sees identical rounded keys), ties to
+      * the lower list id
       */
     def assign(df: DataFrame, cents: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("list_id"))
       df.crossJoin(broadcast(cents))
-        .withColumn("dist2", col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"))
+        .withColumn("dist2",
+          round(col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"), 6))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__rn", "dist2", "cv", "cn2")
@@ -238,13 +242,15 @@ object SimilarityQueries extends QueryModule {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (cents, lists, e) = ivfIndex(emb, nLists, lloydIters)
-    // each query probes its nProbe nearest cells
+    // each query probes its nProbe nearest cells (rounded argmin — see
+    // assign)
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("list_id"))
     val probes = e
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("dist2", col("qn") - lit(2.0) * dot(col("qv"), col("cv")) + col("cn2"))
+      .withColumn("dist2",
+        round(col("qn") - lit(2.0) * dot(col("qv"), col("cv")) + col("cn2"), 6))
       .withColumn("__rn", row_number().over(probeW))
       .filter(col("__rn") <= nProbe)
       .select(col("q_id"), col("qv"), col("qn"), col("list_id"))
@@ -329,10 +335,11 @@ object SimilarityQueries extends QueryModule {
       nQueries: Int,
       k: Int,
       nLists: Int = 16,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      lloydIters: Int = 2
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (cents, lists0, e) = ivfIndex(emb, nLists, 2)
+    val (cents, lists0, e) = ivfIndex(emb, nLists, lloydIters)
     // codes derived per-row from the stored floats (index build time);
     // the search never touches v again
     def codes(vcol: Column): Column = {
@@ -350,7 +357,8 @@ object SimilarityQueries extends QueryModule {
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("dist2", col("qn") - lit(2.0) * dot(col("qv"), col("cv")) + col("cn2"))
+      .withColumn("dist2",
+        round(col("qn") - lit(2.0) * dot(col("qv"), col("cv")) + col("cn2"), 6))
       .withColumn("__rn", row_number().over(probeW))
       .filter(col("__rn") <= nProbe)
       .select(col("q_id"), codes(col("qv")).as("qa"),
@@ -859,15 +867,74 @@ object SimilarityQueries extends QueryModule {
       (s, dir) => lshTopK(tables(s, dir).embeddings, 10, 5, 4, 64),
       None
     ),
+    // IVF with the deterministic seed coarse quantizer (lloydIters=0):
+    // the same seed rule the hash-green IVF-PQ coarse quantizer uses,
+    // so the whole index build + probe + rescore replays exactly in SQL
+    // and the query is hash-oracled. The Lloyd-refined quantizer stays
+    // available (ivfTopK lloydIters>0) and keeps its recall evidence in
+    // DedupSimilaritySpec — refinement moves cell boundaries, it does
+    // not change the operator shape, so the oracle pins the machinery
+    // and the spec pins the refinement.
     QueryDef(
       "q_ann_ivf",
-      (s, dir) => ivfTopK(tables(s, dir).embeddings, 10, 5),
-      None // probabilistic recall — spec-checked against brute force
+      (s, dir) => ivfTopK(tables(s, dir).embeddings, 10, 5, lloydIters = 0),
+      Some(s"""
+        $ivfCoarseCtes,
+        scored AS (
+          SELECT p.q_id, l.vec_id AS cand_id,
+                 round(list_inner_product(p.qv, l.v)
+                       / sqrt(p.qn * l.n2), 6) AS cos
+          FROM cellasg l JOIN probes p ON l.list_id = p.list_id
+          WHERE p.q_id != l.vec_id
+        )
+        SELECT q_id, cand_id, cos, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, cand_id) AS INT) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+      """)
     ),
+    // IVF-SQ8 with the same seed coarse quantizer: float coarse probe,
+    // int8 codes in the inverted lists (integer dots are engine-exact,
+    // like q_ann_sq8), hash-oracled end to end.
     QueryDef(
       "q_ann_ivf_sq8",
-      (s, dir) => ivfSq8TopK(tables(s, dir).embeddings, 10, 5),
-      None // probabilistic recall — spec-checked against brute force
+      (s, dir) => ivfSq8TopK(tables(s, dir).embeddings, 10, 5, lloydIters = 0),
+      Some(s"""
+        $ivfCoarseCtes,
+        lc AS (
+          SELECT list_id, vec_id,
+                 CASE WHEN ma > 0
+                      THEN list_transform(v, x -> round(x / (ma / 127.0), 0))
+                      ELSE list_transform(v, x -> 0.0) END AS cb
+          FROM (SELECT *, list_max(list_transform(v, x -> abs(x))) AS ma
+                FROM cellasg)
+        ),
+        lcn AS (SELECT list_id, vec_id, cb,
+                       list_inner_product(cb, cb) AS cbn FROM lc),
+        pc AS (
+          SELECT q_id, list_id,
+                 CASE WHEN ma > 0
+                      THEN list_transform(qv, x -> round(x / (ma / 127.0), 0))
+                      ELSE list_transform(qv, x -> 0.0) END AS qa
+          FROM (SELECT *, list_max(list_transform(qv, x -> abs(x))) AS ma
+                FROM probes)
+        ),
+        pcn AS (SELECT q_id, list_id, qa,
+                       list_inner_product(qa, qa) AS qan FROM pc),
+        scored AS (
+          SELECT p.q_id, l.vec_id AS cand_id,
+                 round(list_inner_product(p.qa, l.cb)
+                       / sqrt(p.qan * l.cbn), 6) AS qcos
+          FROM lcn l JOIN pcn p ON l.list_id = p.list_id
+          WHERE p.q_id != l.vec_id
+        )
+        SELECT q_id, cand_id, qcos, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY qcos DESC, cand_id) AS INT) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+      """)
     ),
     // Per-vector int8 quantization summary: the scale factor plus three
     // engine-exact digests of the code vector (integer checksum,
@@ -991,6 +1058,50 @@ object SimilarityQueries extends QueryModule {
       Some(ivfPqRerankOracle)
     )
   )
+
+  /** Shared oracle CTE prefix for the seed-quantizer IVF paths: the
+    * evenly-spaced seed centroids (the SQL mirror of ivfIndex's seed
+    * codebook at lloydIters=0, nLists=16), the per-vector cell argmin
+    * and the nProbe=4 query probes — all argmins on 1e-6-rounded
+    * squared euclidean with list-id tie-breaks, exactly as assign()/
+    * the probe windows compute them.
+    */
+  private val ivfCoarseCtes = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      list_inner_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]) AS n2
+               FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM e),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS cv,
+             list_inner_product(v, v) AS cn2
+      FROM (
+        SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM e
+        WHERE vec_id % (SELECT greatest(1, n // 16) FROM nn) = 0
+      ) WHERE rn <= 16
+    ),
+    cellasg AS (
+      SELECT vec_id, v, n2, list_id FROM (
+        SELECT e.vec_id, e.v, e.n2, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(e.n2 - 2.0*list_inner_product(e.v, c.cv)
+                                + c.cn2, 6),
+                          c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, qv, qn, list_id FROM (
+        SELECT e.vec_id AS q_id, e.v AS qv, e.n2 AS qn, c.list_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(e.n2 - 2.0*list_inner_product(e.v, c.cv)
+                                + c.cn2, 6),
+                          c.list_id) AS rn
+        FROM e CROSS JOIN cents c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= 4
+    )"""
 
   /** Shared oracle CTE prefix: the seed codebook (sub_id, code_id, c,
     * cn2) and the per-(vec, subspace) argmin assignment — the SQL

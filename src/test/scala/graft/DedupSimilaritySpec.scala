@@ -204,6 +204,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(again == pairs, "IVF-SQ8 result not deterministic")
   }
 
+  test("Lloyd-refined IVF (lloydIters=2) keeps recall at or above the seed quantizer's band") {
+    // the registered q_ann_ivf runs the seed quantizer (hash-oracled);
+    // the Lloyd refinement path stays exercised HERE: same operator,
+    // refined cell boundaries, recall must stay non-degenerate and the
+    // refinement must still be deterministic across runs
+    CacheScope.scoped {
+      val brute = SparkEntry.queries("q_ann_brute_force")(spark, dir)
+        .select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val t = Engine.Tables(spark, dir)
+      val lloyd = SimilarityQueries.ivfTopK(t.embeddings, 10, 5, lloydIters = 2)
+        .select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (lloyd & brute).size.toDouble / brute.size
+      assert(recall > 0.25, s"Lloyd-refined IVF recall degenerate: $recall")
+      val again = SimilarityQueries.ivfTopK(t.embeddings, 10, 5, lloydIters = 2)
+        .select("q_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again == lloyd, "Lloyd-refined IVF not deterministic")
+    }
+  }
+
   test("fuzzy decontamination: exact precision, full recall in the Jaccard band region") {
     import org.apache.spark.sql.functions._
     graft.functions.SketchExpressions.register(spark)
