@@ -111,7 +111,12 @@ object Bench {
     "q_join_stream_stream_left",
     "q_join_stream_stream_right",
     "q_join_stream_stream_full",
-    "q_dedup_online"
+    "q_dedup_online",
+    // round-17 additions: the heaviest of the new TPC-DS shapes — the
+    // 3-channel union under a ROLLUP (3 fact scans + Expand) and the
+    // dual-fact ratio join (two fact aggs co-partitioned on partkey)
+    "q_flagship_ds_union_profit",
+    "q_flagship_ds_returns_ratio"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this

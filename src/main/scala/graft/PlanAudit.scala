@@ -16,7 +16,12 @@ object PlanAudit {
 
     val broadcastExpected = Set(
       "q_join_multiway", "q_join_broadcast_dim", "q_join_static_contains",
-      "q_ann_brute_force"
+      "q_ann_brute_force",
+      // r17 ds shapes: every dim (customer/nation/supplier/part) must
+      // ride a broadcast, never a shuffle
+      "q_flagship_ds_union_profit", "q_flagship_ds_inventory_ratio",
+      "q_flagship_ds_repeat", "q_flagship_ds_returns_ratio",
+      "q_flagship_ds_lapsed"
     )
     // NLJ is the *intended* strategy for the contains-join (theta
     // predicate), the brute-force ANN (deliberate small cross), the
@@ -84,6 +89,11 @@ object PlanAudit {
       "q_flagship_surplus_supplier", "q_flagship_top_supplier",
       "q_flagship_two_nation_volume", "q_flagship_waiting_supplier",
       "q_flagship_ds_frequent",
+      // r17 ds shapes: returnflag/linestatus, shipdate bracket, and
+      // orderdate window predicates must reach the scan
+      "q_flagship_ds_union_profit", "q_flagship_ds_inventory_ratio",
+      "q_flagship_ds_repeat", "q_flagship_ds_returns_ratio",
+      "q_flagship_ds_lapsed",
       "q_join_anti", "q_join_asof", "q_join_asof_forward", "q_join_asof_native",
       "q_join_broadcast_dim", "q_join_bucketed_colocated", "q_join_inner",
       "q_join_interval", "q_join_left_outer", "q_join_multiway", "q_join_semi",

@@ -1453,6 +1453,247 @@ object FlagshipQueries extends QueryModule {
         SELECT user_id, d, web_fill, view_fill
         FROM f WHERE web_fill > view_fill
       """)
+    ),
+    // TPC-DS Q5 shape — ROLLUP over a multi-channel UNION: three
+    // channels unioned with a tag, dims joined, then profit rolled up
+    // per (channel, nation) with subtotals. In real Q5 the channels
+    // are distinct fact TABLES (store/catalog/web sales), so the union
+    // is the mandatory plan shape; here three disjoint fact partitions
+    // emulate it. The combination under test is union -> broadcast dim
+    // joins -> rollup, which no existing query covers (ds_rollup has
+    // no union, ds_channels has no rollup). Each union branch keeps
+    // its returnflag/linestatus predicate in the parquet scan; the
+    // rollup's Expand runs AFTER the join tree, so the fact crosses
+    // the shuffle once per grouping-set batch, not per channel.
+    QueryDef(
+      "q_flagship_ds_union_profit",
+      (s, dir) => {
+        val t = tables(s, dir)
+        def channel(tag: String, cond: Column) =
+          t.lineitem
+            .filter(cond)
+            .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+            .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+            .select(lit(tag).as("channel"), col("n_name"),
+              col("l_extendedprice"), col("l_discount"))
+        val u = channel("returned", col("l_returnflag") === "R")
+          .unionByName(channel("fulfilled",
+            col("l_returnflag") =!= "R" && col("l_linestatus") === "F"))
+          .unionByName(channel("open",
+            col("l_returnflag") =!= "R" && col("l_linestatus") =!= "F"))
+        u.rollup(col("channel"), col("n_name"))
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"),
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
+              .as("revenue"))
+          .select(
+            coalesce(col("channel"), lit("ALL")).as("channel"),
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            col("gid"), col("n"), col("revenue"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT CASE WHEN l_returnflag = 'R' THEN 'returned'
+                      WHEN l_linestatus = 'F' THEN 'fulfilled'
+                      ELSE 'open' END AS channel,
+                 n_name, l_extendedprice, l_discount
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT coalesce(channel, 'ALL') AS channel,
+               coalesce(n_name, 'ALL') AS nation,
+               CAST(GROUPING(channel) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+               count(*) AS n,
+               ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS revenue
+        FROM base GROUP BY ROLLUP(channel, n_name)
+      """)
+    ),
+    // TPC-DS Q21/Q39 shape — date-bracketed before/after ratio: one
+    // bracketed fact scan (the [d1, d3) range lands in PushedFilters),
+    // a conditional split at the pivot date inside ONE aggregate (no
+    // second scan, no self-join), and a ratio band filter. l_quantity
+    // is integral so both sums are exact longs and the ratio is a
+    // correctly-rounded IEEE division of exact integers — hash-stable.
+    QueryDef(
+      "q_flagship_ds_inventory_ratio",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val d1 = lit("1997-01-01").cast("timestamp")
+        val d2 = lit("1998-01-01").cast("timestamp")
+        val d3 = lit("1999-01-01").cast("timestamp")
+        t.lineitem
+          .filter(col("l_shipdate") >= d1 && col("l_shipdate") < d3)
+          .groupBy(col("l_suppkey"))
+          .agg(
+            sum(when(col("l_shipdate") < d2, col("l_quantity"))
+              .otherwise(lit(0.0))).cast("long").as("qty_before"),
+            sum(when(col("l_shipdate") >= d2, col("l_quantity"))
+              .otherwise(lit(0.0))).cast("long").as("qty_after"))
+          .filter(col("qty_before") > 0 && col("qty_after") > 0)
+          .withColumn("ratio",
+            round(col("qty_before").cast("double")
+              / col("qty_after").cast("double"), 6))
+          .filter(col("ratio") >= 0.5 && col("ratio") <= 1.5)
+          .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("qty_before"), col("qty_after"), col("ratio"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT l_suppkey,
+                 CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                               THEN l_quantity ELSE 0.0 END) AS BIGINT)
+                   AS qty_before,
+                 CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                               THEN l_quantity ELSE 0.0 END) AS BIGINT)
+                   AS qty_after
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1999-01-01'
+          GROUP BY l_suppkey
+        ),
+        r AS (
+          SELECT *, round(CAST(qty_before AS DOUBLE)
+                          / CAST(qty_after AS DOUBLE), 6) AS ratio
+          FROM b WHERE qty_before > 0 AND qty_after > 0
+        )
+        SELECT s_suppkey, s_name, qty_before, qty_after, ratio
+        FROM r JOIN supplier ON l_suppkey = s_suppkey
+        WHERE ratio >= 0.5 AND ratio <= 1.5
+      """)
+    ),
+    // TPC-DS Q38/Q87 shape — multi-period repeat customers via
+    // INTERSECT of grouped sets: distinct active customers of three
+    // consecutive years intersected, then counted per segment. Spark
+    // plans each INTERSECT as a distinct + left-semi hash join on the
+    // same key, so the three branches co-partition and the date
+    // predicates stay in each branch's scan.
+    QueryDef(
+      "q_flagship_ds_repeat",
+      (s, dir) => {
+        val t = tables(s, dir)
+        def active(y1: String, y2: String) = t.orders
+          .filter(col("o_orderdate") >= lit(y1).cast("timestamp") &&
+            col("o_orderdate") < lit(y2).cast("timestamp"))
+          .select(col("o_custkey"))
+          .distinct()
+        active("1996-01-01", "1997-01-01")
+          .intersect(active("1997-01-01", "1998-01-01"))
+          .intersect(active("1998-01-01", "1999-01-01"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_repeat"))
+          .select(col("c_mktsegment").as("segment"), col("n_repeat"))
+      },
+      Some("""
+        WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate <  TIMESTAMP '1997-01-01'),
+        y97 AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01'),
+        y98 AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                  AND o_orderdate <  TIMESTAMP '1999-01-01'),
+        rep AS (
+          SELECT o_custkey FROM y96
+          INTERSECT SELECT o_custkey FROM y97
+          INTERSECT SELECT o_custkey FROM y98
+        )
+        SELECT c_mktsegment AS segment, count(*) AS n_repeat
+        FROM rep JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+      """)
+    ),
+    // TPC-DS Q83 shape — dual-fact ratio join: two independent
+    // aggregations of the fact (returned quantity / total quantity per
+    // part) joined on their shared group key, ratio-banded, brand from
+    // the broadcast dim. Both aggregates hash-partition on l_partkey,
+    // so the join of the two is co-partitioned — no third shuffle; at
+    // 100 TB the plan cost is exactly two fact scans (one pruned by
+    // the returnflag predicate) and one dim broadcast.
+    QueryDef(
+      "q_flagship_ds_returns_ratio",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val ret = t.lineitem
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("ret_qty"))
+        val tot = t.lineitem
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("tot_qty"))
+        ret.join(tot, "l_partkey")
+          .withColumn("ratio",
+            round(col("ret_qty").cast("double")
+              / col("tot_qty").cast("double"), 6))
+          .filter(col("ratio") >= 0.5)
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey").as("partkey"), col("p_brand"),
+            col("ret_qty"), col("tot_qty"), col("ratio"))
+      },
+      Some("""
+        WITH ret AS (
+          SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS ret_qty
+          FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+        ),
+        tot AS (
+          SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS tot_qty
+          FROM lineitem GROUP BY l_partkey
+        ),
+        j AS (
+          SELECT ret.l_partkey, ret_qty, tot_qty,
+                 round(CAST(ret_qty AS DOUBLE)
+                       / CAST(tot_qty AS DOUBLE), 6) AS ratio
+          FROM ret JOIN tot ON ret.l_partkey = tot.l_partkey
+        )
+        SELECT j.l_partkey AS partkey, p_brand, ret_qty, tot_qty, ratio
+        FROM j JOIN part ON j.l_partkey = p_partkey
+        WHERE ratio >= 0.5
+      """)
+    ),
+    // TPC-DS Q87 EXCEPT leg — lapsed customers: active in 1997 but
+    // absent in 1998 via EXCEPT of grouped sets, counted per nation.
+    // Complements ds_repeat's INTERSECT with the anti-shaped set op
+    // (Spark plans EXCEPT as distinct + left-anti on the same key).
+    QueryDef(
+      "q_flagship_ds_lapsed",
+      (s, dir) => {
+        val t = tables(s, dir)
+        def active(y1: String, y2: String) = t.orders
+          .filter(col("o_orderdate") >= lit(y1).cast("timestamp") &&
+            col("o_orderdate") < lit(y2).cast("timestamp"))
+          .select(col("o_custkey"))
+          .distinct()
+        active("1997-01-01", "1998-01-01")
+          .except(active("1998-01-01", "1999-01-01"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_lapsed"))
+          .select(col("n_name").as("nation"), col("n_lapsed"))
+      },
+      Some("""
+        WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                       AND o_orderdate <  TIMESTAMP '1998-01-01'),
+        y98 AS (SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+                  AND o_orderdate <  TIMESTAMP '1999-01-01'),
+        lapsed AS (
+          SELECT o_custkey FROM y97
+          EXCEPT SELECT o_custkey FROM y98
+        )
+        SELECT n_name AS nation, count(*) AS n_lapsed
+        FROM lapsed
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+      """)
     )
   )
 }
