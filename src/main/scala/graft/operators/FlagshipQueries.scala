@@ -1694,6 +1694,211 @@ object FlagshipQueries extends QueryModule {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
       """)
+    ),
+    // TPC-DS Q14 shape — INTERSECT as a semi-filter inside a bigger
+    // aggregate: the brand set present in ALL THREE channels (an
+    // INTERSECT chain over distinct projections) filters the main
+    // revenue rollup via a left-semi join. Unlike ds_repeat (where the
+    // INTERSECT IS the result) the set here is an intermediate whose
+    // product feeds a second aggregate — Q14's cross_items pattern. The
+    // brand set is tiny (distinct brands), so AQE turns the semi join
+    // into a broadcast.
+    QueryDef(
+      "q_flagship_ds_cross_channel_items",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val fact = t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("l_returnflag"), col("l_linestatus"),
+            col("l_extendedprice"), col("l_discount"))
+        def brandsOf(cond: Column) =
+          fact.filter(cond).select(col("p_brand")).distinct()
+        val common = brandsOf(col("l_returnflag") === "R")
+          .intersect(brandsOf(
+            col("l_returnflag") =!= "R" && col("l_linestatus") === "F"))
+          .intersect(brandsOf(
+            col("l_returnflag") =!= "R" && col("l_linestatus") =!= "F"))
+        fact
+          .join(common, Seq("p_brand"), "left_semi")
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n"),
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
+              .as("revenue"))
+      },
+      Some(s"""
+        WITH fact AS (
+          SELECT p_brand, l_returnflag, l_linestatus,
+                 l_extendedprice, l_discount
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        common AS (
+          SELECT DISTINCT p_brand FROM fact WHERE l_returnflag = 'R'
+          INTERSECT
+          SELECT DISTINCT p_brand FROM fact
+          WHERE l_returnflag <> 'R' AND l_linestatus = 'F'
+          INTERSECT
+          SELECT DISTINCT p_brand FROM fact
+          WHERE l_returnflag <> 'R' AND l_linestatus <> 'F'
+        )
+        SELECT p_brand, count(*) AS n,
+               ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS revenue
+        FROM fact
+        WHERE p_brand IN (SELECT p_brand FROM common)
+        GROUP BY p_brand
+      """)
+    ),
+    // TPC-DS Q33/Q56/Q60 shape — aggregate -> UNION ALL -> re-aggregate:
+    // per-brand revenue computed independently in three disjoint ship
+    // windows (each a pruned scan + its own two-phase agg), the three
+    // AGGREGATED relations unioned and re-aggregated. Differs from
+    // ds_union_profit, which unions FACT rows before one aggregate.
+    // Exactness at any scale: each branch keeps the two-accumulator
+    // (hi, lo) long split of Money.sumWideUnits THROUGH the union, so
+    // the outer sum is still integer-only and the single double
+    // reconstruction happens once at the end — the re-agg never sums
+    // doubles.
+    QueryDef(
+      "q_flagship_ds_union_of_aggs",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val wide = 1000000L
+        def win(d1: String, d2: String) = {
+          val units =
+            Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
+          val lo = pmod(units, lit(wide))
+          t.lineitem
+            .filter(col("l_shipdate") >= lit(d1).cast("timestamp") &&
+              col("l_shipdate") < lit(d2).cast("timestamp"))
+            .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand"))
+            .agg(
+              sum(((units - lo) / lit(wide)).cast("long")).as("uh"),
+              sum(lo).as("ul"))
+        }
+        win("1996-01-01", "1996-07-01")
+          .unionByName(win("1997-01-01", "1997-07-01"))
+          .unionByName(win("1998-01-01", "1998-07-01"))
+          .groupBy(col("p_brand"))
+          .agg(sum(col("uh")).as("h"), sum(col("ul")).as("l"),
+            count(lit(1)).cast("long").as("n_windows"))
+          .select(col("p_brand"), col("n_windows"),
+            round((col("h").cast("double") * lit(wide.toDouble)
+              + col("l").cast("double")) / lit(10000.0), 4).as("revenue"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        def winSql(d1: String, d2: String) = s"""
+          SELECT p_brand,
+                 sum(($units) // 1000000) AS uh,
+                 sum(($units) % 1000000) AS ul
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '$d1'
+            AND l_shipdate <  TIMESTAMP '$d2'
+          GROUP BY p_brand"""
+        s"""
+        WITH u AS (
+          ${winSql("1996-01-01", "1996-07-01")}
+          UNION ALL ${winSql("1997-01-01", "1997-07-01")}
+          UNION ALL ${winSql("1998-01-01", "1998-07-01")}
+        )
+        SELECT p_brand, CAST(count(*) AS BIGINT) AS n_windows,
+               round((CAST(sum(uh) AS DOUBLE) * 1000000.0
+                      + CAST(sum(ul) AS DOUBLE)) / 10000.0, 4) AS revenue
+        FROM u GROUP BY p_brand
+      """
+      }
+    ),
+    // TPC-DS Q58 shape — band join of two aggregates: per-brand revenue
+    // in two channels (fulfilled vs open), the two aggregated relations
+    // joined on brand where each side sits within ±20% of the other.
+    // The band predicate runs on EXACT integer unit totals (10·a vs
+    // 8·b / 12·b), so the cut is order-independent; both aggs hash on
+    // p_brand and co-partition into the join.
+    QueryDef(
+      "q_flagship_ds_band_join",
+      (s, dir) => {
+        val t = tables(s, dir)
+        def chan(alias: String, cond: Column) = t.lineitem
+          .filter(cond)
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(Money.sumWideUnits(
+            Money.discPriceUnits(col("l_extendedprice"), col("l_discount")))
+            .as(alias))
+        val a = chan("ua",
+          col("l_returnflag") =!= "R" && col("l_linestatus") === "F")
+        val b = chan("ub",
+          col("l_returnflag") =!= "R" && col("l_linestatus") =!= "F")
+        a.join(b, "p_brand")
+          .filter(col("ua") * 10 >= col("ub") * 8 &&
+            col("ua") * 10 <= col("ub") * 12)
+          .select(col("p_brand"),
+            round(col("ua") / 10000.0, 4).as("rev_fulfilled"),
+            round(col("ub") / 10000.0, 4).as("rev_open"),
+            round(col("ua") / col("ub"), 6).as("ratio"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        s"""
+        WITH a AS (
+          SELECT p_brand, ${Money.sumWideUnitsSql(units)} AS ua
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_returnflag <> 'R' AND l_linestatus = 'F'
+          GROUP BY p_brand
+        ),
+        b AS (
+          SELECT p_brand, ${Money.sumWideUnitsSql(units)} AS ub
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_returnflag <> 'R' AND l_linestatus <> 'F'
+          GROUP BY p_brand
+        )
+        SELECT a.p_brand, round(ua / 10000.0, 4) AS rev_fulfilled,
+               round(ub / 10000.0, 4) AS rev_open,
+               round(ua / ub, 6) AS ratio
+        FROM a JOIN b ON a.p_brand = b.p_brand
+        WHERE ua * 10 >= ub * 8 AND ua * 10 <= ub * 12
+      """
+      }
+    ),
+    // TPC-DS Q54 shape — two-level aggregate into a histogram: exact
+    // revenue per customer (level 1), customers bucketed into $500
+    // bands by INTEGER division of the unit total (level 2), customer
+    // count per band. The band boundary is integer arithmetic on exact
+    // 1e-4-dollar units — no float can straddle a bucket edge. Level 2
+    // aggregates one row per customer, so the second shuffle is
+    // customer-cardinality, not fact-cardinality.
+    QueryDef(
+      "q_flagship_ds_revenue_bands",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val perCust = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(Money.sumWideUnits(
+            Money.discPriceUnits(col("l_extendedprice"), col("l_discount")))
+            .as("units"))
+        perCust
+          .select(expr("CAST(units AS BIGINT) div 5000000").as("band"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_customers"))
+          .select(col("band"), (col("band") * 500.0).as("band_lo_dollars"),
+            col("n_customers"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        s"""
+        WITH per_cust AS (
+          SELECT o_custkey, ${Money.sumWideUnitsSql(units)} AS units
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_custkey
+        )
+        SELECT band, band * 500.0 AS band_lo_dollars,
+               count(*) AS n_customers
+        FROM (SELECT CAST(units AS BIGINT) // 5000000 AS band FROM per_cust)
+        GROUP BY band
+      """
+      }
     )
   )
 }
