@@ -1899,6 +1899,122 @@ object FlagshipQueries extends QueryModule {
         GROUP BY band
       """
       }
+    ),
+    // TPC-DS Q93 shape — returns-adjusted net sales: the fact LEFT
+    // JOINs its own returned subset on the COMPOSITE line identity
+    // (orderkey, linenumber) and nets out refunds via coalesce
+    // arithmetic. In Q93 the right side is the store_returns fact; the
+    // returned-lines subset plays that role here. The composite-key
+    // fact-fact left join hash-partitions both sides on the same two
+    // columns, and the returnflag predicate prunes the right-side scan.
+    QueryDef(
+      "q_flagship_ds_returns_net",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val units =
+          Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
+        val ret = t.lineitem
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("r_orderkey"),
+            col("l_linenumber").as("r_linenumber"),
+            // refund = the discounted line amount (full-line return)
+            units.as("refund_units"))
+        val net = t.lineitem
+          .join(ret,
+            col("l_orderkey") === col("r_orderkey") &&
+              col("l_linenumber") === col("r_linenumber"),
+            "left_outer")
+          .select(col("l_suppkey"),
+            (units - coalesce(col("refund_units"), lit(0L))).as("net_units"))
+        net
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_lines"),
+            (Money.sumWideUnits(col("net_units")) / 10000.0).as("net_sales"))
+          .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_lines"),
+            col("net_sales"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        s"""
+        WITH ret AS (
+          SELECT l_orderkey AS r_orderkey, l_linenumber AS r_linenumber,
+                 $units AS refund_units
+          FROM lineitem WHERE l_returnflag = 'R'
+        ),
+        net AS (
+          SELECT l_suppkey,
+                 ($units) - coalesce(refund_units, 0) AS net_units
+          FROM lineitem LEFT JOIN ret
+            ON l_orderkey = r_orderkey AND l_linenumber = r_linenumber
+        ),
+        agg AS (
+          SELECT l_suppkey, count(*) AS n_lines,
+                 ${Money.sumWideUnitsSql("net_units")} / 10000.0 AS net_sales
+          FROM net GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, n_lines, net_sales
+        FROM agg JOIN supplier ON l_suppkey = s_suppkey
+      """
+      }
+    ),
+    // TPC-DS Q49 shape — rank window over a UNION of channel
+    // aggregates: each channel aggregates per brand, the three
+    // AGGREGATED relations union with a channel tag, then ONE window
+    // partitioned by channel ranks brands inside each channel and
+    // keeps the top 5. The window runs over group cells (3 channels ×
+    // |brands| rows), never fact rows; differs from ds_union_of_aggs
+    // (re-aggregate, no window) and ds_share (single relation, no
+    // union).
+    QueryDef(
+      "q_flagship_ds_rank_union",
+      (s, dir) => {
+        val t = tables(s, dir)
+        def chan(tag: String, cond: Column) = t.lineitem
+          .filter(cond)
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(Money.sumWideUnits(
+            Money.discPriceUnits(col("l_extendedprice"), col("l_discount")))
+            .as("units"))
+          .select(lit(tag).as("channel"), col("p_brand"), col("units"))
+        val u = chan("returned", col("l_returnflag") === "R")
+          .unionByName(chan("fulfilled",
+            col("l_returnflag") =!= "R" && col("l_linestatus") === "F"))
+          .unionByName(chan("open",
+            col("l_returnflag") =!= "R" && col("l_linestatus") =!= "F"))
+        val w = Window.partitionBy(col("channel"))
+          .orderBy(col("units").desc, col("p_brand"))
+        u.withColumn("chan_rank", row_number().over(w))
+          .filter(col("chan_rank") <= 5)
+          .select(col("channel"), col("p_brand"),
+            round(col("units") / 10000.0, 4).as("revenue"), col("chan_rank"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        def chanSql(tag: String, cond: String) = s"""
+          SELECT '$tag' AS channel, p_brand,
+                 ${Money.sumWideUnitsSql(units)} AS units
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE $cond
+          GROUP BY p_brand"""
+        s"""
+        WITH u AS (
+          ${chanSql("returned", "l_returnflag = 'R'")}
+          UNION ALL ${chanSql("fulfilled",
+            "l_returnflag <> 'R' AND l_linestatus = 'F'")}
+          UNION ALL ${chanSql("open",
+            "l_returnflag <> 'R' AND l_linestatus <> 'F'")}
+        )
+        SELECT channel, p_brand, revenue, chan_rank FROM (
+          SELECT channel, p_brand,
+                 round(units / 10000.0, 4) AS revenue,
+                 CAST(row_number() OVER (PARTITION BY channel
+                      ORDER BY units DESC, p_brand) AS INT) AS chan_rank
+          FROM u
+        ) WHERE chan_rank <= 5
+      """
+      }
     )
   )
 }
