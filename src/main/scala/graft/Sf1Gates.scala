@@ -32,6 +32,7 @@ object Sf1Gates {
       "ann_lsh_recall_sf1" -> (() => annLshRecall(spark, dir)),
       "ann_ivf_recall_sf1" -> (() => annIvfRecall(spark, dir)),
       "ann_planted_recall_sf1" -> (() => plantedRecall(spark, dir)),
+      "ann_ivf_lloyd_planted_recall_sf1" -> (() => ivfLloydPlantedRecall(spark, dir)),
       "ann_sq8_planted_recall_sf1" -> (() => sq8PlantedRecall(spark, dir)),
       "pq_planted_codes_sf1" -> (() => pqPlantedCodes(spark, dir)),
       "fuzzy_decon_sanity_sf1" -> (() => fuzzyDeconSanity(spark, dir)),
@@ -135,6 +136,30 @@ object Sf1Gates {
         "ann_planted_recall_sf1",
         brute == expected.size && lsh >= need && ivf >= need,
         s"planted=${expected.size} brute=$brute lsh=$lsh ivf=$ivf (brute=all, lsh/ivf>=$need)"
+      )
+    }
+
+  /** The Lloyd-refined IVF path against the same planted fixture: the
+    * registered q_ann_ivf runs the SEED coarse quantizer (hash-oracled,
+    * round 17), so the refinement variant keeps its own sf1-scale
+    * recall evidence here — refinement moves cell boundaries and must
+    * not lose the planted ε-rotated rank-1 neighbors.
+    */
+  private def ivfLloydPlantedRecall(spark: SparkSession, dir: String): Gate =
+    CacheScope.scoped {
+      val expected = (0L until ScaleUp.PlantedQueries.toLong)
+        .map(q => (q, q + ScaleUp.PlantOffset))
+        .toSet
+      val emb = Engine.Tables(spark, dir).embeddings
+      val got = pairs(
+        graft.operators.SimilarityQueries.ivfTopK(emb, 10, 5, lloydIters = 2),
+        "q_id", "cand_id")
+      val hits = (got & expected).size
+      val need = math.ceil(expected.size * 0.9).toInt
+      Gate(
+        "ann_ivf_lloyd_planted_recall_sf1",
+        hits >= need,
+        s"planted=${expected.size} lloyd_ivf=$hits (>= $need)"
       )
     }
 

@@ -62,7 +62,9 @@ object VerifySf1 {
       println(s"[sf1-gate] ${if (g.pass) "PASS" else "FAIL"} ${g.name}: ${g.detail}"))
     // entry lines for this run, merged over any prior file when --only
     // restricted the run (the untouched gates keep their evidence)
-    val entryRe = """"([a-z0-9_]+)": \{"pass".*\}""".r
+    // keeps gate entries AND the evidence stamp line (`"_meta": {...}`,
+    // written by tools/evidence.sh) across --only merges
+    val entryRe = """"([a-z0-9_]+)": \{.*\}""".r
     val prior: Seq[(String, String)] = {
       val p = java.nio.file.Paths.get("SCALECHECK_sf1.json")
       if (onlyGates.nonEmpty && java.nio.file.Files.exists(p))
