@@ -24,7 +24,8 @@ object PlanAudit {
       "q_flagship_ds_lapsed",
       "q_flagship_ds_cross_channel_items", "q_flagship_ds_union_of_aggs",
       "q_flagship_ds_band_join",
-      "q_flagship_ds_returns_net", "q_flagship_ds_rank_union"
+      "q_flagship_ds_returns_net", "q_flagship_ds_rank_union",
+      "q_flagship_ds_floor_band"
     )
     // NLJ is the *intended* strategy for the contains-join (theta
     // predicate), the brute-force ANN (deliberate small cross), the

@@ -2015,6 +2015,53 @@ object FlagshipQueries extends QueryModule {
         ) WHERE chan_rank <= 5
       """
       }
+    ),
+    // TPC-DS Q65 shape — per-group minimum re-joined with a band: part
+    // revenue per (brand, part), the BRAND-level minimum of those part
+    // revenues (an aggregate OF the aggregate), and the parts sitting
+    // within 110% of their brand's floor. Two-level agg + join-back is
+    // the distinct combination (ds_share windows over one level;
+    // top_supplier's max is a global 1-row broadcast — this key is
+    // per-group). The band cut runs on exact integer units (10·u vs
+    // 11·min), and both join sides hash on p_brand.
+    QueryDef(
+      "q_flagship_ds_floor_band",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val perPart = t.lineitem
+          .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_partkey"))
+          .agg(Money.sumWideUnits(
+            Money.discPriceUnits(col("l_extendedprice"), col("l_discount")))
+            .as("u"))
+        val floorPerBrand = perPart
+          .groupBy(col("p_brand"))
+          .agg(min(col("u")).as("mu"))
+        perPart.join(floorPerBrand, "p_brand")
+          .filter(col("u") * 10 <= col("mu") * 11)
+          .select(col("p_brand"), col("p_partkey"),
+            round(col("u") / 10000.0, 4).as("revenue"),
+            round(col("mu") / 10000.0, 4).as("brand_floor"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        s"""
+        WITH per_part AS (
+          SELECT p_brand, p_partkey, ${Money.sumWideUnitsSql(units)} AS u
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand, p_partkey
+        ),
+        floor_per_brand AS (
+          SELECT p_brand, min(u) AS mu FROM per_part GROUP BY p_brand
+        )
+        SELECT pp.p_brand, p_partkey,
+               round(u / 10000.0, 4) AS revenue,
+               round(mu / 10000.0, 4) AS brand_floor
+        FROM per_part pp
+        JOIN floor_per_brand f ON pp.p_brand = f.p_brand
+        WHERE u * 10 <= mu * 11
+      """
+      }
     )
   )
 }
