@@ -2062,6 +2062,89 @@ object FlagshipQueries extends QueryModule {
         WHERE u * 10 <= mu * 11
       """
       }
+    ),
+    // TPC-DS Q37/Q82 shape — dim-banded census over a date-bracketed
+    // semi join: parts in a size/price band that actually shipped
+    // inside a one-year window (left-semi against the bracketed fact),
+    // counted per brand. The dim predicates (size, retailprice) and
+    // the fact bracket (shipdate) each land in their own scan's
+    // PushedFilters; the semi join carries no fact payload — at 100 TB
+    // the probe side is one pruned column.
+    QueryDef(
+      "q_flagship_ds_banded_census",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val shipped = t.lineitem
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("l_partkey"))
+        t.part
+          .filter(col("p_size").between(2, 6) &&
+            col("p_retailprice") >= 500.0 && col("p_retailprice") < 1500.0)
+          .join(shipped, col("p_partkey") === col("l_partkey"), "left_semi")
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_parts"),
+            Money.sumPrice(col("p_retailprice")).as("retail_total"))
+      },
+      Some(s"""
+        SELECT p_brand, count(*) AS n_parts,
+               ${Money.sumPriceSql("p_retailprice")} AS retail_total
+        FROM part
+        WHERE p_size BETWEEN 2 AND 6
+          AND p_retailprice >= 500.0 AND p_retailprice < 1500.0
+          AND p_partkey IN (
+            SELECT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01')
+        GROUP BY p_brand
+      """)
+    ),
+    // TPC-DS Q66 shape — wide monthly pivot in ONE aggregate: per
+    // supplier, twelve conditional monthly revenue sums over one
+    // bracketed fact scan (the classic warehouse-by-month pivot).
+    // Each cell keeps the exact integer unit arithmetic; one scan,
+    // one shuffle on s_suppkey, twelve codegen'd long-sum pairs —
+    // the shape real reporting pipelines fan out to hundreds of
+    // conditional columns.
+    QueryDef(
+      "q_flagship_ds_monthly_pivot",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val units =
+          Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
+        val mcols = (1 to 12).map { m =>
+          (Money.sumWideUnits(
+            when(month(col("l_shipdate")) === m, units).otherwise(lit(0L)))
+            / 10000.0).as(f"rev_m$m%02d")
+        }
+        t.lineitem
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(mcols.head, mcols.tail: _*)
+          .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey") +: col("s_name") +:
+            (1 to 12).map(m => col(f"rev_m$m%02d")): _*)
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        val cells = (1 to 12).map { m =>
+          val cond = s"CASE WHEN month(l_shipdate) = $m THEN $units ELSE 0 END"
+          f"${Money.sumWideUnitsSql(cond)} / 10000.0 AS rev_m$m%02d"
+        }.mkString(",\n                 ")
+        s"""
+        WITH agg AS (
+          SELECT l_suppkey,
+                 $cells
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, ${(1 to 12).map(m => f"rev_m$m%02d").mkString(", ")}
+        FROM agg JOIN supplier ON l_suppkey = s_suppkey
+      """
+      }
     )
   )
 }
