@@ -25,7 +25,8 @@ object PlanAudit {
       "q_flagship_ds_cross_channel_items", "q_flagship_ds_union_of_aggs",
       "q_flagship_ds_band_join",
       "q_flagship_ds_returns_net", "q_flagship_ds_rank_union",
-      "q_flagship_ds_floor_band", "q_flagship_ds_monthly_pivot"
+      "q_flagship_ds_floor_band", "q_flagship_ds_monthly_pivot",
+      "q_flagship_ds_single_supplier"
     )
     // NLJ is the *intended* strategy for the contains-join (theta
     // predicate), the brute-force ANN (deliberate small cross), the
@@ -102,6 +103,7 @@ object PlanAudit {
       "q_flagship_ds_band_join",
       "q_flagship_ds_returns_net", "q_flagship_ds_rank_union",
       "q_flagship_ds_banded_census", "q_flagship_ds_monthly_pivot",
+      "q_flagship_ds_single_supplier",
       "q_join_anti", "q_join_asof", "q_join_asof_forward", "q_join_asof_native",
       "q_join_broadcast_dim", "q_join_bucketed_colocated", "q_join_inner",
       "q_join_interval", "q_join_left_outer", "q_join_multiway", "q_join_semi",

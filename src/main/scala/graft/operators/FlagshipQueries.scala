@@ -2145,6 +2145,56 @@ object FlagshipQueries extends QueryModule {
         FROM agg JOIN supplier ON l_suppkey = s_suppkey
       """
       }
+    ),
+    // TPC-DS Q95 shape — group-level universal quantifier: multi-line
+    // orders whose lines ALL shipped from one supplier (count distinct
+    // == 1 with count > 1 — a HAVING on the order group), then a
+    // census per that supplier's nation. The quantifier is ONE
+    // aggregate over the bracketed fact (no per-order subquery or
+    // self-join); min(l_suppkey) is the witness key because the
+    // distinct count pins it unique.
+    QueryDef(
+      "q_flagship_ds_single_supplier",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val perOrder = t.lineitem
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .groupBy(col("l_orderkey"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            count(lit(1)).as("n_lines"),
+            min(col("l_suppkey")).as("the_supp"))
+          .filter(col("n_supp") === 1 && col("n_lines") > 1)
+        perOrder
+          .join(broadcast(t.supplier), col("the_supp") === col("s_suppkey"))
+          .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("n_lines")).as("n_lines_total"))
+          .select(col("n_name").as("nation"), col("n_orders"),
+            col("n_lines_total"))
+      },
+      Some("""
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(*) AS n_lines,
+                 min(l_suppkey) AS the_supp
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_orderkey
+        )
+        SELECT n_name AS nation,
+               count(*) AS n_orders,
+               CAST(sum(n_lines) AS BIGINT) AS n_lines_total
+        FROM per_order
+        JOIN supplier ON the_supp = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_supp = 1 AND n_lines > 1
+        GROUP BY n_name
+      """)
     )
   )
 }
