@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the forked program's stdout for the compact
+// JSON summary line (Bench.scala). Two sbt artifacts must not get in
+// the way: (1) sbt's default LoggedOutput strategy prefixes every
+// forked-stdout line with "[info] ", and (2) sbt prints a
+// "[success] Total time: ..." epilogue AFTER the program exits, so the
+// summary would never be the last raw stdout line. StdoutOutput passes
+// the program's stdout through verbatim; showSuccess drops the epilogue.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+// showSuccess is read by sbt's command loop, not a task — lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -116,7 +116,12 @@ object Bench {
     // 3-channel union under a ROLLUP (3 fact scans + Expand) and the
     // dual-fact ratio join (two fact aggs co-partitioned on partkey)
     "q_flagship_ds_union_profit",
-    "q_flagship_ds_returns_ratio"
+    "q_flagship_ds_returns_ratio",
+    // round-18 addition: the fork's namesake path — the closed-loop
+    // adaptive salted join (measure skew, pick a salt factor, replicate
+    // the small side) — so regressions in the Reshape layer show up as
+    // numbers in the bench chain, not only as correctness rows
+    "q_skew_salted_join"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this
@@ -309,6 +314,6 @@ object Bench {
     // line can land after it): the tail always keeps a short last line
     // intact. Full per-query maps live in the big line and the file.
     println(
-      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","queries_timed":${timed.size},"queries_selected":${selected.size},"calibration_ratio":$calR,"suspect":$suspect,"failed":$failedJson,"sf":"$sfDir","detail":"$outPath"}""")
+      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","summary":true,"queries_timed":${timed.size},"queries_selected":${selected.size},"calibration_ratio":$calR,"suspect":$suspect,"failed":$failedJson,"sf":"$sfDir","detail":"$outPath"}""")
   }
 }
