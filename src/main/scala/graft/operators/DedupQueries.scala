@@ -225,6 +225,85 @@ object DedupQueries extends QueryModule {
     WHERE round(inter * 1.0 / (sz1 + sz2 - inter), 6) >= 0.8
   """
 
+  /** Exact replay of MinHash+LSH: Murmur3Sql replays Spark's murmur3
+    * per shingle, the VALUES-embedded permutation constants come from
+    * MinHashSignature's own arrays, banding keys on the raw 4-slot
+    * tuples (equal tuples ⇔ equal Spark band hashes), and candidates
+    * are verified with the same exact-Jaccard round-then-filter. The
+    * hot-bucket guard is replayed too (count > MaxBucketSize per
+    * band key).
+    */
+  private lazy val minhashLshOracle = s"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+2], ' ')
+                            for i in range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    ),
+    shf AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+    ${Murmur3Sql.minhashBandCtes},
+    hot AS (SELECT band, bkey FROM bands
+            GROUP BY 1, 2 HAVING count(*) > ${MinHashLsh.MaxBucketSize}),
+    banded AS (SELECT b.doc_id, b.band, b.bkey FROM bands b
+               ANTI JOIN hot h ON b.band = h.band AND b.bkey = h.bkey),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT d1, d2, jaccard FROM (
+      SELECT c.d1, c.d2,
+             round(len(list_intersect(s1.shingles, s2.shingles)) * 1.0 /
+                   ((len(s1.shingles) + len(s2.shingles))
+                    - len(list_intersect(s1.shingles, s2.shingles))), 6) AS jaccard
+      FROM cand c JOIN shf s1 ON s1.doc_id = c.d1
+                  JOIN shf s2 ON s2.doc_id = c.d2)
+    WHERE jaccard >= 0.8
+  """
+
+  /** Exact replay of SimHash banding: murmur3 halves (seeds 42/1042)
+    * per DISTINCT token with the per-doc multiplicity folded in as
+    * cnt×(2·bit−1), the 64-bit signature reassembled as UBIGINT, the
+    * same 4×16-bit band split, hot-bucket guard, pair dedup, and
+    * bit_count(xor) Hamming filter.
+    */
+  private lazy val simhashOracle = s"""
+    WITH dt AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS cnt FROM dt GROUP BY 1, 2),
+    toks AS (SELECT DISTINCT tok FROM tc),
+    ${Murmur3Sql.hashCtes(42, "toks", "lo")},
+    ${Murmur3Sql.hashCtes(1042, "toks", "hi")},
+    h64 AS (
+      SELECT l.tok,
+             (CASE WHEN l.h32 < 0 THEN l.h32 + 4294967296 ELSE l.h32 END) AS lo,
+             (CASE WHEN h.h32 < 0 THEN h.h32 + 4294967296 ELSE h.h32 END) AS hi
+      FROM lo_hash l JOIN hi_hash h USING (tok)),
+    bitsum AS (
+      SELECT t.doc_id, b.i,
+             sum((t.cnt * (CASE WHEN b.i < 32
+                   THEN ((h.lo >> b.i) & 1)
+                   ELSE ((h.hi >> (b.i - 32)) & 1) END) * 2) - t.cnt) AS c
+      FROM tc t JOIN h64 h USING (tok)
+      CROSS JOIN (SELECT unnest(range(64)) AS i) b
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN c > 0 THEN (1::HUGEINT << i) ELSE 0 END)::UBIGINT AS s
+      FROM bitsum GROUP BY 1),
+    bandt AS (
+      SELECT doc_id, s, t.band, ((s >> (t.band * 16)) & 65535)::BIGINT AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) t),
+    hot AS (SELECT band, bucket FROM bandt
+            GROUP BY 1, 2 HAVING count(*) > ${MinHashLsh.MaxBucketSize}),
+    banded AS (SELECT b.* FROM bandt b ANTI JOIN hot h USING (band, bucket)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.s AS s1, b.s AS s2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT d1, d2, bit_count(xor(s1, s2))::INT AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+  """
+
   /** Target rows per semantic-dedup cluster. k is derived as
     * ceil(N / target) so the within-cluster pairwise cost per cluster
     * (~target² cosine evaluations) is a CONSTANT as the corpus grows —
@@ -407,18 +486,22 @@ object DedupQueries extends QueryModule {
       Some(jaccardOracle)
     ),
     // MinHash + banded LSH with exact-Jaccard verification of the
-    // banding candidates. Probabilistic recall → rows-only check here;
-    // MinHashSpec asserts agreement with the exact pairs.
+    // banding candidates. Hash-oracled since round 18: Murmur3Sql
+    // replays the murmur3 token hash in DuckDB, so the banding is no
+    // longer "probabilistic" from the oracle's viewpoint — it is the
+    // same deterministic function of the text. MinHashSpec still
+    // asserts agreement with the exact pairs.
     QueryDef(
       "q_dedup_minhash_lsh",
       (s, dir) => MinHashLsh.nearDuplicates(shingled(tables(s, dir)), 0.8),
-      None
+      Some(minhashLshOracle)
     ),
-    // SimHash candidates at Hamming distance <= 3. Rows-only + spec.
+    // SimHash candidates at Hamming distance <= 3. Hash-oracled since
+    // round 18 (murmur3 replay), spec keeps the Hamming-radius claim.
     QueryDef(
       "q_dedup_simhash",
       (s, dir) => SimHash.candidates(tables(s, dir).documents, 3),
-      None
+      Some(simhashOracle)
     ),
     // Embedding-cosine near-dup, label-blocked (exact within block).
     QueryDef(

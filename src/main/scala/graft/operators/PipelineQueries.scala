@@ -1364,10 +1364,12 @@ object PipelineQueries extends QueryModule {
     // Fuzzy decontamination: the MinHash-banded counterpart of
     // q_decontaminate — paraphrased/near-verbatim benchmark leakage
     // that exact n-gram overlap underestimates. Candidates come from
-    // band-bucket collisions (probabilistic recall → rows-only check;
-    // DedupSimilaritySpec verifies precision and the Jaccard-governed
-    // recall region against an exact all-pairs sweep), verification is
-    // exact set overlap on both Jaccard and benchmark containment.
+    // band-bucket collisions, verification is exact set overlap on
+    // both Jaccard and benchmark containment. Hash-oracled since round
+    // 18: Murmur3Sql replays the murmur3 signature hash, so the
+    // banding candidate set is deterministic provenance the oracle
+    // reproduces (DedupSimilaritySpec keeps the precision/recall-region
+    // claims vs an exact all-pairs sweep).
     QueryDef(
       "q_decontaminate_fuzzy",
       (s, dir) => {
@@ -1383,7 +1385,42 @@ object PipelineQueries extends QueryModule {
         val corpus = sh.filter(pmod(col("doc_id"), lit(13L)) =!= 0)
         MinHashLsh.contaminated(corpus, bench, 0.8)
       },
-      None // banding recall is probabilistic — spec-checked vs exact
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(words[i:i+2], ' ')
+                                for i in range(1, len(words) - 1)]) AS shingles
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+        ),
+        shf AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+        ${graft.operators.Murmur3Sql.minhashBandCtes},
+        bandc AS (SELECT * FROM bands WHERE doc_id % 13 != 0),
+        bandb AS (SELECT doc_id AS bench_id, band, bkey FROM bands
+                  WHERE doc_id % 13 = 0),
+        hot AS (SELECT band, bkey FROM bandc
+                GROUP BY 1, 2 HAVING count(*) > ${graft.operators.MinHashLsh.MaxBucketSize}),
+        cand AS (
+          SELECT DISTINCT c.doc_id, b.bench_id
+          FROM (SELECT x.* FROM bandc x
+                ANTI JOIN hot h ON x.band = h.band AND x.bkey = h.bkey) c
+          JOIN bandb b ON c.band = b.band AND c.bkey = b.bkey),
+        ver AS (
+          SELECT c.doc_id, c.bench_id,
+                 len(list_intersect(s1.shingles, s2.shingles)) * 1.0 AS inter,
+                 len(s1.shingles) AS sz1, len(s2.shingles) AS szb
+          FROM cand c JOIN shf s1 ON s1.doc_id = c.doc_id
+                      JOIN shf s2 ON s2.doc_id = c.bench_id),
+        scorepass AS (
+          SELECT doc_id,
+                 round(inter / ((sz1 + szb) - inter), 6) AS jaccard,
+                 round(inter / szb, 6) AS containment
+          FROM ver
+          WHERE round(inter / ((sz1 + szb) - inter), 6) >= 0.8
+             OR round(inter / szb, 6) >= 0.8)
+        SELECT doc_id, count(*) AS n_bench_hits,
+               max(jaccard) AS max_jaccard, max(containment) AS max_containment
+        FROM scorepass GROUP BY doc_id
+      """)
     ),
     // Z-order (Morton) layout stats: quantize two dimensions onto an
     // 8-bit grid against broadcast 1-row bounds, interleave the bits,

@@ -143,6 +143,51 @@ object SimilarityQueries extends QueryModule {
       .filter(col("rnk") <= k)
   }
 
+  /** DuckDB replay of [[graft.functions.HyperplaneBuckets]] for the
+    * registered q_ann_lsh parameters (8 tables × 4 planes over dim 64):
+    * the ±1 coefficient is the same `((t*40503+p)*1315423911 +
+    * d*2654435761) >>> 7 & 1` bit-mix (all operands positive, so SQL's
+    * arithmetic `>>` equals the JVM's `>>>`), and the per-plane dot
+    * product replays the kernel's SEQUENTIAL d=0..63 float fold via
+    * list_reduce from a 0.0 seed — bit-identical accumulation, so the
+    * `s >= 0` sign test (and hence every bucket code) matches exactly.
+    * Parenthesization is exhaustive: DuckDB's shift/mask operators
+    * associate left-to-right at equal precedence (see Murmur3Sql).
+    */
+  private def lshPlaneFold(p: Int): String = {
+    val signed = "list_transform(range(64), d -> CASE WHEN " +
+      s"(((((t.t*40503) + $p)*1315423911) + (d*2654435761)) >> 7) & 1 = 1 " +
+      "THEN v[d+1] ELSE -v[d+1] END)"
+    s"list_reduce(list_prepend(0.0::DOUBLE, $signed), (a, x) -> a + x)"
+  }
+  private lazy val lshOracle: String = {
+    val code = (0 until 4)
+      .map(p => s"(CASE WHEN (${lshPlaneFold(p)}) >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        codes AS (
+          SELECT vec_id, v, list_inner_product(v, v) AS n2, t.t AS tbl,
+                 $code AS bucket
+          FROM e CROSS JOIN (SELECT unnest(range(8)) AS t) t),
+        hot AS (SELECT tbl, bucket FROM codes
+                GROUP BY 1, 2 HAVING count(*) > ${graft.operators.MinHashLsh.MaxBucketSize}),
+        cands AS (SELECT c.* FROM codes c ANTI JOIN hot h USING (tbl, bucket)),
+        q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn, tbl, bucket
+              FROM codes WHERE vec_id < 10),
+        scored AS (
+          SELECT DISTINCT q.q_id, c.vec_id AS cand_id,
+                 round(list_inner_product(q.qv, c.v) / sqrt(q.qn * c.n2), 6) + 0.0 AS cos
+          FROM cands c JOIN q USING (tbl, bucket)
+          WHERE q.q_id != c.vec_id)
+        SELECT q_id, cand_id, cos, rnk FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                         ORDER BY cos DESC, cand_id) AS INT) AS rnk
+          FROM scored)
+        WHERE rnk <= 5
+      """
+  }
+
   /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
     * the hyperplane LSH: a small k-means codebook partitions the corpus
     * into `nLists` cells; a query probes only its `nProbe` nearest
@@ -816,14 +861,14 @@ object SimilarityQueries extends QueryModule {
         cand AS (
           SELECT e.vec_id, e.v, e.n2,
                  round(list_inner_product(e.v, (SELECT v FROM q)) /
-                       sqrt(e.n2 * (SELECT n2 FROM q)), 6) AS rel
+                       sqrt(e.n2 * (SELECT n2 FROM q)), 6) + 0.0 AS rel
           FROM e WHERE e.vec_id != 0
           ORDER BY rel DESC, vec_id LIMIT 50
         ),
         sim AS (
           SELECT a.vec_id AS ia, b.vec_id AS ib,
                  round(list_inner_product(a.v, b.v) /
-                       sqrt(a.n2 * b.n2), 6) AS s
+                       sqrt(a.n2 * b.n2), 6) + 0.0 AS s
           FROM cand a JOIN cand b ON a.vec_id != b.vec_id
         ),
         s1 AS (
@@ -852,7 +897,7 @@ object SimilarityQueries extends QueryModule {
                    FROM embeddings),
         scored AS (
           SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-                 round(list_inner_product(q.v, c.v) / sqrt(q.n2 * c.n2), 6) AS cos
+                 round(list_inner_product(q.v, c.v) / sqrt(q.n2 * c.n2), 6) + 0.0 AS cos
           FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id
         )
         SELECT q_id, cand_id, cos, rnk FROM (
@@ -862,10 +907,14 @@ object SimilarityQueries extends QueryModule {
         WHERE rnk <= 5
       """)
     ),
+    // Hash-oracled since round 18: the hyperplane bit-mix and the
+    // sequential per-plane float fold replay exactly in DuckDB
+    // (lshOracle above), so the "probabilistic" bucket assignment is
+    // deterministic provenance like the IVF family's seed codebooks.
     QueryDef(
       "q_ann_lsh",
       (s, dir) => lshTopK(tables(s, dir).embeddings, 10, 5, 4, 64),
-      None
+      Some(lshOracle)
     ),
     // IVF with the deterministic seed coarse quantizer (lloydIters=0):
     // the same seed rule the hash-green IVF-PQ coarse quantizer uses,
@@ -883,7 +932,7 @@ object SimilarityQueries extends QueryModule {
         scored AS (
           SELECT p.q_id, l.vec_id AS cand_id,
                  round(list_inner_product(p.qv, l.v)
-                       / sqrt(p.qn * l.n2), 6) AS cos
+                       / sqrt(p.qn * l.n2), 6) + 0.0 AS cos
           FROM cellasg l JOIN probes p ON l.list_id = p.list_id
           WHERE p.q_id != l.vec_id
         )
@@ -925,7 +974,7 @@ object SimilarityQueries extends QueryModule {
         scored AS (
           SELECT p.q_id, l.vec_id AS cand_id,
                  round(list_inner_product(p.qa, l.cb)
-                       / sqrt(p.qan * l.cbn), 6) AS qcos
+                       / sqrt(p.qan * l.cbn), 6) + 0.0 AS qcos
           FROM lcn l JOIN pcn p ON l.list_id = p.list_id
           WHERE p.q_id != l.vec_id
         )
@@ -1007,7 +1056,7 @@ object SimilarityQueries extends QueryModule {
         n AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS qn FROM qd),
         scored AS (
           SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-                 round(list_inner_product(q.qv, c.qv) / sqrt(q.qn * c.qn), 6) AS qcos
+                 round(list_inner_product(q.qv, c.qv) / sqrt(q.qn * c.qn), 6) + 0.0 AS qcos
           FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id
         )
         SELECT q_id, cand_id, qcos, rnk FROM (

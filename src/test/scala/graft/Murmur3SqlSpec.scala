@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pins the algorithm the Murmur3Sql DuckDB text encodes to Spark's
+  * Murmur3_x86_32.hashUnsafeBytes — the JVM kernel behind hash(),
+  * MinHashSignature and SimHash64. The mirror below follows the SQL
+  * step for step (hex-nibble byte recovery, little-endian 4-byte
+  * chunk fold, sign-extended byte tail, staged fmix, signed-int32
+  * fold-back) in unsigned-32 arithmetic carried in Long — so a
+  * transcription mistake in any mask, rotation or sign extension
+  * fails here without needing DuckDB in the JVM. The SQL text itself
+  * is exercised by the driver's DuckDB oracle on
+  * q_dedup_minhash_lsh / q_dedup_simhash / q_decontaminate_fuzzy.
+  */
+class Murmur3SqlSpec extends AnyFunSuite {
+
+  private val M = 0xffffffffL
+  private def rotl(x: Long, r: Int): Long = ((x << r) | (x >> (32 - r))) & M
+  private def mixK1(k: Long): Long =
+    (rotl((k * 3432918353L) & M, 15) * 461845907L) & M
+  private def mixH1(h: Long, k: Long): Long =
+    ((rotl(h ^ mixK1(k), 13) * 5L) + 3864292196L) & M
+  private def fmix(h0: Long, n: Long): Long = {
+    val s1 = { val x = h0 ^ n; x ^ (x >> 16) }
+    val s2 = (s1 * 2246822507L) & M
+    val s3 = s2 ^ (s2 >> 13)
+    val s4 = (s3 * 3266489909L) & M
+    s4 ^ (s4 >> 16)
+  }
+
+  /** The SQL's computation: bytes from hex nibbles, aligned chunks
+    * little-endian, tail sign-extended, fold back to signed int32.
+    */
+  private def sqlMirrorHash(s: String, seed: Int): Int = {
+    val hexStr = s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    val alphabet = "123456789abcdef" // strpos: '0' -> 0 (not found)
+    val bs = hexStr.grouped(2).map { p =>
+      (alphabet.indexOf(p(0)) + 1) * 16 + (alphabet.indexOf(p(1)) + 1)
+    }.toArray
+    val n = bs.length
+    val na = n - n % 4
+    var h = seed.toLong & M
+    var i = 0
+    while (i < na) {
+      val k = bs(i) + 256L * bs(i + 1) + 65536L * bs(i + 2) + 16777216L * bs(i + 3)
+      h = mixH1(h, k)
+      i += 4
+    }
+    while (i < n) {
+      val b = if (bs(i) >= 128) bs(i) + 4294967040L else bs(i).toLong
+      h = mixH1(h, b)
+      i += 1
+    }
+    val u = fmix(h, n.toLong)
+    (if (u >= 2147483648L) u - 4294967296L else u).toInt
+  }
+
+  private def sparkHash(s: String, seed: Int): Int = {
+    val u = UTF8String.fromString(s)
+    Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
+  }
+
+  test("SQL mirror matches Spark murmur3 on fixed cases, both seeds") {
+    val cases = Seq(
+      "", "a", "ab", "abc", "abcd", "abcde", "three word shingle",
+      "héllo wörld", "日本語テキスト", " mixed é", "€€€",
+      "a" * 100
+    )
+    for (s <- cases; seed <- Seq(42, 1042)) {
+      assert(sqlMirrorHash(s, seed) === sparkHash(s, seed), s"input=$s seed=$seed")
+    }
+  }
+
+  test("SQL mirror matches Spark murmur3 on random strings") {
+    val rng = new scala.util.Random(18)
+    val pools = Seq(
+      ('a' to 'z') ++ ('0' to '9') :+ ' ',          // ASCII tokens
+      "éüßñ日本語한글€𝄞".toSeq,                      // multi-byte heavy
+      (0 until 0xd7ff).map(_.toChar)                 // arbitrary BMP
+    )
+    for (_ <- 0 until 500) {
+      val pool = pools(rng.nextInt(pools.length))
+      val s = Seq.fill(rng.nextInt(40))(pool(rng.nextInt(pool.length))).mkString
+      assert(sqlMirrorHash(s, 42) === sparkHash(s, 42), s"input=${s.take(40)}")
+      assert(sqlMirrorHash(s, 1042) === sparkHash(s, 1042), s"input=${s.take(40)}")
+    }
+  }
+
+  test("hashCtes embeds the nibble alphabet and both fold stages") {
+    val sql = graft.operators.Murmur3Sql.hashCtes(42, "toks", "t")
+    assert(sql.contains("123456789abcdef"))
+    assert(sql.contains("list_reduce"))
+    assert(sql.contains("4294967040")) // tail sign extension
+  }
+
+  test("minhash perm VALUES replay MinHashSignature's own coefficients") {
+    val values = graft.operators.Murmur3Sql.minhashPermsValues
+    val as = graft.functions.MinHashSignature.As
+    val bs = graft.functions.MinHashSignature.Bs
+    assert(values.contains(s"(0, ${as(0)}, ${bs(0)})"))
+    assert(values.contains(s"(63, ${as(63)}, ${bs(63)})"))
+  }
+}
