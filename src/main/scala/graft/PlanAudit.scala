@@ -26,7 +26,12 @@ object PlanAudit {
       "q_flagship_ds_band_join",
       "q_flagship_ds_returns_net", "q_flagship_ds_rank_union",
       "q_flagship_ds_floor_band", "q_flagship_ds_monthly_pivot",
-      "q_flagship_ds_single_supplier"
+      "q_flagship_ds_single_supplier",
+      // r18 ds shapes: the 50-row top-k semi set, and the dim tables
+      // enriching the two-snapshot / yoy-channel survivors, must ride
+      // broadcasts
+      "q_flagship_ds_topk_semi", "q_flagship_ds_two_snapshots",
+      "q_flagship_ds_yoy_channels"
     )
     // NLJ is the *intended* strategy for the contains-join (theta
     // predicate), the brute-force ANN (deliberate small cross), the
@@ -104,6 +109,10 @@ object PlanAudit {
       "q_flagship_ds_returns_net", "q_flagship_ds_rank_union",
       "q_flagship_ds_banded_census", "q_flagship_ds_monthly_pivot",
       "q_flagship_ds_single_supplier",
+      // r18 ds shapes: returnflag channels and the two orderdate
+      // brackets must reach the scans
+      "q_flagship_ds_cumulative_rank", "q_flagship_ds_two_snapshots",
+      "q_flagship_ds_yoy_channels",
       "q_join_anti", "q_join_asof", "q_join_asof_forward", "q_join_asof_native",
       "q_join_broadcast_dim", "q_join_bucketed_colocated", "q_join_inner",
       "q_join_interval", "q_join_left_outer", "q_join_multiway", "q_join_semi",

@@ -2195,6 +2195,322 @@ object FlagshipQueries extends QueryModule {
         WHERE n_supp = 1 AND n_lines > 1
         GROUP BY n_name
       """)
+    ),
+    // TPC-DS Q23 shape — multi-level CTE feeding a top-k semi-filter
+    // into a second aggregate. Level-1 CTE counts lines per (part,
+    // quarter); level-2 keeps parts with >= 4 lines in >= 2 distinct
+    // quarters (a CTE over a CTE — the multi-level bit ds_frequent's
+    // single-level HAVING lacks). Best customers are an exact TOP-50
+    // by long-cent spend via sort-limit (TakeOrderedAndProject — a
+    // distributed top-k with per-partition pruning, deliberately NOT a
+    // partitionless row_number, which would funnel the corpus through
+    // one task; ties break on custkey so the 50-boundary is
+    // engine-identical). The 50-row best set broadcasts into its semi
+    // join; the frequent-part semi shuffles (its key set scales with
+    // |part|). Final aggregate: yearly line count + exact revenue over
+    // lines passing BOTH filters.
+    QueryDef(
+      "q_flagship_ds_topk_semi",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val perQuarter = t.lineitem
+          .groupBy(col("l_partkey"),
+            year(col("l_shipdate")).cast("long").as("yr"),
+            quarter(col("l_shipdate")).cast("long").as("qtr"))
+          .agg(count(lit(1)).as("cnt"))
+        val freq = perQuarter
+          .filter(col("cnt") >= 4)
+          .groupBy(col("l_partkey"))
+          .agg(countDistinct(col("yr") * 4 + col("qtr")).as("nq"))
+          .filter(col("nq") >= 2)
+          .select(col("l_partkey").as("fk"))
+        val best = t.orders
+          .groupBy(col("o_custkey"))
+          .agg(Money.sumWideUnits(Money.cents(col("o_totalprice"))).as("spend"))
+          .orderBy(col("spend").desc, col("o_custkey"))
+          .limit(50)
+          .select(col("o_custkey").as("bk"))
+        val bestOrders = t.orders
+          .join(broadcast(best), col("o_custkey") === col("bk"), "left_semi")
+          .select(col("o_orderkey"))
+        t.lineitem
+          .join(freq, col("l_partkey") === col("fk"), "left_semi")
+          .join(bestOrders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(year(col("l_shipdate")).cast("long").as("yr"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            (Money.sumWideUnits(
+              Money.discPriceUnits(col("l_extendedprice"), col("l_discount")))
+              / 10000.0).as("revenue"))
+      },
+      Some(s"""
+        WITH per_q AS (
+          SELECT l_partkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
+                 CAST(quarter(l_shipdate) AS BIGINT) AS qtr, count(*) AS cnt
+          FROM lineitem GROUP BY 1, 2, 3
+        ),
+        freq AS (
+          SELECT l_partkey FROM per_q WHERE cnt >= 4
+          GROUP BY l_partkey HAVING count(DISTINCT (yr*4) + qtr) >= 2
+        ),
+        best AS (
+          SELECT o_custkey FROM (
+            SELECT o_custkey,
+                   ${Money.sumWideUnitsSql(Money.centsSql("o_totalprice"))} AS spend
+            FROM orders GROUP BY 1)
+          ORDER BY spend DESC, o_custkey LIMIT 50
+        )
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+               count(*) AS n_items,
+               ${Money.sumWideUnitsSql(
+                 Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+               )} / 10000.0 AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_partkey IN (SELECT l_partkey FROM freq)
+          AND o.o_custkey IN (SELECT o_custkey FROM best)
+        GROUP BY 1
+      """)
+    ),
+    // TPC-DS Q51 shape PLUS a ranking layer — a window over the FULL
+    // OUTER join of two cumulative aggregates, then a second rank
+    // window over the joined output. Channels are the returnflag R/N
+    // partitions of the fact (Q51's web/store fact pair), grain
+    // (supplier, ship month): each channel aggregates to exact
+    // long-cent month cells, takes a per-supplier running sum, the
+    // two cumulative series FULL OUTER join on (supplier, month),
+    // max-over-window forward-fills the channel that has no row that
+    // month, months where cumulative returns exceed cumulative net
+    // sales survive, and a row_number over the per-supplier gap keeps
+    // the 3 widest months. All window inputs are exact integer units
+    // carried in doubles, so every running sum, fill, comparison and
+    // tie-break is engine-identical. Two shuffles (one per channel
+    // grain) + the join; windows are per-supplier sequential scans.
+    QueryDef(
+      "q_flagship_ds_cumulative_rank",
+      (s, dir) => {
+        val t = tables(s, dir)
+        def chan(flag: String, alias: String) = t.lineitem
+          .filter(col("l_returnflag") === flag)
+          .groupBy(col("l_suppkey"),
+            date_trunc("month", col("l_shipdate")).as("mo"))
+          .agg(Money.sumWideUnits(
+            Money.discPriceUnits(col("l_extendedprice"), col("l_discount")))
+            .as(alias))
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("mo"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ret = chan("R", "ru")
+          .withColumn("ret_cum", sum(col("ru")).over(w))
+          .select(col("l_suppkey"), col("mo"), col("ret_cum"))
+        val net = chan("N", "nu")
+          .withColumn("net_cum", sum(col("nu")).over(w))
+          .select(col("l_suppkey"), col("mo"), col("net_cum"))
+        val wr = Window.partitionBy(col("l_suppkey"))
+          .orderBy((col("ret_fill") - col("net_fill")).desc, col("mo"))
+        ret.join(net, Seq("l_suppkey", "mo"), "full_outer")
+          .withColumn("ret_fill", max(col("ret_cum")).over(w))
+          .withColumn("net_fill", max(col("net_cum")).over(w))
+          .filter(col("ret_fill") > col("net_fill"))
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 3)
+          .select(col("l_suppkey"), col("mo"),
+            (col("ret_fill") / 10000.0).as("ret_cum_rev"),
+            (col("net_fill") / 10000.0).as("net_cum_rev"),
+            col("rnk"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        def chanCte(flag: String, cte: String, alias: String, cum: String) = s"""
+        ${cte}_day AS (
+          SELECT l_suppkey, date_trunc('month', l_shipdate) AS mo,
+                 ${Money.sumWideUnitsSql(units)} AS $alias
+          FROM lineitem WHERE l_returnflag = '$flag' GROUP BY 1, 2
+        ),
+        $cte AS (
+          SELECT l_suppkey, mo,
+                 sum($alias) OVER (PARTITION BY l_suppkey ORDER BY mo
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS $cum
+          FROM ${cte}_day
+        )"""
+        s"""
+        WITH ${chanCte("R", "ret", "ru", "ret_cum")},
+        ${chanCte("N", "net", "nu", "net_cum")},
+        j AS (
+          SELECT coalesce(r.l_suppkey, n.l_suppkey) AS l_suppkey,
+                 coalesce(r.mo, n.mo) AS mo, r.ret_cum, n.net_cum
+          FROM ret r FULL OUTER JOIN net n
+            ON r.l_suppkey = n.l_suppkey AND r.mo = n.mo
+        ),
+        f AS (
+          SELECT l_suppkey, mo,
+                 max(ret_cum) OVER (PARTITION BY l_suppkey ORDER BY mo
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ret_fill,
+                 max(net_cum) OVER (PARTITION BY l_suppkey ORDER BY mo
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS net_fill
+          FROM j
+        ),
+        g AS (
+          SELECT l_suppkey, mo, ret_fill, net_fill,
+                 CAST(row_number() OVER (PARTITION BY l_suppkey
+                      ORDER BY ret_fill - net_fill DESC, mo) AS INT) AS rnk
+          FROM f WHERE ret_fill > net_fill
+        )
+        SELECT l_suppkey, mo, ret_fill / 10000.0 AS ret_cum_rev,
+               net_fill / 10000.0 AS net_cum_rev, rnk
+        FROM g WHERE rnk <= 3
+      """
+      }
+    ),
+    // TPC-DS Q64 shape — two dated fact snapshots JOINED TO EACH OTHER
+    // under a wide multi-dim enrichment: per-(part, supplier) revenue
+    // + quantity aggregated separately for 1995 and 1996 (each branch
+    // scans the fact once with its orderdate bracket pushed into the
+    // ORDERS scan — the two-scans shape is Q64's mandatory plan, like
+    // Q5's union; ds_crosssale's fused single-scan variant is the
+    // rewrite, this is the join), the snapshots equi-join on the
+    // compound key (co-partitioned: both sides shuffle on the same
+    // (partkey, suppkey)), growth pairs survive, and part + supplier +
+    // nation dims broadcast onto the survivors AFTER the fact-fact
+    // join (dims enrich the small result, not the big input).
+    QueryDef(
+      "q_flagship_ds_two_snapshots",
+      (s, dir) => {
+        val t = tables(s, dir)
+        def snap(y: Int) = t.lineitem
+          .join(
+            t.orders
+              .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+              .select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(
+            Money.sumWideUnits(
+              Money.discPriceUnits(col("l_extendedprice"), col("l_discount")))
+              .as(s"units_$y"),
+            sum(col("l_quantity").cast("long")).as(s"qty_$y"))
+        snap(1995).join(snap(1996), Seq("l_partkey", "l_suppkey"))
+          .filter(col("units_1996") > col("units_1995"))
+          .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(t.supplier.select(
+            col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("p_brand"), col("s_name"), col("n_name").as("nation"),
+            col("l_partkey"), col("l_suppkey"),
+            (col("units_1995") / 10000.0).as("rev_1995"),
+            (col("units_1996") / 10000.0).as("rev_1996"),
+            col("qty_1995"), col("qty_1996"),
+            round(col("units_1996") / col("units_1995"), 6).as("growth"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        def snapCte(y: Int) = s"""
+        snap$y AS (
+          SELECT l_partkey, l_suppkey,
+                 ${Money.sumWideUnitsSql(units)} AS units_$y,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_$y
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderdate >= TIMESTAMP '$y-01-01'
+            AND o_orderdate <  TIMESTAMP '${y + 1}-01-01'
+          GROUP BY 1, 2
+        )"""
+        s"""
+        WITH ${snapCte(1995)},
+        ${snapCte(1996)}
+        SELECT p_brand, s_name, n_name AS nation,
+               a.l_partkey, a.l_suppkey,
+               units_1995 / 10000.0 AS rev_1995,
+               units_1996 / 10000.0 AS rev_1996,
+               qty_1995, qty_1996,
+               round(units_1996 / units_1995, 6) AS growth
+        FROM snap1995 a
+        JOIN snap1996 b ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+        JOIN part ON a.l_partkey = p_partkey
+        JOIN supplier ON a.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE units_1996 > units_1995
+      """
+      }
+    ),
+    // TPC-DS Q11/Q74 shape — per-customer year-over-year growth RATIO
+    // comparison across two channels: spend per (customer, year,
+    // channel) for 1995/1996 with the high/low order-priority split as
+    // the store/web channel pair, customers active in all four cells,
+    // kept when the high-priority channel grew FASTER than the
+    // low-priority one (the cross-ratio filter that makes Q11/Q74 more
+    // than two YoY queries glued together). Spark-first plan: the four
+    // cells are conditional long-cent sums inside ONE hash aggregate
+    // over one bracket-pruned fact scan (Q74's four CTEs + three
+    // self-joins collapse into a single shuffle on custkey), and the
+    // customer dim broadcasts onto the few survivors. Both growth
+    // ratios round to 6dp before the comparison so the keep/drop
+    // decision is engine-identical.
+    QueryDef(
+      "q_flagship_ds_yoy_channels",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        val yr = year(col("o_orderdate"))
+        val cents = Money.cents(col("o_totalprice"))
+        def cell(cond: Column, name: String) =
+          Money.sumWideUnits(when(cond, cents).otherwise(lit(0L))).as(name)
+        t.orders
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("o_custkey"))
+          .agg(
+            cell(hi && yr === 1995, "hi95"),
+            cell(hi && yr === 1996, "hi96"),
+            cell(!hi && yr === 1995, "lo95"),
+            cell(!hi && yr === 1996, "lo96"))
+          .filter(col("hi95") > 0 && col("hi96") > 0 &&
+            col("lo95") > 0 && col("lo96") > 0)
+          .withColumn("hi_growth", round(col("hi96") / col("hi95"), 6))
+          .withColumn("lo_growth", round(col("lo96") / col("lo95"), 6))
+          .filter(col("hi_growth") > col("lo_growth"))
+          .join(broadcast(t.customer.select(col("c_custkey"), col("c_name"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"),
+            (col("hi95") / 100.0).as("hi_1995"),
+            (col("hi96") / 100.0).as("hi_1996"),
+            (col("lo95") / 100.0).as("lo_1995"),
+            (col("lo96") / 100.0).as("lo_1996"),
+            col("hi_growth"), col("lo_growth"))
+      },
+      Some {
+        val cents = Money.centsSql("o_totalprice")
+        def cell(cond: String, name: String) =
+          s"${Money.sumWideUnitsSql(s"CASE WHEN $cond THEN $cents ELSE 0 END")} AS $name"
+        val hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        s"""
+        WITH cells AS (
+          SELECT o_custkey,
+                 ${cell(s"$hi AND year(o_orderdate) = 1995", "hi95")},
+                 ${cell(s"$hi AND year(o_orderdate) = 1996", "hi96")},
+                 ${cell(s"NOT ($hi) AND year(o_orderdate) = 1995", "lo95")},
+                 ${cell(s"NOT ($hi) AND year(o_orderdate) = 1996", "lo96")}
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate <  TIMESTAMP '1997-01-01'
+          GROUP BY 1
+        ),
+        scored AS (
+          SELECT o_custkey, hi95, hi96, lo95, lo96,
+                 round(hi96 / hi95, 6) AS hi_growth,
+                 round(lo96 / lo95, 6) AS lo_growth
+          FROM cells
+          WHERE hi95 > 0 AND hi96 > 0 AND lo95 > 0 AND lo96 > 0
+        )
+        SELECT c_custkey, c_name,
+               hi95 / 100.0 AS hi_1995, hi96 / 100.0 AS hi_1996,
+               lo95 / 100.0 AS lo_1995, lo96 / 100.0 AS lo_1996,
+               hi_growth, lo_growth
+        FROM scored JOIN customer ON o_custkey = c_custkey
+        WHERE hi_growth > lo_growth
+      """
+      }
     )
   )
 }

@@ -75,42 +75,57 @@ object StreamingOps {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def statePinnedSession(
-      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
-    val pinned = pinnedClones.synchronized {
-      Option(pinnedClones.get(s)).getOrElse {
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    // The WHOLE lookup + conf reconciliation runs under the lock: the
+    // memoized clone is shared per parent, so two concurrent callers
+    // interleaving unset/set on it could hand one of them a
+    // half-synced conf to start a stream on (the fresh-clone-per-call
+    // design this memoization replaced had no such race). The lock is
+    // global rather than per-parent — reconciliation is a handful of
+    // conf map ops on a per-stream-setup path, never hot.
+    pinnedClones.synchronized {
+      val pinned = Option(pinnedClones.get(s)).getOrElse {
         val p = s.newSession(); pinnedClones.put(s, p); p
       }
-    }
-    val parent = s.conf.getAll
-    // keys the parent has since unset must leave the clone too — a
-    // stale provider pin would silently outlive its withRocksDb scope
-    pinned.conf.getAll.keysIterator
-      .filterNot(parent.contains)
-      .filterNot(staticConfKeys.contains)
-      .foreach { k =>
-        try pinned.conf.unset(k)
-        catch { case scala.util.control.NonFatal(_) => staticConfKeys.add(k) }
-      }
-    parent.foreach { case (k, v) =>
-      if (!staticConfKeys.contains(k) && !pinned.conf.getOption(k).contains(v)) {
-        try pinned.conf.set(k, v)
-        catch {
-          case _: org.apache.spark.sql.AnalysisException =>
-            // static conf — per-session set is rejected by design and
-            // the clone already holds the same context-level value
-            staticConfKeys.add(k)
-          case scala.util.control.NonFatal(e) =>
-            System.err.println(
-              s"[graft] statePinnedSession: could not sync conf $k: ${e.getMessage}")
+      val parent = s.conf.getAll
+      // keys the parent has since unset must leave the clone too — a
+      // stale provider pin would silently outlive its withRocksDb scope
+      pinned.conf.getAll.keysIterator
+        .filterNot(parent.contains)
+        .filterNot(staticConfKeys.contains)
+        .foreach { k =>
+          try pinned.conf.unset(k)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              // static conf — per-session unset rejected by design
+              staticConfKeys.add(k)
+            case scala.util.control.NonFatal(e) =>
+              // transient failure on a DYNAMIC key must not blacklist
+              // it from every future sync — log and retry next call
+              System.err.println(
+                s"[graft] statePinnedSession: could not unset conf $k: ${e.getMessage}")
+          }
+        }
+      parent.foreach { case (k, v) =>
+        if (!staticConfKeys.contains(k) && !pinned.conf.getOption(k).contains(v)) {
+          try pinned.conf.set(k, v)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              // static conf — per-session set is rejected by design and
+              // the clone already holds the same context-level value
+              staticConfKeys.add(k)
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[graft] statePinnedSession: could not sync conf $k: ${e.getMessage}")
+          }
         }
       }
+      pinned.conf.set("spark.sql.shuffle.partitions",
+        s.conf.getOption("spark.graft.stream.statePartitions")
+          .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS"))
+          .getOrElse("8"))
+      pinned
     }
-    pinned.conf.set("spark.sql.shuffle.partitions",
-      s.conf.getOption("spark.graft.stream.statePartitions")
-        .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS"))
-        .getOrElse("8"))
-    pinned
-  }
 
   final case class Event(
       event_id: Long,
