@@ -2511,6 +2511,266 @@ object FlagshipQueries extends QueryModule {
         WHERE hi_growth > lo_growth
       """
       }
+    ),
+    // TPC-DS Q45 shape — a DISJUNCTION of a dim predicate and an
+    // IN-subquery ("zip in list OR item in hot set"): the OR means
+    // neither branch can filter alone, so Catalyst plans the subquery
+    // as an ExistenceJoin (a semi join emitting an exists flag instead
+    // of filtering) feeding the disjunctive filter — the one join
+    // variant no other registered query exercises. SQL-text Spark side
+    // (the DataFrame API cannot express OR-of-semi); the hot-part set
+    // scales with |part| so its existence join shuffles, while the dim
+    // chain rides broadcasts.
+    QueryDef(
+      "q_flagship_ds_or_semi",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.lineitem.createOrReplaceTempView("lineitem_orsemi")
+        t.orders.createOrReplaceTempView("orders_orsemi")
+        t.supplier.createOrReplaceTempView("supplier_orsemi")
+        t.nation.createOrReplaceTempView("nation_orsemi")
+        val revenue = Money.sumWideUnitsSqlSpark(
+          Money.discPriceUnitsSql("l.l_extendedprice", "l.l_discount")) +
+          " / 10000.0"
+        s.sql(s"""
+          WITH hotparts AS (
+            SELECT l_partkey FROM lineitem_orsemi
+            GROUP BY l_partkey HAVING count(*) >= 12
+          )
+          SELECT n.n_name AS nation,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                 count(*) AS n_lines,
+                 $revenue AS revenue
+          FROM lineitem_orsemi l
+          JOIN orders_orsemi o ON l.l_orderkey = o.o_orderkey
+          JOIN supplier_orsemi s ON l.l_suppkey = s.s_suppkey
+          JOIN nation_orsemi n ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_name IN ('FRANCE', 'GERMANY')
+             OR l.l_partkey IN (SELECT l_partkey FROM hotparts)
+          GROUP BY 1, 2
+        """)
+      },
+      Some(s"""
+        WITH hotparts AS (
+          SELECT l_partkey FROM lineitem
+          GROUP BY l_partkey HAVING count(*) >= 12
+        )
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+               count(*) AS n_lines,
+               ${Money.sumWideUnitsSql(
+                 Money.discPriceUnitsSql("l.l_extendedprice", "l.l_discount")
+               )} / 10000.0 AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('FRANCE', 'GERMANY')
+           OR l.l_partkey IN (SELECT l_partkey FROM hotparts)
+        GROUP BY 1, 2
+      """)
+    ),
+    // TPC-DS Q59 shape — a JOIN OF TWO PIVOTED AGGREGATES: weekly (here
+    // monthly) revenue spread across day-of-week columns per supplier,
+    // one pivot per year, the two pivots self-joined on (supplier,
+    // month-of-year) and compared column by column. Each pivot is ONE
+    // hash aggregate with 7 conditional long-cent sums over a
+    // bracket-pruned scan; the join keys are (suppkey, month) so both
+    // pivots shuffle on the same compound key. Per-day comparisons are
+    // exact integer DIFFS (a ratio would hit empty 0-cells and emit
+    // NULL/NaN floats — the one thing the bit-exact float hash cannot
+    // absorb); the single total ratio is guarded by the both-positive
+    // filter. Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6,
+    // so the oracle maps dayofweek(x)+1.
+    QueryDef(
+      "q_flagship_ds_week_pivot_yoy",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val units =
+          Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
+        def pivotYear(y: Int) = {
+          val cells = (1 to 7).map { d =>
+            Money.sumWideUnits(
+              when(dayofweek(col("l_shipdate")) === d, units).otherwise(lit(0L)))
+              .as(s"rev${y}_d$d")
+          }
+          val tot = Money.sumWideUnits(units).as(s"tot_$y")
+          t.lineitem
+            .filter(col("l_shipdate") >= lit(s"$y-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+            .groupBy(col("l_suppkey"), month(col("l_shipdate")).cast("long").as("mo"))
+            .agg(cells.head, cells.tail :+ tot: _*)
+        }
+        val diffs = (1 to 7).map(d =>
+          ((col(s"rev1996_d$d") - col(s"rev1995_d$d")) / 10000.0).as(s"diff_d$d"))
+        pivotYear(1995).join(pivotYear(1996), Seq("l_suppkey", "mo"))
+          .filter(col("tot_1995") > 0 && col("tot_1996") > 0)
+          .select(col("l_suppkey") +: col("mo") +: diffs :+
+            round(col("tot_1996") / col("tot_1995"), 6).as("tot_growth"): _*)
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        def pivotCte(y: Int) = {
+          val cells = (1 to 7).map { d =>
+            val cond = s"CASE WHEN dayofweek(l_shipdate) + 1 = $d THEN $units ELSE 0 END"
+            s"${Money.sumWideUnitsSql(cond)} AS rev${y}_d$d"
+          }.mkString(",\n                 ")
+          s"""
+        piv$y AS (
+          SELECT l_suppkey, CAST(month(l_shipdate) AS BIGINT) AS mo,
+                 $cells,
+                 ${Money.sumWideUnitsSql(units)} AS tot_$y
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '$y-01-01'
+            AND l_shipdate <  TIMESTAMP '${y + 1}-01-01'
+          GROUP BY 1, 2
+        )"""
+        }
+        val diffs = (1 to 7)
+          .map(d => s"(rev1996_d$d - rev1995_d$d) / 10000.0 AS diff_d$d")
+          .mkString(",\n               ")
+        s"""
+        WITH ${pivotCte(1995)},
+        ${pivotCte(1996)}
+        SELECT a.l_suppkey, a.mo,
+               $diffs,
+               round(tot_1996 / tot_1995, 6) AS tot_growth
+        FROM piv1995 a JOIN piv1996 b
+          ON a.l_suppkey = b.l_suppkey AND a.mo = b.mo
+        WHERE tot_1995 > 0 AND tot_1996 > 0
+      """
+      }
+    ),
+    // TPC-DS Q31 shape — a THREE-QUARTER CHAIN of self-joins with a
+    // dual-channel ratio filter: per (nation, 1995-quarter) exact cent
+    // sums for the returned (R) and net (N) channels in ONE aggregate
+    // (conditional cells — the fact is scanned once, not once per
+    // channel), then the quarter table self-joins into a q→q+1→q+2
+    // chain per nation, and only nations whose RETURNS grew faster
+    // than net sales across BOTH steps survive. Ratios round to 6dp
+    // before comparison; denominators are guarded positive so no
+    // NULL/NaN floats reach the output. The cells table (|nation| × 4
+    // rows) is cached so the chain's three references cost one fact
+    // scan, and the q2/q3 sides are small enough to broadcast.
+    QueryDef(
+      "q_flagship_ds_quarter_chain",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val units =
+          Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
+        val cells = graft.CacheScope.cached(t.lineitem
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+          .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), quarter(col("l_shipdate")).cast("long").as("qtr"))
+          .agg(
+            Money.sumWideUnits(
+              when(col("l_returnflag") === "R", units).otherwise(lit(0L))).as("r_units"),
+            Money.sumWideUnits(
+              when(col("l_returnflag") === "N", units).otherwise(lit(0L))).as("n_units")))
+        def q(i: Int) = cells
+          .filter(col("qtr") === i)
+          .select(col("n_name"),
+            col("r_units").as(s"r$i"), col("n_units").as(s"n$i"))
+        q(1).join(q(2), Seq("n_name")).join(q(3), Seq("n_name"))
+          .filter(col("r1") > 0 && col("r2") > 0 &&
+            col("n1") > 0 && col("n2") > 0 && col("n3") > 0)
+          .withColumn("r_g12", round(col("r2") / col("r1"), 6))
+          .withColumn("n_g12", round(col("n2") / col("n1"), 6))
+          .withColumn("r_g23", round(col("r3") / col("r2"), 6))
+          .withColumn("n_g23", round(col("n3") / col("n2"), 6))
+          .filter(col("r_g12") > col("n_g12") && col("r_g23") > col("n_g23"))
+          .select(col("n_name").as("nation"),
+            col("r_g12"), col("n_g12"), col("r_g23"), col("n_g23"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        def cell(flag: String, name: String) =
+          s"${Money.sumWideUnitsSql(
+            s"CASE WHEN l_returnflag = '$flag' THEN $units ELSE 0 END")} AS $name"
+        s"""
+        WITH cells AS (
+          SELECT n_name, CAST(quarter(l_shipdate) AS BIGINT) AS qtr,
+                 ${cell("R", "r_units")},
+                 ${cell("N", "n_units")}
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-01-01'
+          GROUP BY 1, 2
+        ),
+        chained AS (
+          SELECT q1.n_name,
+                 q1.r_units AS r1, q1.n_units AS n1,
+                 q2.r_units AS r2, q2.n_units AS n2,
+                 q3.r_units AS r3, q3.n_units AS n3
+          FROM cells q1
+          JOIN cells q2 ON q1.n_name = q2.n_name AND q2.qtr = 2
+          JOIN cells q3 ON q1.n_name = q3.n_name AND q3.qtr = 3
+          WHERE q1.qtr = 1
+        ),
+        scored AS (
+          SELECT n_name,
+                 round(r2 / r1, 6) AS r_g12, round(n2 / n1, 6) AS n_g12,
+                 round(r3 / r2, 6) AS r_g23, round(n3 / n2, 6) AS n_g23
+          FROM chained
+          WHERE r1 > 0 AND r2 > 0 AND n1 > 0 AND n2 > 0 AND n3 > 0
+        )
+        SELECT n_name AS nation, r_g12, n_g12, r_g23, n_g23
+        FROM scored
+        WHERE r_g12 > n_g12 AND r_g23 > n_g23
+      """
+      }
+    ),
+    // TPC-DS Q16 shape — DUAL group quantifier: orders shipped from at
+    // least TWO distinct suppliers (existential, Q16's "exists another
+    // warehouse") with ZERO returned lines (the negated quantifier,
+    // Q16's "not exists returns"), both folded into ONE aggregate over
+    // the bracketed fact (count distinct + conditional count as group
+    // HAVING — no per-order subquery, no self-join, no anti join), then
+    // a census per order priority with the exact order totals. The
+    // complement of ds_single_supplier's universal quantifier (== 1).
+    QueryDef(
+      "q_flagship_ds_multi_supplier_clean",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val perOrder = t.lineitem
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("l_orderkey"))
+          .agg(
+            countDistinct(col("l_suppkey")).as("n_supp"),
+            count(when(col("l_returnflag") === "R", lit(1))).as("n_returned"))
+          .filter(col("n_supp") >= 2 && col("n_returned") === 0)
+        perOrder
+          .join(t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            Money.sumPrice(col("o_totalprice")).as("total"))
+      },
+      Some(s"""
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_orderkey
+        )
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_orders,
+               ${Money.sumPriceSql("o_totalprice")} AS total
+        FROM per_order JOIN orders ON l_orderkey = o_orderkey
+        WHERE n_supp >= 2 AND n_returned = 0
+        GROUP BY 1
+      """)
     )
   )
 }
