@@ -33,7 +33,10 @@ object PlanAudit {
       "q_flagship_ds_topk_semi", "q_flagship_ds_two_snapshots",
       "q_flagship_ds_yoy_channels",
       // r18 batch 2: the supplier/nation dim chains must broadcast
-      "q_flagship_ds_or_semi", "q_flagship_ds_quarter_chain"
+      "q_flagship_ds_or_semi", "q_flagship_ds_quarter_chain",
+      // r18 batch 3: customer/nation under the rollup, part onto the
+      // channel-gap survivors
+      "q_flagship_ds_rollup_rank", "q_flagship_ds_channel_gap"
     )
     // NLJ is the *intended* strategy for the contains-join (theta
     // predicate), the brute-force ANN (deliberate small cross), the
@@ -116,7 +119,7 @@ object PlanAudit {
       "q_flagship_ds_cumulative_rank", "q_flagship_ds_two_snapshots",
       "q_flagship_ds_yoy_channels",
       "q_flagship_ds_week_pivot_yoy", "q_flagship_ds_quarter_chain",
-      "q_flagship_ds_multi_supplier_clean",
+      "q_flagship_ds_multi_supplier_clean", "q_flagship_ds_channel_gap",
       "q_join_anti", "q_join_asof", "q_join_asof_forward", "q_join_asof_native",
       "q_join_broadcast_dim", "q_join_bucketed_colocated", "q_join_inner",
       "q_join_interval", "q_join_left_outer", "q_join_multiway", "q_join_semi",

@@ -2771,6 +2771,134 @@ object FlagshipQueries extends QueryModule {
         WHERE n_supp >= 2 AND n_returned = 0
         GROUP BY 1
       """)
+    ),
+    // TPC-DS Q36/Q70/Q86 shape — RANK WINDOW PARTITIONED BY GROUPING
+    // LEVEL over a ROLLUP: return-margin per (nation, segment) rolled
+    // up with subtotals, then rank() partitioned by (grouping level,
+    // parent key) — segments rank within their nation, nation
+    // subtotals rank against each other, the grand total ranks alone
+    // (Q36's `PARTITION BY lochierarchy, CASE WHEN GROUPING(class)=0
+    // THEN category END`). The margin is a ratio of exact long-cent
+    // conditional sums rounded to 6dp before ranking, so rank ties
+    // land identically in both engines (and rank(), not row_number,
+    // keeps ties order-independent). One fact scan; the rollup's
+    // Expand and the rank shuffle both run on post-aggregate rows.
+    QueryDef(
+      "q_flagship_ds_rollup_rank",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val units =
+          Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
+        val cells = t.lineitem
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg(
+            grouping_id().cast("long").as("gid"),
+            Money.sumWideUnits(
+              when(col("l_returnflag") === "R", units).otherwise(lit(0L)))
+              .as("r_units"),
+            Money.sumWideUnits(units).as("t_units"))
+          .withColumn("margin", round(col("r_units") / col("t_units"), 6))
+        val w = Window
+          .partitionBy(col("gid"),
+            when(col("gid") === 0, col("n_name")).otherwise(lit("ALL")))
+          .orderBy(col("margin").desc)
+        cells
+          .withColumn("rnk", rank().over(w))
+          .select(
+            coalesce(col("n_name"), lit("ALL")).as("nation"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            col("gid"), col("margin"), col("rnk"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        s"""
+        WITH cells AS (
+          SELECT n_name, c_mktsegment,
+                 GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS gid_i,
+                 ${Money.sumWideUnitsSql(
+                   s"CASE WHEN l_returnflag = 'R' THEN $units ELSE 0 END")} AS r_units,
+                 ${Money.sumWideUnitsSql(units)} AS t_units
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY ROLLUP(n_name, c_mktsegment)
+        ),
+        scored AS (
+          SELECT coalesce(n_name, 'ALL') AS nation,
+                 coalesce(c_mktsegment, 'ALL') AS segment,
+                 CAST(gid_i AS BIGINT) AS gid,
+                 round(r_units / t_units, 6) AS margin,
+                 CASE WHEN gid_i = 0 THEN n_name ELSE 'ALL' END AS pkey
+          FROM cells
+        )
+        SELECT nation, segment, gid, margin,
+               CAST(rank() OVER (PARTITION BY gid, pkey
+                    ORDER BY margin DESC) AS INT) AS rnk
+        FROM scored
+      """
+      }
+    ),
+    // TPC-DS Q78 shape — LEFT join of two channel aggregates with a
+    // NULL-extended disjunctive filter: per-part net-sales (N) totals
+    // left-joined to returned (R) totals, keeping parts with NO return
+    // row at all OR net sales more than double the returns — the
+    // "customer bought, never returned, or returns are dwarfed"
+    // pattern where the null branch IS part of the predicate (an inner
+    // join or a ratio would silently drop exactly the most interesting
+    // rows). Both aggregates shuffle on the same part key; the part
+    // dim broadcasts onto the survivors. No division anywhere near a
+    // NULL: the returns side surfaces as a coalesced exact value plus
+    // an explicit no_returns flag.
+    QueryDef(
+      "q_flagship_ds_channel_gap",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val units =
+          Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
+        def chan(flag: String, pfx: String) = t.lineitem
+          .filter(col("l_returnflag") === flag)
+          .groupBy(col("l_partkey"))
+          .agg(Money.sumWideUnits(units).as(s"${pfx}_units"),
+            count(lit(1)).as(s"${pfx}_lines"))
+        chan("N", "n")
+          .join(chan("R", "r"), Seq("l_partkey"), "left_outer")
+          .filter(col("r_units").isNull || col("n_units") > col("r_units") * 2)
+          .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand"), col("l_partkey"),
+            (col("n_units") / 10000.0).as("net_rev"),
+            (coalesce(col("r_units"), lit(0.0)) / 10000.0).as("ret_rev"),
+            col("n_lines"),
+            coalesce(col("r_lines"), lit(0L)).as("r_lines"),
+            col("r_units").isNull.as("no_returns"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        def chanCte(flag: String, pfx: String) = s"""
+        chan_$pfx AS (
+          SELECT l_partkey, ${Money.sumWideUnitsSql(units)} AS ${pfx}_units,
+                 count(*) AS ${pfx}_lines
+          FROM lineitem WHERE l_returnflag = '$flag' GROUP BY 1
+        )"""
+        s"""
+        WITH ${chanCte("N", "n")},
+        ${chanCte("R", "r")}
+        SELECT p_brand, a.l_partkey,
+               n_units / 10000.0 AS net_rev,
+               coalesce(r_units, CAST(0 AS DOUBLE)) / 10000.0 AS ret_rev,
+               n_lines,
+               coalesce(r_lines, 0) AS r_lines,
+               r_units IS NULL AS no_returns
+        FROM chan_n a
+        LEFT JOIN chan_r b ON a.l_partkey = b.l_partkey
+        JOIN part ON a.l_partkey = p_partkey
+        WHERE r_units IS NULL OR n_units > 2 * r_units
+      """
+      }
     )
   )
 }
