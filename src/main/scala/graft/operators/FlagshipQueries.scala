@@ -2899,6 +2899,76 @@ object FlagshipQueries extends QueryModule {
         WHERE r_units IS NULL OR n_units > 2 * r_units
       """
       }
+    ),
+    // TPC-DS Q44 shape — TWO OPPOSITE-DIRECTION GLOBAL RANKINGS JOINED
+    // ON THE RANK POSITION: suppliers ranked best-first (lowest return
+    // margin) and worst-first (highest), the two top-10 lists zipped on
+    // the rank index so each row pairs rank i's best with rank i's
+    // worst. A naive Q44 is two partitionless OVER (ORDER BY) windows —
+    // a single-task funnel PlanAudit rejects; both rankings here run
+    // through DistributedRank.globalRank (range-repartition + local
+    // rank + broadcast offsets — every stage parallel, the same
+    // operator the hybrid-RRF retrieval fuses two rankings with).
+    // Margins are 6dp-rounded ratios of exact long-cent sums with a
+    // suppkey tiebreak, so both engines rank identical values in an
+    // identical total order.
+    QueryDef(
+      "q_flagship_ds_rank_pair",
+      (s, dir) => {
+        import graft.plans.DistributedRank
+        val t = tables(s, dir)
+        val units =
+          Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
+        val base = t.lineitem
+          .groupBy(col("l_suppkey"))
+          .agg(
+            Money.sumWideUnits(
+              when(col("l_returnflag") === "R", units).otherwise(lit(0L)))
+              .as("r_units"),
+            Money.sumWideUnits(units).as("t_units"))
+          .withColumn("margin", round(col("r_units") / col("t_units"), 6))
+          .select(col("l_suppkey"), col("margin"))
+        val (best, _) = DistributedRank.globalRank(
+          base, "rnk", col("margin").asc, col("l_suppkey").asc)
+        val (worst, _) = DistributedRank.globalRank(
+          base, "rnk", col("margin").desc, col("l_suppkey").asc)
+        best.filter(col("rnk") <= 10)
+          .select(col("rnk"),
+            col("l_suppkey").as("best_suppkey"), col("margin").as("best_margin"))
+          .join(
+            worst.filter(col("rnk") <= 10)
+              .select(col("rnk"),
+                col("l_suppkey").as("worst_suppkey"),
+                col("margin").as("worst_margin")),
+            Seq("rnk"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        s"""
+        WITH base AS (
+          SELECT l_suppkey,
+                 round(${Money.sumWideUnitsSql(
+                   s"CASE WHEN l_returnflag = 'R' THEN $units ELSE 0 END")}
+                       / ${Money.sumWideUnitsSql(units)}, 6) AS margin
+          FROM lineitem GROUP BY 1
+        ),
+        best AS (
+          SELECT CAST(row_number() OVER (ORDER BY margin ASC, l_suppkey ASC)
+                 AS BIGINT) AS rnk,
+                 l_suppkey AS best_suppkey, margin AS best_margin
+          FROM base
+        ),
+        worst AS (
+          SELECT CAST(row_number() OVER (ORDER BY margin DESC, l_suppkey ASC)
+                 AS BIGINT) AS rnk,
+                 l_suppkey AS worst_suppkey, margin AS worst_margin
+          FROM base
+        )
+        SELECT b.rnk, best_suppkey, best_margin, worst_suppkey, worst_margin
+        FROM best b JOIN worst w ON b.rnk = w.rnk
+        WHERE b.rnk <= 10
+      """
+      }
     )
   )
 }
