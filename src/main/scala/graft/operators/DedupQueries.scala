@@ -204,12 +204,9 @@ object DedupQueries extends QueryModule {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
-  private val jaccardOracle = """
+  private val jaccardOracle = s"""
     WITH sh AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(words[i:i+2], ' ')
-                            for i in range(1, len(words) - 1)]) AS shingles
-      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      ${Murmur3Sql.shingleSelect}
     ),
     ex AS (SELECT doc_id, unnest(shingles) AS sh, len(shingles) AS sz
            FROM sh WHERE len(shingles) > 0),
@@ -235,10 +232,7 @@ object DedupQueries extends QueryModule {
     */
   private lazy val minhashLshOracle = s"""
     WITH sh AS (
-      SELECT doc_id,
-             list_distinct([array_to_string(words[i:i+2], ' ')
-                            for i in range(1, len(words) - 1)]) AS shingles
-      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      ${Murmur3Sql.shingleSelect}
     ),
     shf AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
     ${Murmur3Sql.minhashBandCtes},

@@ -2919,7 +2919,10 @@ object FlagshipQueries extends QueryModule {
         val t = tables(s, dir)
         val units =
           Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
-        val base = t.lineitem
+        // cached: both globalRank passes (best-first and worst-first)
+        // consume this aggregate — without the cache each ranking
+        // would re-scan and re-aggregate the whole fact
+        val base = graft.CacheScope.cached(t.lineitem
           .groupBy(col("l_suppkey"))
           .agg(
             Money.sumWideUnits(
@@ -2927,7 +2930,7 @@ object FlagshipQueries extends QueryModule {
               .as("r_units"),
             Money.sumWideUnits(units).as("t_units"))
           .withColumn("margin", round(col("r_units") / col("t_units"), 6))
-          .select(col("l_suppkey"), col("margin"))
+          .select(col("l_suppkey"), col("margin")))
         val (best, _) = DistributedRank.globalRank(
           base, "rnk", col("margin").asc, col("l_suppkey").asc)
         val (worst, _) = DistributedRank.globalRank(

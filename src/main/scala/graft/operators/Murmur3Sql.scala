@@ -97,15 +97,39 @@ object Murmur3Sql {
       .mkString(",\n      ")
   }
 
+  /** The one shared definition of the 3-word-shingle provenance every
+    * shingle-consuming oracle replays (the DuckDB mirror of
+    * [[graft.functions.WordShingles]]): distinct 3-grams of the
+    * whitespace-split text, per document. Factored here so a future
+    * change to shingling (width, tokenizer) cannot drift between the
+    * five oracles that splice it — exact Jaccard, prefix filter,
+    * MinHash banding, fuzzy decontamination, shingle stats.
+    */
+  val shingleSelect: String = """SELECT doc_id,
+             list_distinct([array_to_string(words[i:i+2], ' ')
+                            for i in range(1, len(words) - 1)]) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)"""
+
   /** CTE chain from `shf(doc_id, shingles)` (non-empty distinct
     * shingle lists) to `bands(doc_id, band, bkey)`: the 64-slot
     * MinHash signature grouped into 16 bands of 4 rows. The band key
     * is the raw 4-slot value tuple — the Spark side keys buckets on
     * `hash(slice(sig,...), band)`, and equal tuples hash equal, so
-    * banding on the tuples replays the same candidate set (minus the
-    * ~2^-32 chance of a cross-tuple hash collision adding a spurious
-    * candidate, which the exact-Jaccard verification would then have
-    * to pass anyway).
+    * banding on the tuples replays the same candidate set up to a
+    * ~2^-32-per-tuple-pair cross-tuple hash collision. A collision
+    * diverges in two directions: it can ADD a spurious Spark-side
+    * candidate (absorbed — the exact-Jaccard/containment verification
+    * filters it identically on both sides), and it can merge two
+    * tuples' counts in Spark's hot-bucket census so a bucket crosses
+    * MaxBucketSize that the oracle's raw-tuple census does not — in
+    * which case Spark DROPS pairs the oracle keeps and the hash check
+    * fails loudly. The second direction is not absorbed by
+    * verification; it needs a colliding tuple pair in a bucket within
+    * one tuple's population of the cap, which no fixture approaches.
+    * If a far-future sf ever trips it, replay Spark's
+    * hash(array<long>, int) here (hashLong/hashInt chains are
+    * expressible with the same mix builders above) instead of tuple
+    * keys.
     */
   def minhashBandCtes: String = {
     val p = graft.functions.MinHashSignature.P

@@ -1341,12 +1341,9 @@ object PipelineQueries extends QueryModule {
             (ratio >= 0.5).as("contaminated")
           )
       },
-      Some("""
+      Some(s"""
         WITH sh AS (
-          SELECT doc_id,
-                 list_distinct([array_to_string(words[i:i+2], ' ')
-                                for i in range(1, len(words) - 1)]) AS shingles
-          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+          ${graft.operators.Murmur3Sql.shingleSelect}
         ), bench AS (
           SELECT DISTINCT unnest(shingles) AS sh FROM sh
           WHERE doc_id % 13 = 0 AND len(shingles) > 0
@@ -1387,10 +1384,7 @@ object PipelineQueries extends QueryModule {
       },
       Some(s"""
         WITH sh AS (
-          SELECT doc_id,
-                 list_distinct([array_to_string(words[i:i+2], ' ')
-                                for i in range(1, len(words) - 1)]) AS shingles
-          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+          ${graft.operators.Murmur3Sql.shingleSelect}
         ),
         shf AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
         ${graft.operators.Murmur3Sql.minhashBandCtes},

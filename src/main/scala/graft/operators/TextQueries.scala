@@ -496,13 +496,10 @@ object TextQueries extends QueryModule {
               .as("novelty")
           )
       },
-      Some("""
+      Some(s"""
         WITH sh AS (
           SELECT doc_id, unnest(shingles) AS sh FROM (
-            SELECT doc_id,
-                   list_distinct([array_to_string(words[i:i+2], ' ')
-                                  for i in range(1, len(words) - 1)]) AS shingles
-            FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+            ${graft.operators.Murmur3Sql.shingleSelect})
         ), dft AS (
           SELECT sh, count(*) AS df FROM sh GROUP BY sh
         )
