@@ -71,6 +71,11 @@ object StreamingOps {
   private val pinnedClones =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.SparkSession]()
+  /** Test hook: the monitor the reconciliation holds, so a spec's
+    * writer can make parent-conf pair-updates atomic with respect to
+    * the sync (StatePinnedConcurrencySpec).
+    */
+  private[graft] def confLock: AnyRef = pinnedClones
   private val staticConfKeys =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
