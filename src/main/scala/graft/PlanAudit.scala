@@ -36,7 +36,12 @@ object PlanAudit {
       "q_flagship_ds_or_semi", "q_flagship_ds_quarter_chain",
       // r18 batch 3: customer/nation under the rollup, part onto the
       // channel-gap survivors
-      "q_flagship_ds_rollup_rank", "q_flagship_ds_channel_gap"
+      "q_flagship_ds_rollup_rank", "q_flagship_ds_channel_gap",
+      // r19 ds shapes: part onto the banded fact-fact pairs, supplier
+      // onto the shift movers, customer/nation around the 6-cell agg,
+      // pricey keys + customer/nation onto the census
+      "q_flagship_ds_restock_lag", "q_flagship_ds_week_shift",
+      "q_flagship_ds_tri_channel_growth", "q_flagship_ds_pricey_type_census"
     )
     // NLJ is the *intended* strategy for the contains-join (theta
     // predicate), the brute-force ANN (deliberate small cross), the
@@ -120,6 +125,10 @@ object PlanAudit {
       "q_flagship_ds_yoy_channels",
       "q_flagship_ds_week_pivot_yoy", "q_flagship_ds_quarter_chain",
       "q_flagship_ds_multi_supplier_clean", "q_flagship_ds_channel_gap",
+      // r19 ds shapes: the two returnflag slices + p_size cut, and the
+      // two orderdate brackets, must reach their scans
+      "q_flagship_ds_restock_lag", "q_flagship_ds_tri_channel_growth",
+      "q_flagship_ds_pricey_type_census",
       "q_join_anti", "q_join_asof", "q_join_asof_forward", "q_join_asof_native",
       "q_join_broadcast_dim", "q_join_bucketed_colocated", "q_join_inner",
       "q_join_interval", "q_join_left_outer", "q_join_multiway", "q_join_semi",

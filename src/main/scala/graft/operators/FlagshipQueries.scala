@@ -542,7 +542,7 @@ object FlagshipQueries extends QueryModule {
       Some(s"""
         SELECT n_name, CAST(year(l_shipdate) AS INT) AS o_year,
                CAST(sum(${Money.discPriceUnitsSql("l_extendedprice", "l_discount")}
-                         - ${Money.centsSql("p_retailprice")} * 50 * CAST(l_quantity AS BIGINT))
+                         - ${Money.centsSql("p_retailprice")} * 50 * CAST(trunc(l_quantity) AS BIGINT))
                     AS DOUBLE) / 10000.0 AS profit
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
@@ -2410,7 +2410,7 @@ object FlagshipQueries extends QueryModule {
         snap$y AS (
           SELECT l_partkey, l_suppkey,
                  ${Money.sumWideUnitsSql(units)} AS units_$y,
-                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_$y
+                 CAST(sum(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS qty_$y
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           WHERE o_orderdate >= TIMESTAMP '$y-01-01'
             AND o_orderdate <  TIMESTAMP '${y + 1}-01-01'
@@ -2972,6 +2972,310 @@ object FlagshipQueries extends QueryModule {
         WHERE b.rnk <= 10
       """
       }
+    ),
+    // TPC-DS Q72 shape — DATE-BANDED INEQUALITY FACT-FACT JOIN under
+    // dims: for every returned line ("demand"), the non-returned
+    // shipments of the SAME part that shipped within the following 30
+    // days ("supply" — the inventory restock emulation; this testdata's
+    // lineitem has no commit/receipt dates, so the two fact roles are
+    // returnflag slices of one fact). The join predicate class is the
+    // one nothing else registered exercises: an equi key (partkey)
+    // PLUS a row-level date-band inequality between two FACT tables —
+    // not a band of two aggregates (ds_band_join) and not a binned
+    // range join (q_join_range_binned). Catalyst extracts the equi
+    // conjunct, so the plan is a sort-merge join SHUFFLED ON PARTKEY
+    // with the band as the join residual — per-key pair work is
+    // (lines-per-part)^2 x band-fraction, flat as data scales with
+    // part cardinality, never an all-pairs cross. Both returnflag
+    // slices and the p_size dim cut reach their scans as pushed
+    // filters; the part dim broadcasts. Lag total is an exact integer
+    // day sum; the demand-line count is a distinct count on the
+    // (orderkey, linenumber) line id folded into one BIGINT.
+    QueryDef(
+      "q_flagship_ds_restock_lag",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val demand = t.lineitem
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("d_orderkey"),
+            col("l_linenumber").as("d_linenumber"),
+            col("l_partkey").as("d_partkey"),
+            col("l_shipdate").as("d_shipdate"))
+        val supply = t.lineitem
+          .filter(col("l_returnflag") =!= "R")
+          .select(col("l_partkey").as("s_partkey"),
+            col("l_shipdate").as("s_shipdate"))
+        demand
+          .join(supply,
+            col("d_partkey") === col("s_partkey") &&
+              col("s_shipdate") > col("d_shipdate") &&
+              col("s_shipdate") <= col("d_shipdate") + expr("INTERVAL 30 DAYS"))
+          .join(broadcast(t.part
+              .filter(col("p_size") <= 25)
+              .select(col("p_partkey"), col("p_brand"))),
+            col("d_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), year(col("d_shipdate")).cast("long").as("yr"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            countDistinct(col("d_orderkey") * 10 + col("d_linenumber"))
+              .as("n_demand"),
+            sum(datediff(col("s_shipdate"), col("d_shipdate")).cast("long"))
+              .as("lag_days"))
+      },
+      Some("""
+        WITH demand AS (
+          SELECT l_orderkey AS d_orderkey, l_linenumber AS d_linenumber,
+                 l_partkey AS d_partkey, l_shipdate AS d_shipdate
+          FROM lineitem WHERE l_returnflag = 'R'
+        ),
+        supply AS (
+          SELECT l_partkey AS s_partkey, l_shipdate AS s_shipdate
+          FROM lineitem WHERE l_returnflag != 'R'
+        )
+        SELECT p_brand, CAST(year(d_shipdate) AS BIGINT) AS yr,
+               count(*) AS n_pairs,
+               CAST(count(DISTINCT d_orderkey * 10 + d_linenumber) AS BIGINT)
+                 AS n_demand,
+               CAST(sum(date_diff('day', d_shipdate, s_shipdate)) AS BIGINT)
+                 AS lag_days
+        FROM demand
+        JOIN supply ON d_partkey = s_partkey
+          AND s_shipdate > d_shipdate
+          AND s_shipdate <= d_shipdate + INTERVAL 30 DAY
+        JOIN part ON d_partkey = p_partkey
+        WHERE p_size <= 25
+        GROUP BY 1, 2
+      """)
+    ),
+    // TPC-DS Q2/Q59 shape — PERIOD-SHIFT SELF-JOIN: weekly revenue per
+    // supplier, the aggregate joined TO ITSELF on an ARITHMETIC OFFSET
+    // of the join key (week w vs week w+53 — Q2's literal "WEEK_SEQ +
+    // 53" next-year alignment), keeping the x2 movers. Distinct from
+    // ds_week_pivot_yoy, which joins two separately-bracketed pivots
+    // on an unshifted compound key: here ONE unbracketed aggregate is
+    // computed once (cached — both join sides consume it), and the
+    // offset lives in the join key itself. The aggregate shuffles on
+    // (suppkey, wk); re-keying one side to wk-53 forces exactly one
+    // more hash exchange of the (small) aggregate, never a second
+    // fact scan. The mover cut is an exact-integer x2 band on the
+    // wide-sum units (order-independent), the supplier dim broadcasts
+    // onto the survivors, and the week index is a floor-division day
+    // count from the corpus epoch (non-negative, so DuckDB's
+    // truncating // equals floor).
+    QueryDef(
+      "q_flagship_ds_week_shift",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val units =
+          Money.discPriceUnits(col("l_extendedprice"), col("l_discount"))
+        val wk = floor(
+          datediff(col("l_shipdate"), lit("1995-01-02").cast("date")) / 7)
+          .cast("long")
+        val base = graft.CacheScope.cached(t.lineitem
+          .groupBy(col("l_suppkey"), wk.as("wk"))
+          .agg(Money.sumWideUnits(units).as("u")))
+        val shifted = base.select(col("l_suppkey"),
+          (col("wk") - 53).as("wk"), col("u").as("u_next"))
+        base.join(shifted, Seq("l_suppkey", "wk"))
+          .filter(col("u_next") > col("u") * 2 || col("u_next") * 2 < col("u"))
+          .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_name"), col("wk"),
+            round(col("u") / 10000.0, 4).as("rev_week"),
+            round(col("u_next") / 10000.0, 4).as("rev_shifted"),
+            (col("u_next") - col("u")).as("diff_units"),
+            round(col("u_next") / col("u"), 6).as("shift_ratio"))
+      },
+      Some {
+        val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
+        s"""
+        WITH base AS (
+          SELECT l_suppkey,
+                 CAST(date_diff('day', DATE '1995-01-02', l_shipdate) // 7
+                      AS BIGINT) AS wk,
+                 ${Money.sumWideUnitsSql(units)} AS u
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT s_name, a.wk AS wk,
+               round(a.u / 10000.0, 4) AS rev_week,
+               round(b.u / 10000.0, 4) AS rev_shifted,
+               b.u - a.u AS diff_units,
+               round(b.u / a.u, 6) AS shift_ratio
+        FROM base a
+        JOIN base b ON a.l_suppkey = b.l_suppkey AND a.wk + 53 = b.wk
+        JOIN supplier ON a.l_suppkey = s_suppkey
+        WHERE b.u > 2 * a.u OR 2 * b.u < a.u
+      """
+      }
+    ),
+    // TPC-DS Q4 shape — THREE-CHANNEL RATIO-OF-RATIOS: the 6-cell
+    // extension of ds_yoy_channels (which stops at 2 channels x 2
+    // years). Three order-priority channels x two years = six
+    // conditional wide-sums inside ONE hash aggregate over one
+    // bracket-pruned scan (Q4's six CTEs + five self-joins collapse
+    // into a single shuffle), cohorts kept only when present in all
+    // six cells, surviving when BOTH the high- and mid-priority
+    // channels grew faster than the low-priority one — the
+    // two-inequality ratio-of-ratios cut that makes Q4 more than Q11
+    // with an extra column. Cohort grain is (nation, segment) rather
+    // than Q4's per-customer: at the test SFs a customer with all six
+    // cells populated is nearly nonexistent (1 survivor at sf0.01), so
+    // the per-customer oracle would be vacuous; the cohort keeps every
+    // cell dense while preserving the identical plan shape. Both
+    // growth ratios round to 6dp before comparison so the keep/drop
+    // decision is engine-identical; customer and nation dims ride
+    // broadcasts on either side of the aggregate.
+    QueryDef(
+      "q_flagship_ds_tri_channel_growth",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val cents = Money.cents(col("o_totalprice"))
+        val yr = year(col("o_orderdate"))
+        val chHi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        val chMid = col("o_orderpriority") === "3-MEDIUM"
+        val chLo = col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
+        def cell(cond: Column, name: String) =
+          Money.sumWideUnits(when(cond, cents).otherwise(lit(0L))).as(name)
+        t.orders
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .join(broadcast(t.customer.select(
+              col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(
+            cell(chHi && yr === 1995, "hi95"), cell(chHi && yr === 1996, "hi96"),
+            cell(chMid && yr === 1995, "mid95"), cell(chMid && yr === 1996, "mid96"),
+            cell(chLo && yr === 1995, "lo95"), cell(chLo && yr === 1996, "lo96"))
+          .filter(col("hi95") > 0 && col("hi96") > 0 && col("mid95") > 0 &&
+            col("mid96") > 0 && col("lo95") > 0 && col("lo96") > 0)
+          .withColumn("growth_hi", round(col("hi96") / col("hi95"), 6))
+          .withColumn("growth_mid", round(col("mid96") / col("mid95"), 6))
+          .withColumn("growth_lo", round(col("lo96") / col("lo95"), 6))
+          .filter(col("growth_hi") > col("growth_lo") &&
+            col("growth_mid") > col("growth_lo"))
+          .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_mktsegment"),
+            (col("hi95") / 100.0).as("hi_1995"),
+            (col("hi96") / 100.0).as("hi_1996"),
+            (col("mid95") / 100.0).as("mid_1995"),
+            (col("mid96") / 100.0).as("mid_1996"),
+            (col("lo95") / 100.0).as("lo_1995"),
+            (col("lo96") / 100.0).as("lo_1996"),
+            col("growth_hi"), col("growth_mid"), col("growth_lo"))
+      },
+      Some {
+        val cents = Money.centsSql("o_totalprice")
+        def cell(cond: String, name: String) =
+          s"${Money.sumWideUnitsSql(s"CASE WHEN $cond THEN $cents ELSE 0 END")} AS $name"
+        val hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        val mid = "o_orderpriority = '3-MEDIUM'"
+        val lo = "o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')"
+        s"""
+        WITH cells AS (
+          SELECT c_nationkey, c_mktsegment,
+                 ${cell(s"$hi AND year(o_orderdate) = 1995", "hi95")},
+                 ${cell(s"$hi AND year(o_orderdate) = 1996", "hi96")},
+                 ${cell(s"$mid AND year(o_orderdate) = 1995", "mid95")},
+                 ${cell(s"$mid AND year(o_orderdate) = 1996", "mid96")},
+                 ${cell(s"$lo AND year(o_orderdate) = 1995", "lo95")},
+                 ${cell(s"$lo AND year(o_orderdate) = 1996", "lo96")}
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate <  TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2
+        ),
+        scored AS (
+          SELECT *,
+                 round(hi96 / hi95, 6) AS growth_hi,
+                 round(mid96 / mid95, 6) AS growth_mid,
+                 round(lo96 / lo95, 6) AS growth_lo
+          FROM cells
+          WHERE hi95 > 0 AND hi96 > 0 AND mid95 > 0
+            AND mid96 > 0 AND lo95 > 0 AND lo96 > 0
+        )
+        SELECT n_name, c_mktsegment,
+               hi95 / 100.0 AS hi_1995, hi96 / 100.0 AS hi_1996,
+               mid95 / 100.0 AS mid_1995, mid96 / 100.0 AS mid_1996,
+               lo95 / 100.0 AS lo_1995, lo96 / 100.0 AS lo_1996,
+               growth_hi, growth_mid, growth_lo
+        FROM scored JOIN nation ON c_nationkey = n_nationkey
+        WHERE growth_hi > growth_lo AND growth_mid > growth_lo
+      """
+      }
+    ),
+    // TPC-DS Q6 shape — CORRELATED AVERAGE PER CATEGORY + HAVING
+    // COUNT: parts priced at least 5% above the average retail price
+    // of THEIR OWN type (Q6's "1.2 * avg price of same-category
+    // items"; this testdata's prices are uniform within ~10% of the
+    // type mean, so 1.2x selects nothing — 1.05x keeps ~2.5% of parts
+    // and the correlated cut stays load-bearing), then the nations
+    // whose customers bought those pricey parts, kept only above a
+    // purchase-count floor (Q6's HAVING cnt >= 10, by nation as the
+    // state analog). The correlated subquery is decorrelated
+    // Spark-first: the 6-row per-type stats aggregate broadcasts back
+    // onto the part scan, and the price-vs-average comparison runs in
+    // EXACT integer cents cross-multiplied (cents*n*20 > sum*21), so
+    // no float average ever decides membership. The pricey key set
+    // broadcasts onto the fact scan (part-scaled: a few % of |part| —
+    // at extreme scale AQE would shuffle this semi instead), the
+    // orderdate bracket reaches the orders scan, and customer/nation
+    // dims broadcast above the fact-fact sort-merge join.
+    QueryDef(
+      "q_flagship_ds_pricey_type_census",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val pcents = Money.cents(col("p_retailprice"))
+        val typeStats = t.part.groupBy(col("p_type"))
+          .agg(sum(pcents).as("sc"), count(lit(1)).as("nc"))
+        val pricey = t.part
+          .select(col("p_partkey"), col("p_type"), pcents.as("pc"))
+          .join(broadcast(typeStats), Seq("p_type"))
+          .filter(col("pc") * col("nc") * 20 > col("sc") * 21)
+          .select(col("p_partkey"))
+        t.lineitem
+          .join(broadcast(pricey), col("l_partkey") === col("p_partkey"))
+          .join(t.orders
+              .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            Money.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
+              .as("revenue"))
+          .filter(col("n_purchases") >= 30)
+      },
+      Some(s"""
+        WITH type_stats AS (
+          SELECT p_type,
+                 CAST(sum(${Money.centsSql("p_retailprice")}) AS BIGINT) AS sc,
+                 count(*) AS nc
+          FROM part GROUP BY 1
+        ),
+        pricey AS (
+          SELECT p_partkey FROM part JOIN type_stats USING (p_type)
+          WHERE ${Money.centsSql("p_retailprice")} * nc * 20 > sc * 21
+        )
+        SELECT n_name, count(*) AS n_purchases,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               ${Money.sumDiscPriceSql("l_extendedprice", "l_discount")} AS revenue
+        FROM lineitem
+        JOIN pricey ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY 1 HAVING count(*) >= 30
+      """)
     )
   )
 }

@@ -127,7 +127,7 @@ object GraphQueries extends QueryModule {
         """
         WITH und AS (
           SELECT o_custkey AS a, -(l_suppkey + 1) AS b,
-                 CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                 CAST(min(CAST(trunc(l_quantity) AS BIGINT)) AS BIGINT) AS w
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           GROUP BY a, b
         ),

@@ -85,6 +85,41 @@ object Murmur3Sql {
       SELECT tok, CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS h32
       FROM ${pfx}_h2)"""
 
+  /** The collision escape hatch, as runnable SQL rather than prose:
+    * Spark's `hash(array<long>, int)` — the band-bucket key the
+    * MinHash oracles would switch to if a cross-tuple band-hash
+    * collision ever tripped the hot-bucket census (see
+    * [[minhashBandCtes]]) — is a chain of Murmur3_x86_32.hashLong
+    * calls (one per element, each seeding the next) closed by one
+    * hashInt over the band index. hashLong mixes the value's two
+    * unsigned-32 halves through the same mixK1/mixH1 stages the
+    * string kernel uses, then fmixes with n=8; hashInt is one mix +
+    * fmix with n=4. Seeds stay in unsigned-32 (bit-identical to the
+    * JVM's signed ints under the 2^32 masks); fold to signed once at
+    * the end with [[signed32]]. IMPORTANT: chain via one CTE (or one
+    * projected column) per stage, passing a COLUMN REFERENCE as
+    * `seedU` — the mix builders duplicate their seed text many times
+    * (rotl/fmix reuse their argument), so textually nesting one
+    * builder's output into the next blows up exponentially. Pinned to
+    * the JVM kernel and to Catalyst's hash() by Murmur3SqlSpec; the
+    * staged SQL text itself verified bit-exact against DuckDB
+    * (minhash-slot and boundary-long tuples, incl. negative longs'
+    * arithmetic >> and two's-complement &) 2026-08-16.
+    */
+  def hashLongSql(x: String, seedU: String): String = {
+    val low = s"(($x) & 4294967295)"
+    val high = s"(((($x) >> 32)) & 4294967295)"
+    fmix(mixH1(mixH1(seedU, low), high), "8")
+  }
+
+  /** Unsigned-32 replay of Murmur3_x86_32.hashInt — see [[hashLongSql]]. */
+  def hashIntSql(x: String, seedU: String): String =
+    fmix(mixH1(seedU, s"(($x) & 4294967295)"), "4")
+
+  /** Fold an unsigned-32 BIGINT back to Spark's signed int32. */
+  def signed32(h: String): String =
+    s"(CASE WHEN ($h) >= 2147483648 THEN ($h) - 4294967296 ELSE ($h) END)"
+
   /** The 64 MinHash permutation coefficients as a VALUES list —
     * generated from [[graft.functions.MinHashSignature]]'s own arrays
     * so the oracle can never drift from the registered sketch.
@@ -127,9 +162,9 @@ object Murmur3Sql {
     * verification; it needs a colliding tuple pair in a bucket within
     * one tuple's population of the cap, which no fixture approaches.
     * If a far-future sf ever trips it, replay Spark's
-    * hash(array<long>, int) here (hashLong/hashInt chains are
-    * expressible with the same mix builders above) instead of tuple
-    * keys.
+    * hash(array<long>, int) here via [[hashLongSql]]/[[hashIntSql]]
+    * (one CTE stage per slot — see their scaladoc) instead of tuple
+    * keys; the chain is spec-pinned and DuckDB-verified.
     */
   def minhashBandCtes: String = {
     val p = graft.functions.MinHashSignature.P

@@ -155,7 +155,11 @@ object SimilarityQueries extends QueryModule {
     * associate left-to-right at equal precedence (see Murmur3Sql).
     */
   private def lshPlaneFold(p: Int): String = {
-    val signed = "list_transform(range(64), d -> CASE WHEN " +
+    // Mirror the kernel's clamp (HyperplaneBuckets sums only the first
+    // min(dim, numElements) dims): a shorter-than-64 vector must fold
+    // its real length, not let v[d+1] go NULL past the end (a NULL fold
+    // would silently zero the sign bit instead of matching the JVM).
+    val signed = "list_transform(range(least(64, len(v))), d -> CASE WHEN " +
       s"(((((t.t*40503) + $p)*1315423911) + (d*2654435761)) >> 7) & 1 = 1 " +
       "THEN v[d+1] ELSE -v[d+1] END)"
     s"list_reduce(list_prepend(0.0::DOUBLE, $signed), (a, x) -> a + x)"

@@ -96,6 +96,57 @@ class Murmur3SqlSpec extends AnyFunSuite {
     assert(sql.contains("4294967040")) // tail sign extension
   }
 
+  /** JVM mirror of [[graft.operators.Murmur3Sql.hashLongSql]] /
+    * hashIntSql — the same unsigned-32-in-Long arithmetic the SQL text
+    * encodes (low/high word split, mixH1-with-embedded-mixK1, staged
+    * fmix), so a transcription mistake in either builder fails here.
+    */
+  private def mirrorHashLong(x: Long, seedU: Long): Long = {
+    val low = x & M
+    val high = (x >>> 32) & M
+    fmix(mixH1(mixH1(seedU, low), high), 8L)
+  }
+  private def mirrorHashInt(x: Int, seedU: Long): Long =
+    fmix(mixH1(seedU, x.toLong & M), 4L)
+  private def signed32(u: Long): Int =
+    (if (u >= 2147483648L) u - 4294967296L else u).toInt
+
+  test("escape hatch: hashLong/hashInt chain replays hash(array<long>, int)") {
+    // representative band tuples: small minhash-slot values, plus
+    // boundary longs exercising the high word and sign extension
+    val tuples = Seq(
+      Seq(123456789L, 42L, 987654321L, 2147480009L),
+      Seq(0L, 1L, 2L, 3L),
+      Seq(Long.MaxValue, Long.MinValue, -1L, 4294967296L)
+    )
+    for ((slots, band) <- tuples.zip(Seq(0, 7, 15))) {
+      // ground truth 1: the JVM kernel chained exactly as Catalyst's
+      // Murmur3Hash walks an array<long> column then an int column
+      val kernel = Murmur3_x86_32.hashInt(
+        band, slots.foldLeft(42)((s, x) => Murmur3_x86_32.hashLong(x, s)))
+      // ground truth 2: Catalyst itself
+      val spark = SparkTestSession.get
+      import org.apache.spark.sql.functions.{hash, lit, typedLit}
+      val catalyst = spark.range(1)
+        .select(hash(typedLit(slots), lit(band)).as("h"))
+        .head.getInt(0)
+      assert(kernel === catalyst, s"kernel-vs-catalyst slots=$slots band=$band")
+      // the SQL builders' arithmetic, mirrored step for step
+      val chained = slots.foldLeft(42L & M)((s, x) => mirrorHashLong(x, s))
+      assert(signed32(mirrorHashInt(band, chained)) === kernel,
+        s"mirror slots=$slots band=$band")
+    }
+  }
+
+  test("hashLongSql embeds the word split and both fmix lengths") {
+    val sql = graft.operators.Murmur3Sql.hashLongSql("s", "42")
+    assert(sql.contains(">> 32"))       // high-word extraction
+    assert(sql.contains("& 4294967295")) // unsigned-32 masking
+    val intSql = graft.operators.Murmur3Sql.hashIntSql("b", "42")
+    assert(sql.contains("(8)") || sql.contains(" 8)") || sql.contains("(8))"))
+    assert(intSql.contains("(4)") || intSql.contains(" 4)") || intSql.contains("(4))"))
+  }
+
   test("minhash perm VALUES replay MinHashSignature's own coefficients") {
     val values = graft.operators.Murmur3Sql.minhashPermsValues
     val as = graft.functions.MinHashSignature.As

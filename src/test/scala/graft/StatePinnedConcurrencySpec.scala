@@ -49,11 +49,16 @@ class StatePinnedConcurrencySpec extends AnyFunSuite {
       new Thread(() => {
         while (!stop.get()) {
           val p = graft.streaming.StreamingOps.statePinnedSession(s)
-          // under the lock, the clone must hold a consistent pair:
-          // (a1, a2) or (b1, b2), never a mix. Read both keys from the
-          // SAME returned session object.
-          val x = p.conf.getOption(keys(0)).getOrElse("?")
-          val y = p.conf.getOption(keys(1)).getOrElse("?")
+          // The pinned property is "the clone is consistent at any
+          // lock-quiesced point": read the pair under the SAME lock the
+          // reconciliation holds, else a writer-triggered resync could
+          // legitimately update both keys between the two reads and
+          // fabricate a mixed observation (x=a1, y=b2) that says
+          // nothing about statePinnedSession itself.
+          val (x, y) = graft.streaming.StreamingOps.confLock.synchronized {
+            (p.conf.getOption(keys(0)).getOrElse("?"),
+             p.conf.getOption(keys(1)).getOrElse("?"))
+          }
           val ok = (x == "a1" && y == "a2") || (x == "b1" && y == "b2")
           if (!ok) bad.compareAndSet(null, s"x=$x y=$y")
         }
