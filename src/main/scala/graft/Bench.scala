@@ -121,7 +121,14 @@ object Bench {
     // adaptive salted join (measure skew, pick a salt factor, replicate
     // the small side) — so regressions in the Reshape layer show up as
     // numbers in the bench chain, not only as correctness rows
-    "q_skew_salted_join"
+    "q_skew_salted_join",
+    // round-19 additions: the two most expensive round-18 plan shapes,
+    // previously correctness-only — the dual-snapshot fact-fact join
+    // (two bracket-pruned fact aggregates co-partitioned on a compound
+    // key) and the zipped opposite-direction global rankings (cached
+    // base aggregate + two DistributedRank passes)
+    "q_flagship_ds_two_snapshots",
+    "q_flagship_ds_rank_pair"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this
@@ -252,18 +259,32 @@ object Bench {
       rawSamples.view.mapValues(_.count(_.isEmpty)).filter(_._2 > 0).toMap
     // queries with at least one successful repeat keep their (real)
     // samples; all-failed queries drop out of mins/medians/total
-    val samples: Map[String, Seq[Double]] =
+    val firstPass: Map[String, Seq[Double]] =
       rawSamples.view.mapValues(_.flatten).filter(_._2.nonEmpty).toMap
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // Suspect-retime pass: a first-pass median >1.5x its own min means
+    // at least half the repeats hit external interference — and when
+    // the interference window covered ALL K repeats, even the min is
+    // inflated and would stand as this round's official number (the
+    // r18 record shipped two such mins; the same-commit control showed
+    // both ~2x too slow). Give each flagged query K more runs NOW, in
+    // what is statistically a different host window (the whole suite
+    // has run in between), and let min-of-all decide. The retimed set
+    // is published so the record shows which mins had a second window.
+    val retimed = selected.filter(n => firstPass.get(n).exists(xs =>
+      xs.min > 0 && median(xs) / xs.min > 1.5))
+    val samples: Map[String, Seq[Double]] = firstPass ++ retimed.map { n =>
+      n -> (firstPass(n) ++ (1 to repeats).flatMap(_ => runOnce(n)))
+    }
     val timed = selected.filter(samples.contains)
     val calAfter = calibrate(spark, repeats)
     // worst of the two windows: a throttle opening mid-run must show
     val calibration = (calBefore.toSeq ++ calAfter.toSeq)
       .reduceOption((a: Double, b: Double) => math.max(a, b))
     val calRatio = calibration.map(_ / CalibrationRefSec)
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     val mins = timed.map(n => n -> samples(n).min)
     val qs = mins
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
@@ -277,9 +298,13 @@ object Bench {
     // neighbor) — the r13 record had three such medians that read as
     // code regressions until a calibrated re-run dissolved them.
     // Cross-round comparisons must use MIN for flagged queries.
+    // flag computed on the MERGED samples: a query that stayed >1.5x
+    // even after its retime window is still environment-suspect and
+    // cross-round comparisons must use its min with that caveat
     val suspect = timed
       .filter(n => samples(n).min > 0 && median(samples(n)) / samples(n).min > 1.5)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = mins.map(_._2).sum
     val calS = calibration.map(c => f"$c%.3f").getOrElse("null")
     val calR = calRatio.map(r => f"$r%.2f").getOrElse("null")
@@ -294,7 +319,7 @@ object Bench {
     // its query set when a query fails every repeat, so cross-round
     // total comparisons are only valid when the two counts match.
     val line =
-      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"cpus":$cpus,"queries_timed":${timed.size},"queries_selected":${selected.size},"calibration_s":$calS,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ref_cpus":$CalibrationRefCpus,"calibration_ratio":$calR,"suspect":$suspect,"failed":$failedJson,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
+      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"cpus":$cpus,"queries_timed":${timed.size},"queries_selected":${selected.size},"calibration_s":$calS,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ref_cpus":$CalibrationRefCpus,"calibration_ratio":$calR,"suspect":$suspect,"retimed":$retimedJson,"failed":$failedJson,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
     println(line)
     // the driver tail-parses stdout and sbt appends its own "[success]"
     // trailer after this line, so the stdout copy can be missed — also
@@ -314,6 +339,6 @@ object Bench {
     // line can land after it): the tail always keeps a short last line
     // intact. Full per-query maps live in the big line and the file.
     println(
-      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","summary":true,"queries_timed":${timed.size},"queries_selected":${selected.size},"calibration_ratio":$calR,"suspect":$suspect,"failed":$failedJson,"sf":"$sfDir","detail":"$outPath"}""")
+      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","summary":true,"queries_timed":${timed.size},"queries_selected":${selected.size},"calibration_ratio":$calR,"suspect":$suspect,"retimed":$retimedJson,"failed":$failedJson,"sf":"$sfDir","detail":"$outPath"}""")
   }
 }

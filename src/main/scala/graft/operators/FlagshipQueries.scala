@@ -3058,10 +3058,15 @@ object FlagshipQueries extends QueryModule {
     // (suppkey, wk); re-keying one side to wk-53 forces exactly one
     // more hash exchange of the (small) aggregate, never a second
     // fact scan. The mover cut is an exact-integer x2 band on the
-    // wide-sum units (order-independent), the supplier dim broadcasts
-    // onto the survivors, and the week index is a floor-division day
-    // count from the corpus epoch (non-negative, so DuckDB's
-    // truncating // equals floor).
+    // wide-sum units (order-independent), and the result closes with
+    // a per-supplier rollup of the mover weeks (counts by direction +
+    // the 6dp-rounded extreme ratio) — the row-level mover set is
+    // supplier x weeks (~1M rows at sf1, growing with both axes), and
+    // a scale-honest query never ships that as the artifact when the
+    // question is per-supplier. Supplier dim broadcasts onto the
+    // rollup; the week index is a floor-division day count from the
+    // corpus epoch (non-negative, so DuckDB's truncating // equals
+    // floor).
     QueryDef(
       "q_flagship_ds_week_shift",
       (s, dir) => {
@@ -3078,13 +3083,18 @@ object FlagshipQueries extends QueryModule {
           (col("wk") - 53).as("wk"), col("u").as("u_next"))
         base.join(shifted, Seq("l_suppkey", "wk"))
           .filter(col("u_next") > col("u") * 2 || col("u_next") * 2 < col("u"))
+          .groupBy(col("l_suppkey"))
+          .agg(
+            count(lit(1)).as("n_movers"),
+            sum(when(col("u_next") > col("u") * 2, 1L).otherwise(0L))
+              .as("n_up"),
+            sum(when(col("u_next") * 2 < col("u"), 1L).otherwise(0L))
+              .as("n_down"),
+            max(round(col("u_next") / col("u"), 6)).as("top_ratio"))
           .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
             col("l_suppkey") === col("s_suppkey"))
-          .select(col("s_name"), col("wk"),
-            round(col("u") / 10000.0, 4).as("rev_week"),
-            round(col("u_next") / 10000.0, 4).as("rev_shifted"),
-            (col("u_next") - col("u")).as("diff_units"),
-            round(col("u_next") / col("u"), 6).as("shift_ratio"))
+          .select(col("s_name"), col("n_movers"), col("n_up"),
+            col("n_down"), col("top_ratio"))
       },
       Some {
         val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
@@ -3096,15 +3106,21 @@ object FlagshipQueries extends QueryModule {
                  ${Money.sumWideUnitsSql(units)} AS u
           FROM lineitem GROUP BY 1, 2
         )
-        SELECT s_name, a.wk AS wk,
-               round(a.u / 10000.0, 4) AS rev_week,
-               round(b.u / 10000.0, 4) AS rev_shifted,
-               b.u - a.u AS diff_units,
-               round(b.u / a.u, 6) AS shift_ratio
-        FROM base a
-        JOIN base b ON a.l_suppkey = b.l_suppkey AND a.wk + 53 = b.wk
-        JOIN supplier ON a.l_suppkey = s_suppkey
-        WHERE b.u > 2 * a.u OR 2 * b.u < a.u
+        , movers AS (
+          SELECT a.l_suppkey, a.u AS u, b.u AS u_next
+          FROM base a
+          JOIN base b ON a.l_suppkey = b.l_suppkey AND a.wk + 53 = b.wk
+          WHERE b.u > 2 * a.u OR 2 * b.u < a.u
+        )
+        SELECT s_name,
+               count(*) AS n_movers,
+               CAST(sum(CASE WHEN u_next > 2 * u THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_up,
+               CAST(sum(CASE WHEN 2 * u_next < u THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_down,
+               max(round(u_next / u, 6)) AS top_ratio
+        FROM movers JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1
       """
       }
     ),
