@@ -3120,7 +3120,12 @@ object FlagshipQueries extends QueryModule {
                  AS n_down,
                max(round(u_next / u, 6)) AS top_ratio
         FROM movers JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY 1
+        -- group by the KEY, not the name: the Spark side aggregates per
+        -- l_suppkey and only then joins the name on, and s_name is NOT
+        -- unique in the scaled fixtures (sf1 carries 10000 suppkeys
+        -- over 1000 distinct names) — grouping by name alone would
+        -- collapse 10 suppliers into one row
+        GROUP BY l_suppkey, s_name
       """
       }
     ),
