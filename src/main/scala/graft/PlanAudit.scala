@@ -41,7 +41,10 @@ object PlanAudit {
       // onto the shift movers, customer/nation around the 6-cell agg,
       // pricey keys + customer/nation onto the census
       "q_flagship_ds_restock_lag", "q_flagship_ds_week_shift",
-      "q_flagship_ds_tri_channel_growth", "q_flagship_ds_pricey_type_census"
+      "q_flagship_ds_tri_channel_growth", "q_flagship_ds_pricey_type_census",
+      // r20 ds shape: part onto the monthly brand aggregate feeding the
+      // deviation rank
+      "q_flagship_ds_deviation_rank"
     )
     // NLJ is the *intended* strategy for the contains-join (theta
     // predicate), the brute-force ANN (deliberate small cross), the

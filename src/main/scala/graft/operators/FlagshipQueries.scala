@@ -3100,9 +3100,13 @@ object FlagshipQueries extends QueryModule {
         val units = Money.discPriceUnitsSql("l_extendedprice", "l_discount")
         s"""
         WITH base AS (
+          -- floor(), not `//`: DuckDB's // truncates toward zero, which
+          -- agrees with Spark's floor() only for non-negative day
+          -- counts — a fixture with dates before the 1995-01-02 epoch
+          -- would silently shift its negative weeks by one
           SELECT l_suppkey,
-                 CAST(date_diff('day', DATE '1995-01-02', l_shipdate) // 7
-                      AS BIGINT) AS wk,
+                 CAST(floor(CAST(date_diff('day', DATE '1995-01-02', l_shipdate)
+                      AS DOUBLE) / 7) AS BIGINT) AS wk,
                  ${Money.sumWideUnitsSql(units)} AS u
           FROM lineitem GROUP BY 1, 2
         )
@@ -3296,6 +3300,74 @@ object FlagshipQueries extends QueryModule {
         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
           AND o_orderdate <  TIMESTAMP '1999-01-01'
         GROUP BY 1 HAVING count(*) >= 30
+      """)
+    ),
+    // TPC-DS Q47/Q57 shape — RANK OVER A DERIVED DEVIATION OVER A
+    // PARTITION AGGREGATE: q_flagship_ds_deviation keeps the months
+    // that stray >20% from their brand-year mean; this closes the
+    // family's last uncovered OVER combination by RANKING each
+    // brand-year's months by |deviation from the year mean| and
+    // keeping the top 2 — Q47's "rank months by deviation from the
+    // yearly average within (brand)". Distinct from
+    // q_flagship_ds_cumulative_rank, which ranks by a difference of
+    // two cumulative window sums; here the rank input is a deviation
+    // from a whole-partition aggregate. The keep/drop decision is
+    // exact: the deviation is compared as |units*cnt - total| (integer
+    // cross-multiplication, no float mean ever ordered on), with the
+    // month as tie-break, so the row_number is engine-identical. One
+    // fact scan, one shuffle on (brand) — the two window functions and
+    // the rank share the same partitioning — and the part dim rides a
+    // broadcast.
+    QueryDef(
+      "q_flagship_ds_deviation_rank",
+      (s, dir) => {
+        val t = tables(s, dir)
+        val monthly = t.lineitem
+          .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            month(col("o_orderdate")).cast("long").as("mo"))
+          .agg(Money.sumWideUnits(Money.cents(col("l_extendedprice"))).as("units"))
+        val wYear = Window.partitionBy(col("p_brand"), col("yr"))
+        val wRank = Window.partitionBy(col("p_brand"), col("yr"))
+          .orderBy(col("dev").desc, col("mo"))
+        monthly
+          .withColumn("total", sum(col("units")).over(wYear))
+          .withColumn("cnt", count(lit(1)).over(wYear))
+          .withColumn("dev", abs(col("units") * col("cnt") - col("total")))
+          .withColumn("rnk", row_number().over(wRank))
+          .filter(col("rnk") <= 2)
+          .select(col("p_brand"), col("yr"), col("mo"),
+            (col("units") / 100.0).as("revenue"),
+            round(col("units") * col("cnt") / col("total"), 6).as("ratio"),
+            col("rnk"))
+      },
+      Some(s"""
+        WITH monthly AS (
+          SELECT p_brand, CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(month(o_orderdate) AS BIGINT) AS mo,
+                 ${Money.sumWideUnitsSql(Money.centsSql("l_extendedprice"))} AS units
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2, 3
+        ), scored AS (
+          SELECT p_brand, yr, mo, units,
+                 CAST(sum(units) OVER (PARTITION BY p_brand, yr) AS BIGINT) AS total,
+                 count(*) OVER (PARTITION BY p_brand, yr) AS cnt
+          FROM monthly
+        ), ranked AS (
+          SELECT p_brand, yr, mo, units, cnt, total,
+                 CAST(row_number() OVER (PARTITION BY p_brand, yr
+                      ORDER BY abs(units * cnt - total) DESC, mo) AS INT) AS rnk
+          FROM scored
+        )
+        SELECT p_brand, yr, mo, units / 100.0 AS revenue,
+               round(units * cnt / total, 6) AS ratio, rnk
+        FROM ranked WHERE rnk <= 2
       """)
     )
   )

@@ -474,6 +474,45 @@ object ScalarFunctionQueries extends QueryModule {
                substr(p_brand, 1, 1) || 'XX' || substr(p_brand, 4) AS brand_patched
         FROM u
       """)
+    ),
+    // The murmur3 collision escape hatch, DRIVEN END-TO-END through
+    // DuckDB every round: Catalyst's hash(array<long>, int) — the
+    // band-bucket key the MinHash oracles would switch to if a
+    // cross-tuple band collision ever tripped the hot-bucket census —
+    // against the Murmur3Sql.hashLongSql/hashIntSql staged-SQL replay.
+    // The chain (seed 42 → hashLong(doc_id) → hashLong(negative long)
+    // → hashInt(band)) exercises the high-word split, the arithmetic
+    // >>-with-mask on a NEGATIVE long, and both fmix lengths, so the
+    // builders' bit-exactness vs DuckDB is pinned by the oracle gate,
+    // not a one-off manual check (Murmur3SqlSpec pins the same
+    // arithmetic to the JVM kernel). Stages chain via one projected
+    // column each — textually nesting the builders blows up
+    // exponentially (the mix builders duplicate their seed text).
+    QueryDef(
+      "q_fn_hash_chain",
+      (s, dir) => {
+        val t = tables(s, dir)
+        t.documents.select(
+          col("doc_id"),
+          hash(array(col("doc_id"), col("doc_id") - lit(3000000000L)),
+            pmod(col("doc_id"), lit(16)).cast("int")).as("bucket")
+        )
+      },
+      Some {
+        val m = Murmur3Sql
+        s"""
+        SELECT doc_id,
+               CAST(${m.signed32(m.hashIntSql("band", "s2"))} AS INTEGER) AS bucket
+        FROM (
+          SELECT doc_id, band, ${m.hashLongSql("x2", "s1")} AS s2
+          FROM (
+            SELECT doc_id, x2, band, ${m.hashLongSql("doc_id", "42")} AS s1
+            FROM (
+              SELECT doc_id, doc_id - 3000000000 AS x2,
+                     doc_id % 16 AS band
+              FROM documents)))
+      """
+      }
     )
   )
 }
