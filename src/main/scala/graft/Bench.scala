@@ -134,7 +134,11 @@ object Bench {
     // slices of lineitem) — the most expensive correctness-only plan
     // shape left in the registry, and the only r19 ds shape whose cost
     // was unmeasured
-    "q_flagship_ds_restock_lag"
+    "q_flagship_ds_restock_lag",
+    // round-21 addition: the r20 deviation-rank shape (two windows +
+    // rank sharing one (brand, yr) shuffle) — the only registered ds
+    // shape that had never been timed
+    "q_flagship_ds_deviation_rank"
   )
 
   /** Healthy-window reference time of [[calibrateOnce]] on this

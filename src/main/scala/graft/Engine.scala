@@ -40,7 +40,7 @@ object Engine {
   /** Apply engine configs to any builder (used by Verify/Bench too). */
   def configure(b0: SparkSession.Builder): SparkSession.Builder = {
     val b = extensions(b0)
-    b
+    val b2 = b
     // Adaptive execution: runtime re-planning is our analog of the
     // reference's runtime skew mitigation loop.
     .config("spark.sql.adaptive.enabled", "true")
@@ -64,7 +64,22 @@ object Engine {
     // Scan split sizing: 128MB splits keep one task's working set well
     // inside executor memory at any SF; AQE re-coalesces small ones.
     .config("spark.sql.files.maxPartitionBytes", "134217728")
+    // Optional conf overrides: "k=v;k=v" applied last, so perf A/B
+    // experiments and cluster deployment profiles can re-tune
+    // scale-dependent knobs (codec, advisory partition size, join
+    // prefs) without a rebuild. Unset in the driver's bench/verify
+    // environments — the defaults above stay the published
+    // configuration.
+    extraConf.foldLeft(b2) { case (bb, (k, v)) => bb.config(k, v) }
   }
+
+  private def extraConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(";")).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => Some(k.trim -> v.trim)
+        case _ => None
+      }
+    }
 
   /** Lazy handles to the driver-generated test tables in `dir`.
     * Each is a plain parquet scan — Catalyst pushes filters/projections
@@ -73,6 +88,14 @@ object Engine {
   final case class Tables(spark: SparkSession, dir: String) {
     private def t(name: String): DataFrame =
       spark.read.parquet(s"$dir/$name.parquet")
+
+    // (r21 note: an engine-wide "repartition any single-row-group fact
+    // scan to defaultParallelism" variant was measured and REVERTED —
+    // it parallelized the few serial CPU-extreme passes but taxed every
+    // other fact consumer with a full-payload round-robin shuffle:
+    // bench total 63.5 s → 98.0 s in a clean window. Deficient-input
+    // parallelism is handled per-query where the CPU pass dominates,
+    // not engine-wide.)
     def region: DataFrame = t("region")
     def nation: DataFrame = t("nation")
     def customer: DataFrame = t("customer")

@@ -113,8 +113,14 @@ object PlanAudit {
       "q_flagship_two_nation_volume", "q_flagship_waiting_supplier",
       "q_flagship_ds_frequent",
       // r17 ds shapes: returnflag/linestatus, shipdate bracket, and
-      // orderdate window predicates must reach the scan
-      "q_flagship_ds_union_profit", "q_flagship_ds_inventory_ratio",
+      // orderdate window predicates must reach the scan.
+      // (q_flagship_ds_union_profit left this list in r21: its three
+      // channel slices were disjoint and exhaustive, so the union was
+      // collapsed to ONE full-fact scan with a CASE channel tag — the
+      // per-channel pushed filters bought nothing since every row was
+      // read by exactly one channel anyway, and two of the three fact
+      // scans disappeared.)
+      "q_flagship_ds_inventory_ratio",
       "q_flagship_ds_repeat", "q_flagship_ds_returns_ratio",
       "q_flagship_ds_lapsed",
       "q_flagship_ds_cross_channel_items", "q_flagship_ds_union_of_aggs",

@@ -31,4 +31,20 @@ trait QueryModule {
   def defs: Seq[QueryDef]
   protected def tables(spark: SparkSession, dir: String): Engine.Tables =
     Engine.Tables(spark, dir)
+
+  /** r21 (guide §2.5 "input skew"): input-parallelism floor for
+    * CPU-heavy per-row passes. A single-row-group parquet file scans
+    * as ONE task no matter the split size, serializing shingling /
+    * rolling-hash / sketch passes on one core. Repartition ONLY when
+    * the scan's parallelism is below the cluster's default — at
+    * deployment scale (thousands of splits) the branch is a no-op and
+    * the exchange never enters the plan. Applied selectively to passes
+    * whose per-row CPU dominates; the measured engine-wide variant
+    * taxed every scan-light consumer with a payload shuffle and was
+    * reverted (OPTIMIZATION_r21.md).
+    */
+  protected def ensureParallelInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

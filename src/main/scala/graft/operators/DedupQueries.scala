@@ -32,6 +32,11 @@ object DedupQueries extends QueryModule {
     */
   private def shingled(t: graft.Engine.Tables): DataFrame = {
     graft.functions.SketchExpressions.register(t.spark)
+    // (r21: an ensureParallelInput floor here was measured and
+    // reverted — paired A/B showed the shingle pass's consumers
+    // [minhash/prefix/clusters] consistently ~1.1× SLOWER with the
+    // extra exchange: the downstream shuffles redistribute anyway and
+    // the cached table gains nothing from more blocks.)
     t.documents
       .select(
         col("doc_id"),
@@ -334,7 +339,6 @@ object DedupQueries extends QueryModule {
   private[graft] def semanticAssign(s: SparkSession, dir: String): (DataFrame, Int, Long) = {
     graft.functions.SketchExpressions.register(s)
     import graft.functions.SketchExpressions.dot_product
-    import org.apache.spark.sql.expressions.Window
     val t = tables(s, dir)
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -348,6 +352,13 @@ object DedupQueries extends QueryModule {
     // SemanticMaxK independent of corpus size) so numbering needs no
     // partitionless window
     import s.implicits._
+    // r21 (guide §2.4): the k×dim codebook rides ONE broadcast row as
+    // an array column and the nearest-centroid assignment is an
+    // array_min projection — no ×k crossJoin fanout, no per-row window
+    // shuffle. Identical arithmetic + tie-breaks as the window form:
+    // rd = round(n2 − 2·dot + cn2, 6), ties to the lower list_id
+    // (struct comparison orders rd first, then list_id). cn2 keeps the
+    // Spark-computed values collected with the seeds.
     val cents = e
       .filter(pmod(col("vec_id"), lit(step)) === 0)
       .orderBy(col("vec_id"))
@@ -359,17 +370,16 @@ object DedupQueries extends QueryModule {
       .map { case (r, i) => (i, r.getSeq[Double](1), r.getDouble(2)) }
       .toSeq
       .toDF("list_id", "cv", "cn2")
-    // nearest-centroid assignment: broadcast argmin of squared
-    // euclidean, rounded so both engines collapse near-ties the
-    // same way, ties to the lower list id
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("rd"), col("list_id"))
+      .agg(array_sort(collect_list(
+        struct(col("list_id"), col("cv"), col("cn2")))).as("cb"))
     val asg = e.crossJoin(broadcast(cents))
-      .withColumn("rd", round(
-        col("n2") - lit(2.0) * dot_product(col("v"), col("cv")) + col("cn2"), 6))
-      .withColumn("__rn", row_number().over(aw))
-      .filter(col("__rn") === 1)
-      .select(col("list_id").as("cluster_id"), col("vec_id"),
+      .withColumn("best",
+        array_min(transform(col("cb"), c =>
+          struct(
+            round(col("n2") - lit(2.0) * dot_product(col("v"), c.getField("cv"))
+              + c.getField("cn2"), 6).as("rd"),
+            c.getField("list_id").as("list_id")))))
+      .select(col("best.list_id").as("cluster_id"), col("vec_id"),
         col("v"), col("n2"))
     (asg, k, n)
   }

@@ -893,19 +893,23 @@ object FlagshipQueries extends QueryModule {
       "q_flagship_ds_channels",
       (s, dir) => {
         val t = tables(s, dir)
-        def channel(tag: String, df: org.apache.spark.sql.DataFrame) =
-          df.select(
-            lit(tag).as("channel"),
-            col("l_partkey"),
-            col("l_extendedprice"),
-            col("l_discount")
-          )
-        val unioned = channel("returned", t.lineitem.filter(col("l_returnflag") === "R"))
-          .unionByName(channel("fulfilled",
-            t.lineitem.filter(col("l_returnflag") =!= "R" && col("l_linestatus") === "F")))
-          .unionByName(channel("open",
-            t.lineitem.filter(col("l_returnflag") =!= "R" && col("l_linestatus") =!= "F")))
-        unioned
+        // r21 optimization (guide §2.4): the three channel predicates
+        // partition the fact rows, so the UNION of three filtered
+        // scans is ONE scan with a CASE channel tag — same rows, same
+        // aggregate, two fewer full fact scans. The WHEN chain mirrors
+        // the original filters exactly (a NULL returnflag/linestatus
+        // row matched no branch, so the isNotNull guard keeps the row
+        // set identical).
+        val channel =
+          when(col("l_returnflag") === "R", "returned")
+            .when(col("l_returnflag") =!= "R" && col("l_linestatus") === "F",
+              "fulfilled")
+            .when(col("l_returnflag") =!= "R" && col("l_linestatus") =!= "F",
+              "open")
+        t.lineitem
+          .select(channel.as("channel"), col("l_partkey"),
+            col("l_extendedprice"), col("l_discount"))
+          .filter(col("channel").isNotNull)
           .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
           .groupBy(col("channel"), col("p_brand"))
           .agg(
@@ -1469,19 +1473,27 @@ object FlagshipQueries extends QueryModule {
       "q_flagship_ds_union_profit",
       (s, dir) => {
         val t = tables(s, dir)
-        def channel(tag: String, cond: Column) =
-          t.lineitem
-            .filter(cond)
-            .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-            .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-            .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-            .select(lit(tag).as("channel"), col("n_name"),
-              col("l_extendedprice"), col("l_discount"))
-        val u = channel("returned", col("l_returnflag") === "R")
-          .unionByName(channel("fulfilled",
-            col("l_returnflag") =!= "R" && col("l_linestatus") === "F"))
-          .unionByName(channel("open",
-            col("l_returnflag") =!= "R" && col("l_linestatus") =!= "F"))
+        // r21 optimization (guide §2.4): the three channel filters are
+        // disjoint and exhaustive over the fact, so the 3-channel
+        // UNION (3 lineitem scans + 3 orders joins) collapses to ONE
+        // scan + ONE orders join with a CASE channel tag — identical
+        // rows into the identical rollup (NULL-flag rows matched no
+        // original branch; the isNotNull guard preserves that).
+        val channel =
+          when(col("l_returnflag") === "R", "returned")
+            .when(col("l_returnflag") =!= "R" && col("l_linestatus") === "F",
+              "fulfilled")
+            .when(col("l_returnflag") =!= "R" && col("l_linestatus") =!= "F",
+              "open")
+        val u = t.lineitem
+          .select(channel.as("channel"), col("l_orderkey"),
+            col("l_extendedprice"), col("l_discount"))
+          .filter(col("channel").isNotNull)
+          .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+          .select(col("channel"), col("n_name"),
+            col("l_extendedprice"), col("l_discount"))
         u.rollup(col("channel"), col("n_name"))
           .agg(
             grouping_id().cast("long").as("gid"),
@@ -2931,10 +2943,19 @@ object FlagshipQueries extends QueryModule {
             Money.sumWideUnits(units).as("t_units"))
           .withColumn("margin", round(col("r_units") / col("t_units"), 6))
           .select(col("l_suppkey"), col("margin")))
+        // r21 optimization (guide §2.4): only the top-10 of each
+        // direction is consumed, so each side is a TakeOrderedAndProject
+        // (per-partition top-10 + constant-size merge) over the cached
+        // aggregate instead of a FULL range-repartition + count pass +
+        // window per direction. globalRank then numbers just those 10
+        // rows — same rnk values/types (the 10 rows ARE the global
+        // top-10 in the same total order), every stage parallel.
         val (best, _) = DistributedRank.globalRank(
-          base, "rnk", col("margin").asc, col("l_suppkey").asc)
+          base.orderBy(col("margin").asc, col("l_suppkey").asc).limit(10),
+          "rnk", col("margin").asc, col("l_suppkey").asc)
         val (worst, _) = DistributedRank.globalRank(
-          base, "rnk", col("margin").desc, col("l_suppkey").asc)
+          base.orderBy(col("margin").desc, col("l_suppkey").asc).limit(10),
+          "rnk", col("margin").desc, col("l_suppkey").asc)
         best.filter(col("rnk") <= 10)
           .select(col("rnk"),
             col("l_suppkey").as("best_suppkey"), col("margin").as("best_margin"))

@@ -105,6 +105,9 @@ object PipelineQueries extends QueryModule {
         val C = 8 // chunk size (tokens)
         val S = 6 // stride (tokens) -> overlap C-S=2
         val words = split(col("text"), " ")
+        // (r21: an ensureParallelInput floor was measured and reverted
+        // here — paired A/B 1.22×: the md5 fanout is cheaper than the
+        // exchange at this payload.)
         t.documents
           .select(col("doc_id"), words.as("w"), size(words).as("n"))
           .withColumn(

@@ -508,8 +508,12 @@ object ScalarFunctionQueries extends QueryModule {
           FROM (
             SELECT doc_id, x2, band, ${m.hashLongSql("doc_id", "42")} AS s1
             FROM (
+              -- positive mod on BOTH sides (Spark uses pmod): DuckDB's
+              -- plain % keeps the dividend's sign, so a negative doc_id
+              -- would diverge (r20 ADVICE — the week_shift fixture-luck
+              -- class); doc_id is non-negative today, this pins it
               SELECT doc_id, doc_id - 3000000000 AS x2,
-                     doc_id % 16 AS band
+                     ((doc_id % 16) + 16) % 16 AS band
               FROM documents)))
       """
       }

@@ -33,6 +33,52 @@ object SimilarityQueries extends QueryModule {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / sqrt(normA * normB)
 
+  /** r21 optimization (guide §2.4 / §1.2-1): nearest-centroid
+    * assignment as a PURE PROJECTION. The codebook is already
+    * driver-side (k×dim, the bounded-collect contract), so instead of
+    * crossJoin-fanning every vector ×k and funneling the copies
+    * through an Exchange + Sort + row_number window, the whole
+    * codebook rides ONE broadcast row as an array column and the
+    * argmin is `array_min` over per-centroid structs — zero shuffle,
+    * zero per-row fanout, and the vector array is never copied k
+    * times. Identical arithmetic and tie-breaks: dist2 =
+    * round(n2 − 2·dot(v,cv) + cn2, 6) with ties to the lower list_id
+    * (struct comparison is lexicographic: rd first, then list_id —
+    * exactly the old `ORDER BY rd, list_id ... rn = 1`).
+    */
+  private[operators] def centroidArrayDf(
+      s: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cents.toDF("list_id", "cv")
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+      .agg(array_sort(collect_list(
+        struct(col("list_id"), col("cv"), col("cn2")))).as("cb"))
+  }
+
+  /** Per-centroid (rounded dist2, list_id) structs for `v` against the
+    * 1-row codebook array `cb` — the shared kernel of [[nearestListId]]
+    * and [[probeListIds]].
+    */
+  private[operators] def centDists(cb: Column, v: Column, n2: Column): Column =
+    transform(cb, c =>
+      struct(
+        round(n2 - lit(2.0) * dot(v, c.getField("cv")) + c.getField("cn2"), 6)
+          .as("rd"),
+        c.getField("list_id").as("list_id")))
+
+  /** argmin cell id (ties to the lower list_id). */
+  private[operators] def nearestListId(cb: Column, v: Column, n2: Column): Column =
+    array_min(centDists(cb, v, n2)).getField("list_id")
+
+  /** The `nProbe` nearest cell ids, nearest first (same order contract
+    * as the old `row_number <= nProbe` probe window).
+    */
+  private[operators] def probeListIds(
+      cb: Column, v: Column, n2: Column, nProbe: Int): Column =
+    transform(slice(array_sort(centDists(cb, v, n2)), 1, nProbe),
+      x => x.getField("list_id"))
+
   /** Exact top-k neighbors for each query vector (vec_id < nQueries). */
   def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
     graft.functions.SketchExpressions.register(emb.sparkSession)
@@ -218,7 +264,6 @@ object SimilarityQueries extends QueryModule {
       lloydIters: Int
   ): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.SketchExpressions.register(emb.sparkSession)
-    import org.apache.spark.sql.expressions.Window
     val s = emb.sparkSession
     // cached: the normed corpus feeds the codebook seed, every Lloyd
     // iteration, the final assignment, and the probe side; released by
@@ -229,26 +274,15 @@ object SimilarityQueries extends QueryModule {
     val n = e.count()
     val step = math.max(1L, n / nLists)
 
-    def centroidDf(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      import s.implicits._
-      cents.toDF("list_id", "cv").withColumn("cn2", dot(col("cv"), col("cv")))
-    }
-
-    /** nearest-centroid assignment: broadcast codebook, argmin of
-      * squared euclidean rounded to 1e-6 (the same argmin contract as
-      * the hash-oracled IVF-PQ coarse quantizer — an oracle replaying
-      * this assignment in SQL sees identical rounded keys), ties to
-      * the lower list id
+    /** nearest-centroid assignment — projection argmin against the
+      * 1-row broadcast codebook array (see [[centroidArrayDf]]): same
+      * rounded dist2 and lower-list-id tie-break as the window form it
+      * replaced (r21), with no ×k fanout and no per-row shuffle.
       */
-    def assign(df: DataFrame, cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("list_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("dist2",
-          round(col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"), 6))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn", "dist2", "cv", "cn2")
-    }
+    def assign(df: DataFrame, centsArr: DataFrame): DataFrame =
+      df.crossJoin(broadcast(centsArr))
+        .withColumn("list_id", nearestListId(col("cb"), col("v"), col("n2")))
+        .drop("cb")
 
     // seed codebook: evenly-spaced vec_ids
     var codebook = e
@@ -262,7 +296,7 @@ object SimilarityQueries extends QueryModule {
     // Lloyd iterations: elementwise mean per cell via posexplode —
     // the shuffle is k×dim cells, independent of corpus size
     for (_ <- 1 to lloydIters) {
-      val assigned = assign(e, centroidDf(codebook))
+      val assigned = assign(e, centroidArrayDf(s, codebook))
       codebook = assigned
         .select(col("list_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("list_id"), col("pos"))
@@ -276,7 +310,7 @@ object SimilarityQueries extends QueryModule {
         .sortBy(_._1)
     }
 
-    val cents = centroidDf(codebook)
+    val cents = centroidArrayDf(s, codebook)
     val lists = assign(e, cents) // (vec_id, v, n2, list_id)
     (cents, lists, e)
   }
@@ -291,18 +325,16 @@ object SimilarityQueries extends QueryModule {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (cents, lists, e) = ivfIndex(emb, nLists, lloydIters)
-    // each query probes its nProbe nearest cells (rounded argmin — see
-    // assign)
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("list_id"))
+    // each query probes its nProbe nearest cells (rounded argmin, same
+    // contract as assign) — projection top-n against the broadcast
+    // codebook array instead of a crossJoin fanout + window (r21)
     val probes = e
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("dist2",
-        round(col("qn") - lit(2.0) * dot(col("qv"), col("cv")) + col("cn2"), 6))
-      .withColumn("__rn", row_number().over(probeW))
-      .filter(col("__rn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("qn"), col("list_id"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(probeListIds(col("cb"), col("qv"), col("qn"), nProbe))
+          .as("list_id"))
     val scored = lists
       .join(probes, "list_id")
       .filter(col("q_id") =!= col("vec_id"))
@@ -398,20 +430,19 @@ object SimilarityQueries extends QueryModule {
         .otherwise(transform(vcol, _ => lit(0.0)))
     }
     val lists = lists0
-      .withColumn("cb", codes(col("v")))
-      .withColumn("cbn", dot(col("cb"), col("cb")))
-      .select(col("list_id"), col("vec_id"), col("cb"), col("cbn"))
-    val probeW = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("list_id"))
+      .withColumn("qcodes", codes(col("v")))
+      .withColumn("cbn", dot(col("qcodes"), col("qcodes")))
+      .select(col("list_id"), col("vec_id"), col("qcodes").as("cb"), col("cbn"))
+    // projection top-nProbe against the broadcast codebook array (r21;
+    // same rounded-dist2 + lower-list-id order as the window it
+    // replaced)
     val probes = e
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("n2").as("qn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist2",
-        round(col("qn") - lit(2.0) * dot(col("qv"), col("cv")) + col("cn2"), 6))
-      .withColumn("__rn", row_number().over(probeW))
-      .filter(col("__rn") <= nProbe)
+      .crossJoin(broadcast(cents.withColumnRenamed("cb", "cbk")))
       .select(col("q_id"), codes(col("qv")).as("qa"),
-        col("list_id"))
+        explode(probeListIds(col("cbk"), col("qv"), col("qn"), nProbe))
+          .as("list_id"))
       .withColumn("qan", dot(col("qa"), col("qa")))
     val scored = lists
       .join(probes, "list_id")
@@ -442,6 +473,13 @@ object SimilarityQueries extends QueryModule {
     * fixed subspace order — bit-identical across engines and
     * partitionings.
     */
+  // (r21 note: a "dense 1-row codebook + nested-HOF projection" form of
+  // pqEncode/LUT was measured and REVERTED — nested interpreted
+  // higher-order functions lost 1.5–1.7× to the codegen'd
+  // broadcast-join + window path on the paired min-of-3 basis. The
+  // coarse-quantizer argmin [centroidArrayDf/nearestListId] stayed: one
+  // flat transform of k large dot products amortizes the interpreter
+  // overhead and removes a full-corpus shuffle+window per call.)
   final case class PqModel(codebook: DataFrame, m: Int, subDim: Int)
 
   /** Build the per-subspace codebook: (sub_id, code_id, cw, cwn2).
@@ -690,7 +728,7 @@ object SimilarityQueries extends QueryModule {
     val step = math.max(1L, n / nLists)
     val s = emb.sparkSession
     import s.implicits._
-    val cents = e
+    val cents = centroidArrayDf(s, e
       .filter(pmod(col("vec_id"), lit(step)) === 0)
       .orderBy(col("vec_id"))
       .limit(nLists)
@@ -698,23 +736,22 @@ object SimilarityQueries extends QueryModule {
       .collect()
       .map(_.getSeq[Double](0))
       .zipWithIndex.toSeq
-      .map { case (v, i) => (i, v) }
-      .toDF("list_id", "cv")
-      .withColumn("cn2", dot(col("cv"), col("cv")))
-    def coarse(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cd2"), col("list_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("cd2",
-          round(col("n2") - lit(2.0) * dot(col("v"), col("cv")) + col("cn2"), 6))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= keep)
-        .select(col(idCol), col("list_id"))
-    }
-    val cellAsg = coarse(e, "vec_id", 1)
-    val probes = coarse(
-      e.filter(col("vec_id") < nQueries).select(col("vec_id").as("q_id"),
-        col("v"), col("n2")),
-      "q_id", nProbe)
+      .map { case (v, i) => (i, v) })
+    // coarse routing as projections against the broadcast codebook
+    // array (r21): argmin for the cell assignment, sorted-slice for the
+    // probes — same rounded-dist2 + lower-list-id contract as the
+    // windows they replaced (kept on the paired A/B: one flat transform
+    // of k full-dim dots, unlike the reverted nested PQ-encode HOFs)
+    val cellAsg = e
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        nearestListId(col("cb"), col("v"), col("n2")).as("list_id"))
+    val probes = e
+      .filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("q_id"),
+        explode(probeListIds(col("cb"), col("v"), col("n2"), nProbe))
+          .as("list_id"))
     // codes pivoted to ONE array per vector (codes[j] = subspace-j code):
     // the probe-side scan then touches one row per candidate, not m
     val codesArr = pqEncode(emb, model)

@@ -290,7 +290,10 @@ object TextQueries extends QueryModule {
               (h, c) => pmod(h * 31 + ascii(c), lit(Mod))
             )
         )
-        t.documents.select(
+        // r21: the per-char interpreted fold is the heaviest per-row
+        // expression in the module — floor the input parallelism so a
+        // single-row-group corpus doesn't run it on one core
+        ensureParallelInput(t.documents).select(
           col("doc_id"),
           aggregate(
             wordVals,
@@ -1010,7 +1013,10 @@ object TextQueries extends QueryModule {
       "q_text_heavy_hitters",
       (s, dir) => {
         val t = tables(s, dir)
-        val words = t.documents
+        // r21: both passes (sketch propose + exact verify) are per-row
+        // CPU over the token stream — floor the input parallelism so a
+        // single-row-group corpus doesn't serialize them on one core
+        val words = ensureParallelInput(t.documents)
           .select(explode(split(lower(col("text")), " ")).as("word"))
           .filter(col("word") =!= "")
         val mg = udaf(new graft.functions.MisraGriesAgg(256))
@@ -1048,7 +1054,8 @@ object TextQueries extends QueryModule {
       "q_text_heavy_hitters_grouped",
       (s, dir) => {
         val t = tables(s, dir)
-        val words = t.documents
+        // r21: same input-parallelism floor as q_text_heavy_hitters
+        val words = ensureParallelInput(t.documents)
           .select(col("lang"),
             explode(split(lower(col("text")), " ")).as("word"))
           .filter(col("word") =!= "")

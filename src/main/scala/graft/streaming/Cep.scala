@@ -212,7 +212,11 @@ object Cep {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
     events
-      .repartition(col("user_id"))
+      // r21: explicit partition count — the NFA scan below is per-row
+      // CPU, and AQE's byte-based coalescing would fold a few MB of
+      // events into 1-2 tasks (see MatchRecognize.runRelationBatch)
+      .repartition(events.sparkSession.sessionState.conf.numShufflePartitions,
+        col("user_id"))
       // Timestamp columns order by micros == (getTime, getNanos) here
       // (Catalyst precision is micros), so this matches ordered()
       .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))

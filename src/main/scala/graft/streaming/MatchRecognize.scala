@@ -1675,7 +1675,15 @@ object MatchRecognize {
 
     val partExprs = spec.partCols.map(col)
     val sortExprs = (spec.partCols ++ spec.orderCols).map(col)
-    df.repartition(partExprs: _*)
+    // r21 (guide §2.5): EXPLICIT partition count. The NFA pass below is
+    // pure per-row CPU, but AQE sizes post-shuffle partitions by BYTES
+    // — a few MB of events coalesce to 1-2 tasks and the match loop
+    // runs serially on a 32-core host. Pinning numShufflePartitions
+    // (session conf — deployment-sized, not a local constant) opts this
+    // one exchange out of byte-based coalescing; per-key grouping and
+    // match output are partition-count-invariant.
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        partExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
       .mapPartitions { rows =>
         val conv = CatalystTypeConverters.createToCatalystConverter(schema)

@@ -26,7 +26,16 @@ def compare(new, old, label):
     qn, qo = new["queries"], old["queries"]
     excluded = (disowned(new) | disowned(old)) & set(qn) & set(qo)
     common = sorted((set(qn) & set(qo)) - excluded)
-    ratios = {k: qn[k] / qo[k] for k in common if qo[k] > 0}
+    # zero-min queries can't form a ratio; exclude them from the totals
+    # too so total and median describe the same query set (r20 ADVICE)
+    zero = [k for k in common if qo[k] <= 0]
+    common = [k for k in common if qo[k] > 0]
+    if zero:
+        print(f"== vs {label}: skipped zero-min queries: {sorted(zero)}")
+    if not common:
+        print(f"== vs {label}: no common nonzero queries — comparison skipped")
+        return
+    ratios = {k: qn[k] / qo[k] for k in common}
     tn = sum(qn[k] for k in common)
     to = sum(qo[k] for k in common)
     med = statistics.median(ratios.values())
