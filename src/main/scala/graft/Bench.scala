@@ -335,8 +335,12 @@ object Bench {
     // visible from the total line alone: total_of_mins silently shrinks
     // its query set when a query fails every repeat, so cross-round
     // total comparisons are only valid when the two counts match.
+    // extra_conf (r21 ADVICE): true when SPARK_GRAFT_CONF overrides were
+    // applied to this session — a record made under an override must be
+    // distinguishable from one at published defaults (additive key; the
+    // driver's parser ignores unknown keys)
     val line =
-      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"cpus":$cpus,"queries_timed":${timed.size},"queries_selected":${selected.size},"calibration_s":$calS,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ref_cpus":$CalibrationRefCpus,"calibration_ratio":$calR,"suspect":$suspect,"retimed":$retimedJson,"failed":$failedJson,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
+      f"""{"metric":"total_of_mins","value":$total%.3f,"unit":"sec","repeats":$repeats,"cpus":$cpus,"extra_conf":${Engine.extraConfSet},"queries_timed":${timed.size},"queries_selected":${selected.size},"calibration_s":$calS,"calibration_ref_s":$CalibrationRefSec%.3f,"calibration_ref_cpus":$CalibrationRefCpus,"calibration_ratio":$calR,"suspect":$suspect,"retimed":$retimedJson,"failed":$failedJson,"queries":$qs,"medians":$meds,"sf":"$sfDir"}"""
     println(line)
     // the driver tail-parses stdout and sbt appends its own "[success]"
     // trailer after this line, so the stdout copy can be missed — also

@@ -77,9 +77,20 @@ object Engine {
     sys.env.get("SPARK_GRAFT_CONF").toSeq.flatMap(_.split(";")).flatMap { kv =>
       kv.split("=", 2) match {
         case Array(k, v) if k.trim.nonEmpty => Some(k.trim -> v.trim)
-        case _ => None
+        case _ =>
+          // r21 ADVICE: a malformed entry must not vanish silently — a
+          // typo'd A/B override would otherwise "measure" the defaults
+          if (kv.trim.nonEmpty)
+            System.err.println(s"[engine] ignoring malformed SPARK_GRAFT_CONF entry: '$kv'")
+          None
       }
     }
+
+  /** True when SPARK_GRAFT_CONF overrides are in effect. Bench embeds
+    * this in its JSON record (r21 ADVICE): a record produced under an
+    * override must be distinguishable from one at published defaults.
+    */
+  def extraConfSet: Boolean = extraConf.nonEmpty
 
   /** Lazy handles to the driver-generated test tables in `dir`.
     * Each is a plain parquet scan — Catalyst pushes filters/projections

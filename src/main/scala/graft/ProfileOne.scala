@@ -82,7 +82,10 @@ object ProfileOne {
             .write.mode("overwrite").format("noop").save()
         }
         val wall = (System.nanoTime() - t0) / 1e9
-        // listener bus is async; give it a beat before reading
+        // listener bus is async; give it a beat before reading. On a
+        // loaded host 300 ms can still undercount stages (r21 ADVICE) —
+        // acceptable for this diagnostic-only report; cross-check
+        // repeats if a stage seems missing.
         Thread.sleep(300)
         println(f"[profile] === $name repeat $i wall=$wall%.3f s ===")
         col.report()

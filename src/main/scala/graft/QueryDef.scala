@@ -42,6 +42,12 @@ trait QueryModule {
     * whose per-row CPU dominates; the measured engine-wide variant
     * taxed every scan-light consumer with a payload shuffle and was
     * reverted (OPTIMIZATION_r21.md).
+    *
+    * CONTRACT (r21 ADVICE): `df` must be a RAW TABLE SCAN. The
+    * partition-count probe below builds df's physical RDD eagerly at
+    * query-construction time — cheap for a parquet scan (file split
+    * math), but a silent planning/execution cost if ever applied to a
+    * derived or cached DataFrame.
     */
   protected def ensureParallelInput(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

@@ -200,6 +200,16 @@ object DedupQueries extends QueryModule {
     val full = sh.select(col("doc_id"), col("shingles"))
     cand
       .join(full.select(col("doc_id").as("d1"), col("shingles").as("s1")), "d1")
+      // r22 (guide §2.5, same fix class as the CEP NFA pin): EXPLICIT
+      // partition count on the exchange feeding the exact-verify stage.
+      // The array_intersect verify is per-pair CPU over small rows, and
+      // AQE's byte-based coalescing folded the ~6 MB candidate-pair
+      // shuffle to 5 tasks on a 32-core host (profiled: 5 tasks x
+      // ~1.8 s task time). Pinning numShufflePartitions (session conf,
+      // deployment-sized) opts this one exchange out of coalescing;
+      // the d2-join result is partition-count-invariant.
+      .repartition(
+        t.spark.sessionState.conf.numShufflePartitions, col("d2"))
       .join(full.select(col("doc_id").as("d2"), col("shingles").as("s2")), "d2")
       .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
       .withColumn("jaccard",
@@ -1152,6 +1162,12 @@ object MinHashLsh {
       .distinct()
     // verify candidates with exact Jaccard (from the cached sig table)
     val sets = sig.select(col("doc_id"), col("shingles"))
+    // (r22: a verify-stage partition pin like prefixFilterPairs' was
+    // measured here and REVERTED — paired A/B 1.64x SLOWER
+    // (plans/r22/ab/t5): the banding+hot-bucket-guard candidate set is
+    // small enough that the added exchange outweighs the verify
+    // parallelism it buys. The prefix-filter verify keeps its pin; its
+    // candidate volume is an order of magnitude larger.)
     cand
       .join(sets.withColumnRenamed("doc_id", "d1").withColumnRenamed("shingles", "sh1"), "d1")
       .join(sets.withColumnRenamed("doc_id", "d2").withColumnRenamed("shingles", "sh2"), "d2")
@@ -1213,6 +1229,9 @@ object MinHashLsh {
       .distinct()
     val setsC = sigC.select(col("doc_id"), col("shingles"))
     val setsB = sigB.select(col("doc_id").as("bench_id"), col("shingles").as("bsh"))
+    // (r22: the verify-stage pin was measured here too and reverted —
+    // 0.98x, neutral: the decon candidate set is small, see the
+    // nearDuplicates note.)
     cand
       .join(setsC, "doc_id")
       .join(setsB, "bench_id")

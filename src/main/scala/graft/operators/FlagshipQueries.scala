@@ -3016,25 +3016,36 @@ object FlagshipQueries extends QueryModule {
       "q_flagship_ds_restock_lag",
       (s, dir) => {
         val t = tables(s, dir)
+        // r22 (guide §3.2: reduce the big side BEFORE shuffling it):
+        // the p_size <= 25 dim cut used to apply AFTER the band join,
+        // so both fact slices shuffled and band-paired rows whose part
+        // the dim join would drop anyway. p_partkey is unique (part
+        // pk), so attaching the dim to demand (inner, no duplication)
+        // and semi-filtering supply on the same broadcast key set
+        // before the band join keeps the output row set identical
+        // while cutting BOTH band-join inputs by the dim selectivity —
+        // the per-key pair work falls quadratically in it.
+        val pdim = t.part
+          .filter(col("p_size") <= 25)
+          .select(col("p_partkey"), col("p_brand"))
         val demand = t.lineitem
           .filter(col("l_returnflag") === "R")
           .select(col("l_orderkey").as("d_orderkey"),
             col("l_linenumber").as("d_linenumber"),
             col("l_partkey").as("d_partkey"),
             col("l_shipdate").as("d_shipdate"))
+          .join(broadcast(pdim), col("d_partkey") === col("p_partkey"))
         val supply = t.lineitem
           .filter(col("l_returnflag") =!= "R")
           .select(col("l_partkey").as("s_partkey"),
             col("l_shipdate").as("s_shipdate"))
+          .join(broadcast(pdim.select(col("p_partkey"))),
+            col("s_partkey") === col("p_partkey"), "left_semi")
         demand
           .join(supply,
             col("d_partkey") === col("s_partkey") &&
               col("s_shipdate") > col("d_shipdate") &&
               col("s_shipdate") <= col("d_shipdate") + expr("INTERVAL 30 DAYS"))
-          .join(broadcast(t.part
-              .filter(col("p_size") <= 25)
-              .select(col("p_partkey"), col("p_brand"))),
-            col("d_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"), year(col("d_shipdate")).cast("long").as("yr"))
           .agg(
             count(lit(1)).as("n_pairs"),

@@ -600,11 +600,24 @@ object PipelineQueries extends QueryModule {
       "q_timeseries_densify",
       (s, dir) => {
         val t = tables(s, dir)
+        // r22 (guide §2.4 "share one exchange" + §2.5): every operator
+        // here — the per-(user,h) argmax, the per-user span aggregate,
+        // the grid⋈obs join and the LOCF window — clusters on user_id,
+        // so ONE explicit user_id exchange up front serves all four
+        // (HashPartitioning(user_id) satisfies each ClusteredDistribution
+        // and both join sides are co-partitioned): 4 exchanges → 1,
+        // reused by both aggregates. The count is pinned
+        // (numShufflePartitions, deployment-sized) because the
+        // downstream grid explode + window is per-row CPU that AQE's
+        // byte-based coalescing had folded to 1-2 tasks (profiled:
+        // final stage 1 task × 0.5 s on 32 cores).
         val e = t.events.select(
           col("user_id"),
           expr("unix_micros(ts) DIV 3600000000").as("h"),
           expr("unix_micros(ts)").as("us"),
           col("event_id"), col("value"))
+          .repartition(
+            s.sessionState.conf.numShufflePartitions, col("user_id"))
         val obs = e.groupBy(col("user_id"), col("h"))
           .agg(max(struct(col("us"), col("event_id"), col("value")))
             .getField("value").as("v"))

@@ -49,6 +49,12 @@ object SimilarityQueries extends QueryModule {
   private[operators] def centroidArrayDf(
       s: org.apache.spark.sql.SparkSession,
       cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    // contract pin (r21 ADVICE): an empty codebook would yield ONE row
+    // with an empty array — every assignment NULL — where the old
+    // crossJoin form produced an empty result. Unreachable with a
+    // nonempty corpus (the seed pass always yields >= 1 centroid);
+    // fail loudly rather than change degenerate-input behavior.
+    require(cents.nonEmpty, "centroidArrayDf: empty centroid seq")
     import s.implicits._
     cents.toDF("list_id", "cv")
       .withColumn("cn2", dot(col("cv"), col("cv")))

@@ -12,6 +12,36 @@ import org.apache.spark.sql.functions._
   */
 object Iterations {
 
+  /** r22 (VERDICT item 1, guide §1.2-3): run a connected-components
+    * driver loop with AQE disabled on this session, restoring the
+    * caller's value after. Rationale, measured: the CC loop's shuffles
+    * are AGGREGATIONS (union→groupBy(vertex) min-label, window+distinct
+    * star rounds) and one already-co-partitioned join — AQE's
+    * skew-JOIN splitting cannot apply to any of them (guide §2.5), and
+    * map-side partial aggregation is the hot-key defense either way,
+    * so at 100 TB AQE buys these loops nothing structural. What it
+    * costs locally is cadence: every localCheckpoint materialization
+    * re-plans each shuffle as its own stage-job — profiled 44 jobs/run
+    * for q_dedup_clusters, 11 with AQE off, wall 0.79x warm; the
+    * paired A/B records are in plans/r22/ab/t3,t5. Partition counts
+    * fall back to spark.sql.shuffle.partitions (deployment conf — the
+    * same sizing discipline as the CEP/verify pins). pageRank is NOT
+    * wrapped: its loop joins ride the AQE-sized prep checkpoints'
+    * partitioning, and the same conf A/B measured global-off at 1.08x
+    * there — see OPTIMIZATION_r22.md.
+    */
+  private def withoutAqe[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Connected components by min-label propagation over an undirected
     * edge list (`src`, `dst` columns). Returns (vertex, component)
     * where component = the minimum vertex id reachable.
@@ -92,6 +122,10 @@ object Iterations {
     * Returns (labels, logical rounds executed, converged).
     */
   private def minLabelCore(
+      edges: DataFrame, maxIter: Int): (DataFrame, Int, Boolean) =
+    withoutAqe(edges.sparkSession) { minLabelCoreBody(edges, maxIter) }
+
+  private def minLabelCoreBody(
       edges: DataFrame, maxIter: Int): (DataFrame, Int, Boolean) = {
     // dst-partitioned once: the per-iteration neighbor join probes
     // bidir on dst, so the (big) edge side never re-shuffles — labels
@@ -187,7 +221,13 @@ object Iterations {
     * round-complexity specs and convergence diagnostics).
     */
   def connectedComponentsStarWithRounds(
-      edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+      edges: DataFrame, maxIter: Int = 30): (DataFrame, Int) =
+    withoutAqe(edges.sparkSession) {
+      connectedComponentsStarBody(edges, maxIter)
+    }
+
+  private def connectedComponentsStarBody(
+      edges: DataFrame, maxIter: Int): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     val vertices = edges.select(col("src").as("vertex"))
       .union(edges.select(col("dst").as("vertex")))

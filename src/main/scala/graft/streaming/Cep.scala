@@ -208,15 +208,28 @@ object Cep {
     * one per-event NFA step. Working memory is the NFA's live partials
     * (bounded by `within`), never the key's event list.
     */
-  def detectBatch(events: Dataset[Event], pattern: SequencePattern): Dataset[Match] = {
+  def detectBatch(events: Dataset[Event], pattern: SequencePattern,
+      pinParallelism: Boolean = true): Dataset[Match] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.functions.col
-    events
-      // r21: explicit partition count — the NFA scan below is per-row
-      // CPU, and AQE's byte-based coalescing would fold a few MB of
-      // events into 1-2 tasks (see MatchRecognize.runRelationBatch)
-      .repartition(events.sparkSession.sessionState.conf.numShufflePartitions,
-        col("user_id"))
+    // r21: explicit partition count — the NFA scan is per-row CPU
+    // (row→case-class conversion + predicate steps), and AQE's
+    // byte-based coalescing would fold a few MB of events into 1-2
+    // tasks, serializing it (paired A/B: double_error 0.81x r21, and
+    // 1.27x when the pin was removed in an r22 trial). r22:
+    // `pinParallelism` lets a caller whose COST IS DOWNSTREAM of the
+    // NFA (the MEASURES pipeline — explode + event join + per-match
+    // re-group) opt out for bounded patterns, where the pin only
+    // bought scheduling overhead (nav_measures 1.22-1.35x r21, 0.87x
+    // once unpinned): see MatchRecognize.detectBatchWithMeasures,
+    // which passes pattern.cpuBoundNfa.
+    val keyed =
+      if (pinParallelism)
+        events.repartition(
+          events.sparkSession.sessionState.conf.numShufflePartitions,
+          col("user_id"))
+      else events.repartition(col("user_id"))
+    keyed
       // Timestamp columns order by micros == (getTime, getNanos) here
       // (Catalyst precision is micros), so this matches ordered()
       .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))

@@ -244,6 +244,23 @@ object CepCore {
       */
     val branches: Seq[Seq[Step[E]]] = (elems +: orElse).map(expand)
 
+    /** True when the compiled NFA can fork multiple live partials or
+      * re-enter loop steps per row: PATTERN alternation (orElse
+      * branches), grouped ordered choice (step choices), or unbounded
+      * oneOrMore loops (step-level or a group back-edge). These shapes
+      * make the per-row NFA step the CPU-dominant phase of a batch
+      * detect; bounded patterns (plain sequences, times(n) unrolls)
+      * evaluate a constant handful of predicates per row. r22 (guide
+      * §2.5): the batch entry points pin an explicit partition count on
+      * the key exchange ONLY for cpu-bound patterns — measured r21, the
+      * pin wins on alternation/loop patterns (group_alt 0.73–0.75×) and
+      * costs scheduling overhead where the NFA is cheap and downstream
+      * MEASURES windows dominate (nav_measures 1.22–1.35×).
+      */
+    lazy val cpuBoundNfa: Boolean =
+      orElse.nonEmpty || branches.exists(_.exists(s =>
+        s.oneOrMore || s.loopBackTo.nonEmpty || s.choices.nonEmpty))
+
     /** The first (or only) branch — the pre-alternation step list. */
     val expanded: Seq[Step[E]] = branches.head
 

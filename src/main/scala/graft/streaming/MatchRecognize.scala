@@ -1353,8 +1353,14 @@ object MatchRecognize {
     // parse once: the same bound pattern feeds the NFA run and the
     // measure-variable namespace
     val pat = parse(events.sparkSession, sql)
+    // r22: pin the NFA exchange's partition count only when the NFA is
+    // the CPU-dominant phase (alternation/loops); for bounded patterns
+    // the MEASURES pipeline below dominates and the pin costs
+    // scheduling overhead (nav_measures paired A/B: 1.22-1.35x pinned,
+    // 0.87x unpinned).
     withMeasures(
-      Cep.detectBatch(events, pat).toDF(),
+      Cep.detectBatch(events, pat,
+        pinParallelism = pat.cpuBoundNfa).toDF(),
       events.toDF(),
       parseMeasures(sql),
       parseSubsets(sql),
@@ -1666,7 +1672,8 @@ object MatchRecognize {
     RelSpec(partCols, orderCols, partIdx, orderIdx, clock, pattern, outSchema)
   }
 
-  private def runRelationBatch(df: DataFrame, spec: RelSpec): DataFrame = {
+  private def runRelationBatch(df: DataFrame, spec: RelSpec,
+      pinParallelism: Boolean = true): DataFrame = {
     val schema = df.schema
     val partIdx = spec.partIdx
     val clock = spec.clock
@@ -1681,9 +1688,19 @@ object MatchRecognize {
     // runs serially on a 32-core host. Pinning numShufflePartitions
     // (session conf — deployment-sized, not a local constant) opts this
     // one exchange out of byte-based coalescing; per-key grouping and
-    // match output are partition-count-invariant.
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        partExprs: _*)
+    // match output are partition-count-invariant. r22: a MEASURES
+    // caller whose cost sits downstream of the NFA opts out via
+    // `pinParallelism = pattern.cpuBoundNfa` (see
+    // detectRelationWithMeasures); all direct-output paths keep the pin
+    // — the generic-Row NFA pays a per-row Catalyst conversion, so it
+    // is CPU-bound even for bounded patterns (the typed path's
+    // double_error measured 1.27x when its pin was removed).
+    val keyed =
+      if (pinParallelism)
+        df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+          partExprs: _*)
+      else df.repartition(partExprs: _*)
+    keyed
       .sortWithinPartitions(sortExprs: _*)
       .mapPartitions { rows =>
         val conv = CatalystTypeConverters.createToCatalystConverter(schema)
@@ -1761,7 +1778,12 @@ object MatchRecognize {
     val spec = parseRelation(df, sql)
     val measures = parseMeasures(sql)
     require(measures.nonEmpty, "MEASURES clause is empty")
-    relationMeasures(runRelationBatch(df, spec), df.schema, spec.partCols,
+    // r22: same consumer-conditional pin as detectBatchWithMeasures —
+    // the per-match re-group below dominates for bounded patterns
+    relationMeasures(
+      runRelationBatch(df, spec,
+        pinParallelism = spec.pattern.cpuBoundNfa),
+      df.schema, spec.partCols,
       measures, parseSubsets(sql), patternVarNames(spec.pattern))
   }
 
