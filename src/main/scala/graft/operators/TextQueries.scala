@@ -174,6 +174,11 @@ object TextQueries extends QueryModule {
       (s, dir) => {
         val t = tables(s, dir)
         val words = split(col("text"), " ")
+        // (r22: an ensureParallelInput floor here was measured and
+        // reverted — paired A/B exactly 1.00x (plans/r22/ab/t8): unlike
+        // heavy_hitters' MG-sketch pass, the tokenize+partial-agg here
+        // is cheap relative to its two aggregation shuffles, which
+        // redistribute anyway.)
         val d = t.documents.select(col("doc_id"), words.as("w"),
           size(words).as("n"))
         val uniTop = d

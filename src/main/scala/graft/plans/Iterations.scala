@@ -382,7 +382,10 @@ object Iterations {
       // checkpoint every SECOND iteration: lineage depth 2 is safe,
       // and halving the eager materializations nearly halves the
       // loop's fixed cost — off rounds (including a final odd round)
-      // stay lazy and fuse into the next plan / the caller's one write
+      // stay lazy and fuse into the next plan / the caller's one write.
+      // (r22: every-THIRD was A/B'd — 0.99x, neutral
+      // (plans/r22/ab/t9) — and reverted: one job out of 37 buys
+      // nothing measurable, and every-2 is the r20-measured form.)
       if (iter % 2 == 1) ranks = ranks.localCheckpoint()
       iter += 1
     }
