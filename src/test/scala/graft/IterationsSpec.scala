@@ -27,6 +27,22 @@ class IterationsSpec extends AnyFunSuite {
     ))
   }
 
+  test("CC loops restore the caller's AQE conf (r22 loop-scoped disable)") {
+    import spark.implicits._
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key)
+    assert(before == "true", "engine default expected for the test premise")
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    // min-label path
+    Iterations.connectedComponents(edges).collect()
+    assert(spark.conf.get(key) == "true",
+      "minLabelCore must restore spark.sql.adaptive.enabled")
+    // star path (wrapped independently)
+    Iterations.connectedComponentsStar(edges).collect()
+    assert(spark.conf.get(key) == "true",
+      "connectedComponentsStar must restore spark.sql.adaptive.enabled")
+  }
+
   test("checkpointed partitioning is preserved — iteration joins add no exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.functions._
